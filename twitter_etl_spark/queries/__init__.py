@@ -1,0 +1,56 @@
+"""Checkable operator inventory (SURVEY.md §2).
+
+Each submodule defines two dicts:
+
+- ``QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]]`` —
+  the Spark implementation of each operator, DataFrame-API first.
+- ``ORACLE: dict[str, str]`` — the equivalent ANSI SQL for the
+  DuckDB oracle (same column aliases; floats rounded on both sides;
+  total orders under every LIMIT; SURVEY.md §5.3). Operators whose
+  semantics DuckDB can't reproduce exactly (approximate, ML,
+  streaming-only) appear in ``QUERIES`` but not ``ORACLE`` and get
+  the driver's weaker rows-only check.
+
+This package merges them; name collisions are a bug.
+"""
+
+from __future__ import annotations
+
+from . import (
+    aggregates,
+    dedup,
+    joins,
+    ref_parity,
+    scalar_fns,
+    similarity,
+    sortset,
+    streaming_batch,
+    text,
+    windows,
+)
+
+_MODULES = (
+    ref_parity,
+    joins,
+    aggregates,
+    windows,
+    sortset,
+    scalar_fns,
+    streaming_batch,
+    text,
+    dedup,
+    similarity,
+)
+
+ALL_QUERIES: dict = {}
+ALL_ORACLES: dict = {}
+
+for _m in _MODULES:
+    for _name, _fn in _m.QUERIES.items():
+        if _name in ALL_QUERIES:
+            raise RuntimeError(f"duplicate query name {_name!r} in {_m.__name__}")
+        ALL_QUERIES[_name] = _fn
+    for _name, _sql in getattr(_m, "ORACLE", {}).items():
+        if _name not in _m.QUERIES:
+            raise RuntimeError(f"oracle {_name!r} in {_m.__name__} has no query")
+        ALL_ORACLES[_name] = _sql

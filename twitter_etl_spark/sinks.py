@@ -1,0 +1,72 @@
+"""Sinks: append table, create-if-absent DDL, optional JDBC.
+
+Reference semantics being re-expressed:
+
+- ``load_tweets`` (``main.R:113-121``): append a dataframe to the
+  sink table, skipping entirely when the input is NULL/empty
+  (``main.R:75-78, 114``). At-least-once: no upsert, duplicates
+  across batches are kept (SURVEY.md §1.3).
+- ``setup_database`` (``main.R:17-42``): create the fixed-schema
+  sink table; never clobber an existing one (collision-safe rename,
+  ``main.R:20-24``).
+
+Spark-native: parquet directory sinks with ``mode("append")``;
+create-if-absent maps to ``errorifexists`` semantics / an existence
+check; JDBC is a thin optional adapter (the reference's RSQLite
+write-through, ``main.R:26, 117``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Spark equivalent of the reference sink DDL (``main.R:27-39``):
+#: timestamps stay TimestampType (UTC) instead of epoch ints;
+#: tweet_id is a synthetic load surrogate (``main.R:30``).
+TWEET_DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("tweet_id", T.LongType()),
+        T.StructField("date_created", T.TimestampType()),
+        T.StructField("user", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("location", T.StringType()),
+        T.StructField("quoted_user", T.StringType()),
+        T.StructField("quoted_content", T.StringType()),
+    ]
+)
+
+
+def append_table(df: DataFrame | None, path: str) -> bool:
+    """Append ``df`` to the parquet table at ``path``.
+
+    Returns False (no write) on the reference's empty-input guard
+    (``main.R:75-78, 114``): NULL input or zero rows. The guard uses
+    ``isEmpty()`` (a limit-1 job), not ``count()``.
+    """
+    if df is None or df.isEmpty():
+        return False
+    df.write.mode("append").parquet(path)
+    return True
+
+
+def create_table_if_absent(spark: SparkSession, path: str, schema: T.StructType = TWEET_DATA_SCHEMA) -> str:
+    """DDL bootstrap: initialize an empty parquet table at ``path``
+    if absent; if present, leave it untouched and return a
+    timestamp-suffixed fresh path instead (collision-safe create,
+    ``main.R:20-24``)."""
+    if os.path.exists(path):
+        path = f"{path}.{time.strftime('%Y%m%d_%H%M%S')}"
+    spark.createDataFrame([], schema).write.mode("errorifexists").parquet(path)
+    return path
+
+
+def append_jdbc(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:
+    """Optional JDBC write-through (reference: DBI/RSQLite,
+    ``main.R:117``). Parquet is the native sink; this exists for
+    relational targets when a driver jar is on the classpath."""
+    df.write.mode("append").jdbc(url, table, properties=properties or {})

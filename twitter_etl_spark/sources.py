@@ -1,0 +1,123 @@
+"""Sources: NDJSON landing zone, nested tweet payloads, binary files.
+
+The reference lands raw stream payloads as newline-delimited JSON
+files in a timestamp-named landing directory (``main.R:49-70``) and
+parses them later. The Spark-native equivalent is a (streaming or
+batch) JSON file source over the landing directory with an
+**explicit schema** — schema inference is forbidden at scale and
+unavailable in ``readStream``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: documents-shaped NDJSON schema (FIXTURES.md).
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+#: Nested tweet-status schema for raw stream payloads — the shape the
+#: reference's ``rtweet::parse_stream`` flattens (``main.R:81``).
+#: Nested structs + arrays; free-form extras stay a JSON string and
+#: are parsed on demand with ``from_json``/``get_json_object``.
+TWEET_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("id_str", T.StringType()),
+        T.StructField("created_at", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField(
+            "user",
+            T.StructType(
+                [
+                    T.StructField("screen_name", T.StringType()),
+                    T.StructField("location", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "entities",
+            T.StructType(
+                [
+                    T.StructField(
+                        "hashtags",
+                        T.ArrayType(
+                            T.StructType([T.StructField("text", T.StringType())])
+                        ),
+                    )
+                ]
+            ),
+        ),
+        T.StructField(
+            "quoted_status",
+            T.StructType(
+                [
+                    T.StructField("text", T.StringType()),
+                    T.StructField(
+                        "user",
+                        T.StructType([T.StructField("screen_name", T.StringType())]),
+                    ),
+                ]
+            ),
+        ),
+        T.StructField("extra_props", T.StringType()),
+    ]
+)
+
+
+def read_ndjson(spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_SCHEMA) -> DataFrame:
+    """Batch-read an NDJSON landing file/dir with an explicit schema."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_ndjson_stream(
+    spark: SparkSession, landing_dir: str, schema: T.StructType = DOCUMENTS_SCHEMA
+) -> DataFrame:
+    """Streaming JSON file source over the landing directory
+    (Spark-native form of the reference's landing zone,
+    ``main.R:55-66``). ``maxFilesPerTrigger=1`` reproduces the
+    one-file-per-micro-batch cadence."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing_dir)
+    )
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a DataFrame as an NDJSON landing directory (the write
+    side of the landing zone, ``main.R:55-66``)."""
+    df.write.mode(mode).json(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Multimodal ingestion: opaque binary payloads + typed metadata
+    via Spark's ``binaryFile`` source -> columns
+    (path, modificationTime, length, content: binary)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def landing_file_name(ts_compact: str) -> str:
+    """Timestamp-named landing file, reference convention
+    ``stream_%Y%m%d_%H%M%S.json`` (``main.R:55-58``)."""
+    return f"stream_{ts_compact}.json"
+
+
+def ensure_landing_dir(path: str) -> str:
+    """Create the landing dir on demand (``main.R:50-53``)."""
+    os.makedirs(path, exist_ok=True)
+    return path
