@@ -1,4 +1,249 @@
-"""Stub module — filled in this round."""
+"""Join operators (SURVEY.md §2.4 [EXT]) over the TPC-H-ish fixtures.
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Scale notes (100 TB posture), per query:
+
+- Dim tables (region 5, nation 25) are ALWAYS broadcast — an
+  explicit ``F.broadcast`` hint so the plan never sort-merge-shuffles
+  a 5-row table against a fact table.
+- Fact-fact equi joins (orders x customer, orders x lineitem) are
+  shuffle hash / sort-merge on the key; AQE handles skew splitting.
+- The theta join is equi-anchored (nationkey) + range predicate, so
+  Catalyst plans a hash join with a post-filter instead of a
+  broadcast-nested-loop over the full cross product.
+- The as-of join avoids a join explosion entirely: union the two
+  event roles and take ``last(click_ts) IGNORE NULLS`` over an
+  ordered per-user window — one shuffle by user_id, no range probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders x customer on custkey."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: every customer, orders where they exist."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer: mirror of left (kept distinct to pin semantics)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_mktsegment", "o_orderkey"
+    )
+
+
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two partially-overlapping subsets, so both
+    sides contribute unmatched rows."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_custkey", "n_orders"
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi: customers that have at least one urgent order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti: customers with no urgent order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-dim broadcast: nation+region shipped to every executor
+    (explicit hint; at 100 TB the fact side never shuffles)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3+-table star join with aggregation:
+    region -> nation -> customer -> orders revenue rollup."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join anchored on an equi key: supplier x
+    customer in the same nation where the supplier out-balances the
+    customer. The nationkey anchor keeps the plan a hash join +
+    filter, not a nested-loop cross product."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    joined = s.join(
+        c,
+        (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        "inner",
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(s.s_acctbal - c.c_acctbal), 4).alias("avg_gap"),
+    ).withColumnRenamed("s_nationkey", "nationkey")
+
+
+def q_join_selfasof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest prior (or
+    simultaneous) click by the same user.
+
+    Spark-native scalable form: union the two roles, one window sort
+    per user, ``last(click_ts) IGNORE NULLS`` — no range-join
+    explosion, single shuffle. Oracle: DuckDB ASOF LEFT JOIN.
+    """
+    e = table(spark, sf_dir, "events")
+    clicks_purchases = e.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks_purchases.withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    ).withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("purchase_us"),
+            F.unix_micros(F.col("last_click_ts")).alias("click_us"),
+        )
+    )
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two (tiny) dim tables."""
+    return (
+        table(spark, sf_dir, "region")
+        .crossJoin(table(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+QUERIES = {
+    "q_join_inner": q_join_inner,
+    "q_join_left": q_join_left,
+    "q_join_right": q_join_right,
+    "q_join_full": q_join_full,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_join_broadcast": q_join_broadcast,
+    "q_join_multiway": q_join_multiway,
+    "q_join_theta": q_join_theta,
+    "q_join_selfasof": q_join_selfasof,
+    "q_join_cross": q_join_cross,
+}
+
+ORACLE = {
+    "q_join_inner": (
+        "SELECT o_orderkey, c_custkey, c_name, o_totalprice "
+        "FROM orders JOIN customer ON o_custkey = c_custkey"
+    ),
+    "q_join_left": (
+        "SELECT c_custkey, c_name, o_orderkey, o_totalprice FROM customer "
+        "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o "
+        "ON c_custkey = o.o_custkey"
+    ),
+    "q_join_right": (
+        "SELECT c_custkey, c_mktsegment, o_orderkey "
+        "FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) o "
+        "RIGHT JOIN customer ON o.o_custkey = c_custkey"
+    ),
+    "q_join_full": (
+        "SELECT c_custkey, c_name, o_custkey, n_orders "
+        "FROM (SELECT * FROM customer WHERE c_custkey % 2 = 0) c "
+        "FULL JOIN (SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders "
+        "           WHERE o_orderkey % 3 = 0 GROUP BY o_custkey) o "
+        "ON c.c_custkey = o.o_custkey"
+    ),
+    "q_join_semi": (
+        "SELECT c_custkey, c_name FROM customer WHERE EXISTS ("
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderpriority = '1-URGENT')"
+    ),
+    "q_join_anti": (
+        "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS ("
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderpriority = '1-URGENT')"
+    ),
+    "q_join_broadcast": (
+        "SELECT c_custkey, n_name, r_name FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey"
+    ),
+    "q_join_multiway": (
+        "SELECT r_name, n_name, count(*)::BIGINT AS n_orders, "
+        "round(sum(o_totalprice), 2) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name, n_name"
+    ),
+    "q_join_theta": (
+        "SELECT s_nationkey AS nationkey, count(*)::BIGINT AS n_pairs, "
+        "round(avg(s_acctbal - c_acctbal), 4) AS avg_gap "
+        "FROM supplier JOIN customer "
+        "ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal "
+        "GROUP BY s_nationkey"
+    ),
+    "q_join_selfasof": (
+        "SELECT p.event_id, p.user_id, "
+        "epoch_us(p.ts)::BIGINT AS purchase_us, "
+        "epoch_us(c.ts)::BIGINT AS click_us "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ),
+    "q_join_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+}

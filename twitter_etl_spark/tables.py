@@ -29,11 +29,32 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _pin_parquet_confs(spark: SparkSession) -> None:
+    """Pin parquet timestamp semantics (runtime SQL confs):
+
+    - ``nanosAsLong``: the ``events`` fixture stores TIMESTAMP(NANOS),
+      which Spark's vectorized reader rejects; read as long and
+      convert below (exact integer division, no double round-trip).
+    - ``inferTimestampNTZ`` off: fixture timestamps are naive-UTC; we
+      want plain TIMESTAMP under the UTC session zone so epoch
+      functions line up with the DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _pin_parquet_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos -> micros via integer division (`div`), then to timestamp
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
