@@ -1,4 +1,233 @@
-"""Stub module — filled in this round."""
+"""Scalar function families (SURVEY.md §2.4 tail).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+All built-in column expressions (JVM-side, codegen'd). Cross-engine
+pinning choices, each documented at the call site:
+
+- temporal outputs leave as epoch ints / DATE / formatted strings
+  (never raw TIMESTAMP) so oracle hashing is representation-stable;
+- ``ceil``/``floor`` are cast to BIGINT on both sides (DuckDB's
+  return DOUBLE, Spark's return LONG);
+- transcendental results (ln/log10/exp/sqrt) round to 6 decimals —
+  libm ulp differences live far below that;
+- Spark ``dayofweek`` is 1-7 Sunday-first; DuckDB's is 0-6 — oracle
+  adds 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("s"),
+        F.dayofweek("ts").alias("dow"),
+        d.alias("day"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_add(d, 7).alias("plus_week"),
+        F.add_months(d, 1).alias("plus_month"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute_str"),
+    )
+
+
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        F.ceil(F.col("l_quantity") * 1.5).cast("long").alias("ceil_q"),
+        F.floor(F.col("l_quantity") / 2).cast("long").alias("floor_half_q"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.log10(F.col("l_extendedprice")), 6).alias("log10_price"),
+        F.round(F.sqrt(F.col("l_quantity")), 6).alias("sqrt_q"),
+        F.round(F.pow(F.col("l_quantity"), 2), 2).alias("q_squared"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("exp_disc"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_delta"),
+    )
+
+
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 6).alias("name6"),
+        F.length("p_name").alias("name_len"),
+        F.upper("p_name").alias("name_upper"),
+        F.col("p_name").like("%gear%").alias("is_gear"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("name_replaced"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+def q_fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000.0, "high")
+        .when(F.col("o_totalprice") >= 100000.0, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending")).alias(
+            "status_or_pending"
+        ),
+        F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("capped_price"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored_price"),
+    )
+
+
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(arr).alias("n_tokens"),
+        F.slice(arr, 1, 3).alias("first3"),
+        F.array_contains(arr, "scan").alias("has_scan"),
+        F.coalesce(F.array_position(arr, "scan"), F.lit(0)).alias("scan_pos"),
+        F.sort_array(F.array_distinct(arr)).alias("vocab"),
+    )
+
+
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        m["k"].alias("k_val"),
+    )
+
+
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("k_missing"),
+    )
+
+
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+        F.col("l_quantity").cast("decimal(9,2)").cast("double").alias("qty_dec"),
+        (F.col("l_quantity") > 25).cast("int").alias("bulk_flag"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    )
+
+
+QUERIES = {
+    "q_fn_date": q_fn_date,
+    "q_fn_math": q_fn_math,
+    "q_fn_string2": q_fn_string2,
+    "q_fn_case": q_fn_case,
+    "q_fn_array": q_fn_array,
+    "q_fn_map": q_fn_map,
+    "q_fn_json": q_fn_json,
+    "q_fn_cast": q_fn_cast,
+}
+
+ORACLE = {
+    "q_fn_date": (
+        "SELECT event_id, "
+        "year(ts)::INT AS y, month(ts)::INT AS m, day(ts)::INT AS d, "
+        "hour(ts)::INT AS h, minute(ts)::INT AS mi, "
+        "CAST(date_part('second', ts) AS INT) AS s, "
+        "(dayofweek(ts) + 1)::INT AS dow, "
+        "CAST(ts AS DATE) AS day, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, "
+        "CAST(ts AS DATE) + 7 AS plus_week, "
+        "CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month, "
+        "strftime(ts, '%Y-%m-%d %H:%M') AS minute_str "
+        "FROM events"
+    ),
+    "q_fn_math": (
+        "SELECT l_orderkey, l_linenumber, "
+        "abs(l_discount - 0.05) AS abs_disc_delta, "
+        "CAST(ceil(l_quantity * 1.5) AS BIGINT) AS ceil_q, "
+        "CAST(floor(l_quantity / 2) AS BIGINT) AS floor_half_q, "
+        "round(ln(l_extendedprice), 6) AS ln_price, "
+        "round(log10(l_extendedprice), 6) AS log10_price, "
+        "round(sqrt(l_quantity), 6) AS sqrt_q, "
+        "round(pow(l_quantity, 2), 2) AS q_squared, "
+        "l_orderkey % 7 AS mod7, "
+        "round(exp(l_discount), 6) AS exp_disc, "
+        "CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_delta "
+        "FROM lineitem"
+    ),
+    "q_fn_string2": (
+        "SELECT p_partkey, "
+        "concat_ws('-', p_brand, p_type) AS brand_type, "
+        "substring(p_name, 1, 6) AS name6, "
+        "length(p_name)::INT AS name_len, "
+        "upper(p_name) AS name_upper, "
+        "(p_name LIKE '%gear%') AS is_gear, "
+        "regexp_extract(p_name, '^(\\w+)', 1) AS first_word, "
+        "len(string_split(p_name, ' '))::INT AS n_words, "
+        "lpad(p_brand, 12, '*') AS brand_padded, "
+        "replace(p_name, 'a', '@') AS name_replaced, "
+        "reverse(p_brand) AS brand_rev "
+        "FROM part"
+    ),
+    "q_fn_case": (
+        "SELECT o_orderkey, "
+        "CASE WHEN o_totalprice >= 300000.0 THEN 'high' "
+        "     WHEN o_totalprice >= 100000.0 THEN 'mid' ELSE 'low' END AS price_band, "
+        "coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_or_pending, "
+        "least(o_totalprice, 250000.0) AS capped_price, "
+        "greatest(o_totalprice, 50000.0) AS floored_price "
+        "FROM orders"
+    ),
+    "q_fn_array": (
+        "SELECT doc_id, "
+        "len(string_split_regex(trim(text), '\\s+'))::INT AS n_tokens, "
+        "string_split_regex(trim(text), '\\s+')[1:3] AS first3, "
+        "list_contains(string_split_regex(trim(text), '\\s+'), 'scan') AS has_scan, "
+        "coalesce(list_position(string_split_regex(trim(text), '\\s+'), 'scan'), 0)::BIGINT AS scan_pos, "
+        "list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))) AS vocab "
+        "FROM documents"
+    ),
+    "q_fn_map": (
+        "SELECT event_id, json_keys(props) AS prop_keys, "
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k_val "
+        "FROM events"
+    ),
+    "q_fn_json": (
+        "SELECT event_id, "
+        "json_extract_string(props, '$.k') AS k_str, "
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k_int, "
+        "json_extract_string(props, '$.missing') AS k_missing "
+        "FROM events"
+    ),
+    "q_fn_cast": (
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(l_orderkey AS VARCHAR) AS key_str, "
+        "CAST(l_linenumber AS DOUBLE) AS line_dbl, "
+        "CAST(CAST(l_quantity AS DECIMAL(9,2)) AS DOUBLE) AS qty_dec, "
+        "CAST(l_quantity > 25 AS INT) AS bulk_flag, "
+        "CAST(l_shipdate AS DATE) AS ship_day "
+        "FROM lineitem"
+    ),
+}
