@@ -20,6 +20,7 @@ from . import (
     aggregates,
     dedup,
     joins,
+    multimodal_q,
     ref_parity,
     scalar_fns,
     similarity,
@@ -40,6 +41,7 @@ _MODULES = (
     text,
     dedup,
     similarity,
+    multimodal_q,
 )
 
 ALL_QUERIES: dict = {}

@@ -1,4 +1,196 @@
-"""Stub module — filled in this round."""
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.6).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Scale design, per operator:
+
+- **Exact / normalized dedup**: one hash-agg shuffle keyed on the
+  (normalized) text. At 100 TB you key on a digest (md5) instead of
+  the raw text to keep shuffle rows small — the normalized variant
+  does exactly that. Viral-duplicate skew is handled by AQE skew
+  splitting (the reference's per-chunk dedup, ``main.R:105``,
+  becomes truly global here).
+- **n-gram Jaccard**: exact near-dup via shingle inverted index —
+  cost is O(pairs sharing a shingle), fine for blocked/medium
+  corpora; the MinHash-LSH twin below is the sub-quadratic scale
+  path (band-bucket join, never all-pairs).
+- **SimHash**: 64-bit fingerprint from per-token hash bit votes —
+  pure expressions over an explode, one agg; near-dups then collide
+  in fingerprint (or low Hamming distance) buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cleaning import sql_clean_chain, clean_chain
+from ..tables import table
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _tokens():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def _shingles(tok_col: str = "toks", n: int = 3):
+    """Distinct word n-gram shingles via higher-order functions.
+    Guarded for short docs: Spark's ``sequence(1, 0)`` would count
+    *down*, so emit an empty array when there are < n tokens."""
+    make = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok_col, i + k) for k in range(n)]
+            ),
+        )
+    )
+    return F.when(F.size(tok_col) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def q_dedup_exact_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact dedup: canonical (min doc_id) survivor per text +
+    copy count. Cross-partition, unlike the reference's per-chunk
+    scope (``main.R:105``)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup on the cleaning-chain-normalized text, keyed by digest
+    (shuffle rows carry a 32-byte key, not the document)."""
+    d = table(spark, sf_dir, "documents")
+    norm = clean_chain(F.col("text"))
+    return (
+        d.select("doc_id", F.md5(norm).alias("norm_digest"))
+        .groupBy("norm_digest")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (>= 0.3), via a
+    shingle inverted index: explode distinct shingles, self-join on
+    the shingle, count intersections, join back sizes. No all-pairs
+    product — cost follows shingle co-occurrence."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    sh = d.select("doc_id", _shingles().alias("s")).select(
+        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("shingle")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only: MLlib hash family
+    is engine-specific). This is the 100 TB path: shingle sets ->
+    binary term vectors -> banded MinHash buckets ->
+    approxSimilarityJoin joins only within buckets, never all-pairs.
+    Exactness is pinned by the q_dedup_ngram_jaccard twin."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    sh = d.select("doc_id", _shingles().alias("shingles"))
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="features", binary=True, minDF=1.0
+    )
+    model = cv.fit(sh)
+    feats = model.transform(sh).filter(
+        # MinHashLSH requires at least one non-zero entry
+        F.size("shingles") > 0
+    )
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    mh_model = mh.fit(feats)
+    pairs = mh_model.approxSimilarityJoin(feats, feats, 0.7, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard_approx"),
+        )
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only: xxhash64 is
+    Spark-specific). Per-token hashes vote per bit; the fingerprint
+    packs the vote signs. One explode + one agg — linear cost."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    tok = d.select("doc_id", F.explode("toks").alias("token")).withColumn(
+        "h", F.xxhash64("token")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return per_doc.select("doc_id", fingerprint.alias("simhash"))
+
+
+QUERIES = {
+    "q_dedup_exact_global": q_dedup_exact_global,
+    "q_dedup_normalized": q_dedup_normalized,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_minhash": q_dedup_minhash,  # rows-only
+    "q_dedup_simhash": q_dedup_simhash,  # rows-only
+}
+
+ORACLE = {
+    "q_dedup_exact_global": (
+        "SELECT text, min(doc_id) AS keeper_doc_id, count(*)::BIGINT AS n_copies "
+        "FROM documents GROUP BY text"
+    ),
+    "q_dedup_normalized": (
+        f"SELECT md5({sql_clean_chain('text')}) AS norm_digest, "
+        "min(doc_id) AS keeper_doc_id, count(*)::BIGINT AS n_copies "
+        "FROM documents GROUP BY 1"
+    ),
+    "q_dedup_ngram_jaccard": (
+        "WITH t AS (SELECT doc_id, " + _SQL_TOKENS + " AS toks FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "  range(1, greatest(len(toks) - 2, 0) + 1), "
+        "  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM t), "
+        "ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh), "
+        "inter AS ("
+        "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, "
+        "         b.n_sh AS n_b, count(*) AS n_inter "
+        "  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "  GROUP BY 1, 2, 3, 4) "
+        "SELECT doc_a, doc_b, "
+        "round(n_inter * 1.0 / (n_a + n_b - n_inter), 6) AS jaccard "
+        "FROM inter WHERE round(n_inter * 1.0 / (n_a + n_b - n_inter), 6) >= 0.3"
+    ),
+}

@@ -1,4 +1,166 @@
-"""Stub module — filled in this round."""
+"""Similarity search over embeddings (SURVEY.md §2.6).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+The ``embeddings`` fixture is ``array<float>`` (dim 64). All exact
+math casts to double element-wise and folds sequentially (Spark
+``aggregate`` HOF ≡ DuckDB ``list_dot_product`` — same left-to-right
+double accumulation), then rounds to 6 decimals with a unique
+tie-break so rankings are deterministic cross-engine.
+
+Scale paths:
+
+- exact top-k: broadcast the (small) query set, single scan of the
+  candidate corpus, per-query rank filter — no all-pairs shuffle;
+- near-dup pairs: blocked on ``label`` (the blocking key stands in
+  for an IVF/coarse-quantizer cell at 100 TB);
+- ANN: ``BucketedRandomProjectionLSH`` — candidate generation via
+  bucket join, refine within buckets only (rows-only query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> Column:
+    """Sequential fold of the element products (matches DuckDB's
+    list_dot_product accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector (query set = vec_id < 5,
+    candidates = the rest). Broadcast queries; candidates scanned
+    once; per-query rank filter."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "cand_id", "cos_sim", "rk")
+    )
+
+
+def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= 0.35), blocked by
+    label: the join is within-block only — the blocking key is the
+    coarse cell an IVF index would give you at scale."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            "label",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-projection LSH
+    (rows-only: hash family is engine-specific). Candidates come
+    from bucket joins; the exact twin q_sim_cosine_topk pins
+    correctness."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(_as_double("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=4,
+        seed=42,
+    )
+    model = lsh.fit(e)
+    q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    c = e.filter(F.col("vec_id") >= 5)
+    pairs = model.approxSimilarityJoin(c, q, 2.0, distCol="l2_dist")
+    return pairs.select(
+        F.col("datasetB.query_id").alias("query_id"),
+        F.col("datasetA.vec_id").alias("cand_id"),
+        F.round(F.col("l2_dist"), 6).alias("l2_dist"),
+    )
+
+
+QUERIES = {
+    "q_sim_cosine_topk": q_sim_cosine_topk,
+    "q_sim_embedding_neardup": q_sim_embedding_neardup,
+    "q_sim_ann_lsh": q_sim_ann_lsh,  # rows-only
+}
+
+_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+ORACLE = {
+    "q_sim_cosine_topk": (
+        "WITH e AS (SELECT vec_id, " + _V + " AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), "
+        "c AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE vec_id >= 5), "
+        "scored AS ("
+        "  SELECT query_id, cand_id, "
+        "  round(list_dot_product(qv, cv) / "
+        "        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) "
+        "    AS cos_sim "
+        "  FROM c CROSS JOIN q) "
+        "SELECT query_id, cand_id, cos_sim, rk FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rk "
+        "  FROM scored) WHERE rk <= 10"
+    ),
+    "q_sim_embedding_neardup": (
+        "WITH e AS (SELECT vec_id, label, " + _V + " AS v FROM embeddings) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label, "
+        "round(list_dot_product(a.v, b.v) / "
+        "      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) "
+        "  AS cos_sim "
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+        "WHERE round(list_dot_product(a.v, b.v) / "
+        "      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) "
+        "  >= 0.35"
+    ),
+}

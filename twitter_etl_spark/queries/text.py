@@ -1,4 +1,285 @@
-"""Stub module — filled in this round."""
+"""Text analysis for training-data pipelines (SURVEY.md §2.6).
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+Everything here is built-in expressions (explode/regexp/aggregate)
+— the hot path stays JVM-side, which is what makes these usable
+over 100 TB of documents: tokenization and scoring are per-row
+projections (no shuffle); word counts and TF-IDF shuffle once on
+the natural key (word / doc).
+
+The fixture text has no hashtags, so the hashtag query synthesizes
+a deterministic tag in-query (same expression on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..stopwords import STOPWORD_PATTERN
+from ..tables import table
+
+def _tokens():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+#: tiny sentiment lexicon (domain words from the fixture vocabulary)
+LEXICON: tuple[tuple[str, int], ...] = (
+    ("fast", 2),
+    ("slow", -2),
+    ("big", 1),
+    ("small", -1),
+    ("error", -3),
+    ("merge", 1),
+    ("spark", 2),
+)
+
+_ES_MARKERS = r"\b(el|la|de|que|es|en|y|los|las|una)\b"
+_EN_MARKERS = r"\b(the|a|of|and|is|in|to|it|for|on)\b"
+
+
+def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization to an array column."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("tokens")
+    )
+
+
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic word count: explode tokens, one hash-agg shuffle on
+    the word key (map-side partial counts first)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram extraction + counts via higher-order functions
+    (transform over an index sequence — no UDF)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_text_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity extraction: regexp_extract_all of #hashtags (tags
+    synthesized deterministically — fixture text has none)."""
+    d = table(spark, sf_dir, "documents")
+    tagged = F.concat(
+        F.col("text"),
+        F.lit(" #tag"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(" and #spark"),
+    )
+    return (
+        d.select(F.explode(F.regexp_extract_all(tagged, F.lit(r"#\w+"), 0)).alias("hashtag"))
+        .groupBy("hashtag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit TF-IDF (SQL-expressible form so it stays
+    oracle-checkable; MLlib HashingTF+IDF is the feature-vector
+    variant). tf = in-doc count, idf = ln(N / df), rounded."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_tokens()).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.distinct().groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n"))
+    return (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+def q_text_lexicon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment: explode tokens, broadcast-join the (tiny)
+    word->score lexicon, sum per document."""
+    d = table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(list(LEXICON), ["word", "score"])
+    words = d.select("doc_id", F.explode(_tokens()).alias("word"))
+    return (
+        words.join(F.broadcast(lex), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("score").alias("sentiment"),
+            F.count(F.lit(1)).alias("n_scored_tokens"),
+        )
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic: count Spanish vs English
+    function-word hits, predict the larger."""
+    d = table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    es_hits = F.size(F.regexp_extract_all(lower, F.lit(_ES_MARKERS), 0))
+    en_hits = F.size(F.regexp_extract_all(lower, F.lit(_EN_MARKERS), 0))
+    return d.select(
+        "doc_id",
+        "lang",
+        es_hits.alias("es_hits"),
+        en_hits.alias("en_hits"),
+        F.when(es_hits > en_hits, "es")
+        .when(en_hits > es_hits, "en")
+        .otherwise("und")
+        .alias("lang_pred"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / punctuation / stopword
+    ratios + a quality band — pure per-row projections."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    chars_no_ws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(STOPWORD_PATTERN), 0)
+    )
+    stop_ratio = F.round(stop_hits / n_tokens, 6)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        n_tokens.alias("n_tokens"),
+        F.round(chars_no_ws / n_tokens, 6).alias("avg_token_len"),
+        F.round(punct / F.length("text"), 6).alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.when((n_tokens >= 20) & (stop_ratio < 0.5), "good")
+        .otherwise("low")
+        .alias("quality_band"),
+    )
+
+
+def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish piece count
+    (word/punct split), and a chars/4 subword estimate."""
+    d = table(spark, sf_dir, "documents")
+    chars_no_ws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0)).alias(
+            "piece_tokens"
+        ),
+        F.floor((chars_no_ws + 3) / 4).cast("long").alias("est_subword_tokens"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over squish-normalized lowercase
+    text (identical digests on both engines)."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+QUERIES = {
+    "q_text_tokenize": q_text_tokenize,
+    "q_text_wordcount": q_text_wordcount,
+    "q_text_ngrams": q_text_ngrams,
+    "q_text_hashtags": q_text_hashtags,
+    "q_text_tfidf": q_text_tfidf,
+    "q_text_lexicon_join": q_text_lexicon_join,
+    "q_text_langid": q_text_langid,
+    "q_text_quality": q_text_quality,
+    "q_text_tokencount": q_text_tokencount,
+    "q_text_fingerprint": q_text_fingerprint,
+}
+
+_LEX_VALUES = ", ".join(f"('{w}', {s})" for w, s in LEXICON)
+
+ORACLE = {
+    "q_text_tokenize": f"SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents",
+    "q_text_wordcount": (
+        f"SELECT word, count(*)::BIGINT AS n FROM ("
+        f"SELECT unnest({_SQL_TOKENS}) AS word FROM documents) GROUP BY word"
+    ),
+    "q_text_ngrams": (
+        "SELECT bigram, count(*)::BIGINT AS n FROM ("
+        f"  SELECT unnest(list_transform(range(1, len({_SQL_TOKENS})), "
+        f"    i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i+1])) AS bigram "
+        "  FROM documents) GROUP BY bigram"
+    ),
+    "q_text_hashtags": (
+        "SELECT hashtag, count(*)::BIGINT AS n FROM ("
+        "  SELECT unnest(regexp_extract_all("
+        "    text || ' #tag' || CAST(doc_id % 5 AS VARCHAR) || ' and #spark', "
+        "    '#\\w+')) AS hashtag FROM documents) GROUP BY hashtag"
+    ),
+    "q_text_tfidf": (
+        "WITH words AS ("
+        f"  SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents), "
+        "tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf "
+        "       FROM words GROUP BY doc_id, word), "
+        "df AS (SELECT word, count(*)::BIGINT AS df FROM "
+        "       (SELECT DISTINCT doc_id, word FROM words) GROUP BY word), "
+        "n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents) "
+        "SELECT tf.doc_id, tf.word, tf.tf, "
+        "round(tf.tf * ln(n.n / df.df), 6) AS tfidf "
+        "FROM tf JOIN df USING (word) CROSS JOIN n"
+    ),
+    "q_text_lexicon_join": (
+        "WITH lex(word, score) AS (VALUES " + _LEX_VALUES + "), "
+        "words AS ("
+        f"  SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents) "
+        "SELECT doc_id, CAST(sum(score) AS BIGINT) AS sentiment, "
+        "count(*)::BIGINT AS n_scored_tokens "
+        "FROM words JOIN lex USING (word) GROUP BY doc_id"
+    ),
+    "q_text_langid": (
+        "SELECT doc_id, lang, "
+        f"len(regexp_extract_all(lower(text), '{_ES_MARKERS}'))::INT AS es_hits, "
+        f"len(regexp_extract_all(lower(text), '{_EN_MARKERS}'))::INT AS en_hits, "
+        "CASE WHEN len(regexp_extract_all(lower(text), '" + _ES_MARKERS + "')) > "
+        "          len(regexp_extract_all(lower(text), '" + _EN_MARKERS + "')) THEN 'es' "
+        "     WHEN len(regexp_extract_all(lower(text), '" + _EN_MARKERS + "')) > "
+        "          len(regexp_extract_all(lower(text), '" + _ES_MARKERS + "')) THEN 'en' "
+        "     ELSE 'und' END AS lang_pred "
+        "FROM documents"
+    ),
+    "q_text_quality": (
+        "SELECT doc_id, length(text)::INT AS n_chars_raw, "
+        f"len({_SQL_TOKENS})::INT AS n_tokens, "
+        f"round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len({_SQL_TOKENS}), 6) AS avg_token_len, "
+        "round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 "
+        "      / length(text), 6) AS punct_ratio, "
+        f"round(len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}')) * 1.0 "
+        f"      / len({_SQL_TOKENS}), 6) AS stopword_ratio, "
+        f"CASE WHEN len({_SQL_TOKENS}) >= 20 AND "
+        f"          round(len(regexp_extract_all(lower(text), '{STOPWORD_PATTERN}')) * 1.0 "
+        f"                / len({_SQL_TOKENS}), 6) < 0.5 "
+        "      THEN 'good' ELSE 'low' END AS quality_band "
+        "FROM documents"
+    ),
+    "q_text_tokencount": (
+        f"SELECT doc_id, len({_SQL_TOKENS})::INT AS ws_tokens, "
+        "len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::INT AS piece_tokens, "
+        "CAST(floor((length(regexp_replace(text, '\\s', '', 'g')) + 3) / 4) AS BIGINT) "
+        "AS est_subword_tokens "
+        "FROM documents"
+    ),
+    "q_text_fingerprint": (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+        "AS fingerprint FROM documents"
+    ),
+}
