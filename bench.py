@@ -1,0 +1,75 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is fully materialized via a noop sink (measures compute,
+not driver collect). A small warmup primes the JVM/codegen so the
+first timed query isn't charged Spark startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from twitter_etl_spark.queries import ALL_QUERIES
+from twitter_etl_spark.session import get_spark
+
+HEADLINE = [
+    "q_flagship_transform",
+    "q_clean_pipeline",
+    "q_agg_groupby",
+    "q_join_multiway",
+    "q_join_selfasof",
+    "q_win_running",
+    "q_topk_pergroup",
+    "q_limit_topk",
+    "q_text_wordcount",
+    "q_text_tfidf",
+    "q_dedup_normalized",
+    "q_dedup_ngram_jaccard",
+    "q_sim_cosine_topk",
+    "q_stream_tumbling_batch",
+    "q_sessionize_batch",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("bench")
+
+    # warmup: prime JVM, codegen, parquet footers
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = ALL_QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

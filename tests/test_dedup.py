@@ -1,0 +1,61 @@
+"""Dedup determinism (SURVEY.md §4.3.1) and fingerprint sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_etl_spark.pipeline import transform_documents
+
+
+def test_keep_first_dedup_deterministic(spark):
+    rows = [
+        (10, "Hola mundo", "es", "s1", 10),
+        (3, "hola   MUNDO", "es", "s2", 12),  # same after cleaning; lowest id
+        (7, "hola mundo", "es", "s3", 10),
+        (5, "otra cosa distinta", "es", "s4", 18),
+        (1, "english text", "en", "s5", 12),  # filtered out
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r["tweet_id"]: r for r in transform_documents(df).collect()}
+    # the three es-duplicates collapse to the smallest id (3)
+    assert set(out) == {3, 5}
+    assert out[3]["source"] == "s2"
+
+
+def test_simhash_similar_docs_close(spark):
+    from twitter_etl_spark.queries.dedup import q_dedup_simhash
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base + "extra token"
+    far = "completely different vocabulary entirely unrelated words " * 5
+    df = spark.createDataFrame(
+        [(1, base, "en", "s", 1), (2, near, "en", "s", 1), (3, far, "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    fp = {r["doc_id"]: r["simhash"] for r in q_dedup_simhash(spark, d).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(fp[1], fp[2]) < hamming(fp[1], fp[3])
+
+
+def test_exact_dedup_counts(spark):
+    from twitter_etl_spark.queries.dedup import q_dedup_exact_global
+    import tempfile, os
+
+    df = spark.createDataFrame(
+        [(1, "aa", "en", "s", 2), (2, "aa", "en", "s", 2), (3, "bb", "en", "s", 2)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["text"]: r for r in q_dedup_exact_global(spark, d).collect()}
+    assert out["aa"]["keeper_doc_id"] == 1 and out["aa"]["n_copies"] == 2
+    assert out["bb"]["n_copies"] == 1

@@ -1,0 +1,49 @@
+"""Similarity math vs numpy; multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from twitter_etl_spark.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    _decode_one,
+)
+from twitter_etl_spark.queries.similarity import _as_double, cosine
+
+
+def test_cosine_matches_numpy(spark):
+    a = [0.1, -0.2, 0.3, 0.4]
+    b = [0.4, 0.1, -0.2, 0.9]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    got = df.select(
+        cosine(_as_double(F.col("a")), _as_double(F.col("b"))).alias("c")
+    ).first()["c"]
+    want = float(
+        np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    )
+    assert math.isclose(got, want, rel_tol=1e-12)
+
+
+def test_decode_one_deterministic_and_guarded():
+    assert _decode_one(b"") == [0.0, 0.0, 0.0, 0.0]
+    f = _decode_one(b"abcd")
+    assert f == [4.0, float(ord("a")), float(ord("d")), float(sum(b"abcd") % 997)]
+    assert _decode_one(b"abcd") == f
+
+
+def test_multimodal_pipeline_schema(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = decode_features(attach_binary_payload(df))
+    row = out.first()
+    assert row["modality"] == "text-as-bytes"
+    assert row["n_bytes"] == 11
+    assert len(row["features"]) == 4
+    assert row["features"][0] == 11.0

@@ -1,0 +1,158 @@
+"""Streaming layer: micro-batch loop end-to-end + event-time windows."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from twitter_etl_spark.streaming import (
+    run_microbatch_pipeline,
+    sessionized_stream,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def _write_landing_file(landing: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _doc(i, text, lang="es"):
+    return {
+        "doc_id": i,
+        "text": text,
+        "lang": lang,
+        "source": f"src{i % 3}",
+        "n_chars": len(text),
+    }
+
+
+def test_microbatch_pipeline_end_to_end(spark):
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+
+    # chunk 1: two es docs (one duplicate pair after cleaning) + one en
+    _write_landing_file(
+        landing,
+        "stream_20240101_000000.json",
+        [
+            _doc(1, "Hola   Mundo"),
+            _doc(2, "hola mundo"),
+            _doc(3, "english stuff", lang="en"),
+        ],
+    )
+    run_microbatch_pipeline(spark, landing, sink, ckpt, bounded=True)
+    out1 = spark.read.parquet(sink)
+    assert out1.count() == 1  # es-dup collapsed within the batch, en filtered
+    assert out1.first()["content"] == "hola mundo"
+
+    # chunk 2: checkpoint means ONLY the new file is processed; the
+    # duplicate of chunk 1 is re-appended (per-batch dedup scope,
+    # reference main.R:105 semantics)
+    _write_landing_file(
+        landing,
+        "stream_20240101_000100.json",
+        [_doc(10, "hola mundo"), _doc(11, "otra frase nueva")],
+    )
+    run_microbatch_pipeline(spark, landing, sink, ckpt, bounded=True)
+    out2 = spark.read.parquet(sink)
+    assert out2.count() == 3
+    assert out2.filter(F.col("content") == "hola mundo").count() == 2
+
+
+def _events_stream(spark, tmpdir):
+    """File-source events stream from NDJSON (ts as ISO strings)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.readStream.schema(schema).json(tmpdir)
+
+
+def _run_to_memory(spark, sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@pytest.fixture()
+def events_dir(spark):
+    d = tempfile.mkdtemp()
+    rows = [
+        # two users; user 1 has two sessions (gap > 30 min)
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:04:00", "user_id": 1, "event_type": "view", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T00:11:00", "user_id": 1, "event_type": "click", "value": 3.0},
+        {"event_id": 4, "ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "click", "value": 4.0},
+        {"event_id": 5, "ts": "2024-01-01T00:02:00", "user_id": 2, "event_type": "view", "value": 5.0},
+        {"event_id": 5, "ts": "2024-01-01T00:02:00", "user_id": 2, "event_type": "view", "value": 5.0},  # dup
+    ]
+    with open(os.path.join(d, "events.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return d
+
+
+def test_tumbling_window_stream(spark, events_dir):
+    out = _run_to_memory(
+        spark, tumbling_counts(_events_stream(spark, events_dir)), "t_tumble", "complete"
+    ).collect()
+    by_key = {(r["window_start"].minute, r["event_type"]): r["n_events"] for r in out}
+    assert by_key[(0, "click")] == 1  # 00:00 window
+    assert by_key[(10, "click")] == 1  # 00:10 window
+    assert by_key[(0, "view")] == 3  # includes the duplicate
+
+
+def test_sliding_window_stream(spark, events_dir):
+    out = _run_to_memory(
+        spark, sliding_counts(_events_stream(spark, events_dir)), "t_slide", "complete"
+    ).collect()
+    # every event is in exactly two sliding windows
+    assert sum(r["n_events"] for r in out) == 12
+
+
+def test_session_window_stream(spark, events_dir):
+    out = _run_to_memory(
+        spark,
+        sessionized_stream(_events_stream(spark, events_dir)),
+        "t_sess",
+        "complete",
+    ).collect()
+    sessions = {(r["user_id"], r["n_events"]) for r in out}
+    # user 1: one 3-event session + one 1-event session; user 2: one 2-event
+    assert sessions == {(1, 3), (1, 1), (2, 2)}
+
+
+def test_streaming_dedup(spark, events_dir):
+    out = _run_to_memory(
+        spark,
+        streaming_dedup(_events_stream(spark, events_dir)),
+        "t_dedup",
+        "append",
+    ).collect()
+    ids = [r["event_id"] for r in out]
+    assert sorted(ids) == [1, 2, 3, 4, 5]  # duplicate event 5 dropped

@@ -1,0 +1,28 @@
+"""Structured Streaming layer.
+
+The reference IS a micro-batch streaming system in miniature: a
+bounded chunk loop of ingest -> transform -> append (reference
+``main.R:202-212``). This package reproduces it natively:
+
+- :mod:`.microbatch` — the ETL loop as a file-source stream +
+  ``foreachBatch`` transform/append, checkpointed (an upgrade from
+  the reference's at-least-once to effectively-once).
+- :mod:`.windows` — event-time operators: tumbling / sliding /
+  session windows with watermarks, and stateful streaming dedup.
+"""
+
+from .microbatch import run_microbatch_pipeline
+from .windows import (
+    sessionized_stream,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+__all__ = [
+    "run_microbatch_pipeline",
+    "tumbling_counts",
+    "sliding_counts",
+    "sessionized_stream",
+    "streaming_dedup",
+]

@@ -1,0 +1,88 @@
+"""The reference's micro-batch ETL loop, Spark-native.
+
+Reference shape (``main.R:202-212``): for each chunk — ingest a
+bounded slice of the stream to a landing file (``get_tweets``,
+``main.R:49-70``), transform it (``transform_tweets``,
+``main.R:74-109``), append to the sink (``load_tweets``,
+``main.R:113-121``).
+
+Spark-native shape: the landing directory IS the stream.
+``readStream.json`` (explicit schema) + ``foreachBatch`` running
+the same transform used in batch, appending to a parquet sink.
+Differences, both deliberate upgrades:
+
+- checkpointing makes the loop effectively-once (the reference
+  loses the in-flight chunk on crash; SURVEY.md §1.3);
+- ``availableNow`` reproduces the bounded run (N chunks then stop)
+  while ``processingTime`` mirrors the 60 s cadence
+  (``main.R:165-170``).
+
+Dedup scope matches the reference exactly: per-batch keep-first
+(``main.R:105``) — global dedup is the explicit q_dedup_* operator
+family, not a sink property.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..cleaning import clean_chain
+from ..sources import DOCUMENTS_SCHEMA, read_ndjson_stream
+
+
+def transform_batch(df: DataFrame) -> DataFrame:
+    """Per-batch transform — identical semantics to the batch
+    flagship (filter -> project/rename -> clean -> keep-first dedup
+    within the batch, reference ``main.R:74-109``)."""
+    cleaned = (
+        df.filter(F.col("lang") == "es")
+        .select(
+            F.col("doc_id").alias("tweet_id"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+            F.col("source"),
+        )
+        .withColumn("content", clean_chain(F.col("content")))
+    )
+    w = Window.partitionBy("content").orderBy("tweet_id")
+    return (
+        cleaned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def run_microbatch_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    *,
+    bounded: bool = True,
+    cadence_seconds: int = 60,
+    await_seconds: int | None = None,
+):
+    """Run the ETL loop. ``bounded=True`` = the reference's
+    N-chunks-then-exit run (``availableNow``); otherwise a live
+    ``processingTime`` cadence. Returns the StreamingQuery (already
+    awaited when bounded)."""
+    stream = read_ndjson_stream(spark, landing_dir, DOCUMENTS_SCHEMA)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform_batch(batch_df)
+        if out.isEmpty():  # reference empty-chunk guard (main.R:75-78, 114)
+            return
+        out.write.mode("append").parquet(sink_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if bounded:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(await_seconds)
+    else:
+        q = writer.trigger(processingTime=f"{cadence_seconds} seconds").start()
+    return q

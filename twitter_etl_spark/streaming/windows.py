@@ -1,0 +1,88 @@
+"""Event-time streaming operators (SURVEY.md §2.5 [EXT]).
+
+Each takes a *streaming* events-shaped DataFrame (``ts`` timestamp,
+``user_id``, ``event_type``, ``value``) and returns a streaming
+aggregation. Watermarks bound state: late rows beyond the horizon
+are dropped, so state size is O(active windows), which is what
+makes these runnable indefinitely on a cluster. Batch twins with
+DuckDB oracles live in ``queries/streaming_batch.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    stream: DataFrame, width: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time windows per event type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding event-time windows (overlap factor width/slide)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows: gap-based, per user. State closes once the
+    watermark passes session end + gap."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark
+    horizon — the global-scope upgrade of the reference's per-chunk
+    dedup (``main.R:105``); state is bounded by the watermark."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
