@@ -64,3 +64,38 @@ def test_nested_tweet_schema_roundtrip(spark):
     assert row["lang"] == "es"
     assert flat[0] == "alice" and flat[1] == "bob"
     assert flat[2][0]["text"] == "chile"
+
+
+def test_partitioned_write_and_pruning(spark):
+    import tempfile
+    from pyspark.sql import functions as F
+    from twitter_etl_spark.sinks import write_partitioned
+    from twitter_etl_spark.tables import table
+
+    d = os.path.join(tempfile.mkdtemp(), "events_part")
+    ev = table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "ingest_date", F.to_date("ts")
+    )
+    write_partitioned(ev, d)
+    assert any(p.startswith("ingest_date=") for p in os.listdir(d))
+    one_day = spark.read.parquet(d).filter(F.col("ingest_date") == "2024-01-02")
+    # partition pruning: the physical plan carries the partition filter
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and one_day.count() > 0
+
+
+def test_compaction_preserves_rows(spark):
+    import glob
+    import tempfile
+    from twitter_etl_spark.sinks import append_table, compact_table
+
+    d = os.path.join(tempfile.mkdtemp(), "t")
+    df = spark.range(100).toDF("id").repartition(8)
+    append_table(df, d)
+    append_table(df, d)
+    files_before = len(glob.glob(os.path.join(d, "*.parquet")))
+    n = compact_table(spark, d, target_files=1)
+    files_after = len(glob.glob(os.path.join(d, "*.parquet")))
+    assert n == 200
+    assert files_after < files_before and files_after == 1
+    assert spark.read.parquet(d).count() == 200

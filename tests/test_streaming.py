@@ -156,3 +156,48 @@ def test_streaming_dedup(spark, events_dir):
     ).collect()
     ids = [r["event_id"] for r in out]
     assert sorted(ids) == [1, 2, 3, 4, 5]  # duplicate event 5 dropped
+
+
+def test_watermark_drops_late_data(spark):
+    """Two checkpointed bounded runs: an event older than the
+    watermark carried over from run 1 is dropped; on-time events
+    keep flowing (late-data policy, SURVEY.md §2.5)."""
+    base = tempfile.mkdtemp()
+    d, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    os.makedirs(d)
+
+    def ev(i, ts, v):
+        return {"event_id": i, "ts": ts, "user_id": 1, "event_type": "click", "value": v}
+
+    sink = os.path.join(base, "sink")
+
+    def run(_name):
+        sdf = tumbling_counts(_events_stream(spark, d), watermark="1 hour")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).collect()
+
+    with open(os.path.join(d, "f1.json"), "w") as f:
+        f.write(json.dumps(ev(1, "2024-01-01T00:00:00", 1.0)) + "\n")
+        f.write(json.dumps(ev(2, "2024-01-01T03:00:00", 2.0)) + "\n")
+    out1 = run("wm_run1")
+    # watermark advanced to 02:00 -> the 00:00-00:10 window finalized
+    assert [(r["window_start"].hour, r["n_events"]) for r in out1] == [(0, 1)]
+
+    with open(os.path.join(d, "f2.json"), "w") as f:
+        f.write(json.dumps(ev(3, "2024-01-01T00:05:00", 9.0)) + "\n")  # LATE -> dropped
+        f.write(json.dumps(ev(4, "2024-01-01T05:00:00", 3.0)) + "\n")
+    out2 = run("wm_run2")
+    # only the 03:00 window closes; the late 00:05 event creates no
+    # resurrected 00:00-hour window and bumps no count
+    assert sorted((r["window_start"].hour, r["n_events"]) for r in out2) == [
+        (0, 1),
+        (3, 1),
+    ]

@@ -14,20 +14,38 @@ parity filter is the ``lang == 'es'`` predicate):
 - The whole pre-dedup pipeline is a single codegen'd
   scan->filter->project stage; Catalyst pushes ``lang = 'es'`` into
   the parquet scan and prunes unread columns.
-- Keep-first dedup is deterministic (SURVEY.md §4.3.1): an explicit
-  ``row_number() OVER (PARTITION BY content ORDER BY tweet_id) = 1``
-  rather than ``dropDuplicates`` (arbitrary survivor). At 100 TB the
-  partition key is ``content`` (skew hazard: viral texts); AQE skew
-  handling plus the fact that the window only needs a per-key top-1
-  (no full sort of the table) keep this a single bounded shuffle.
+- Keep-first dedup is deterministic (SURVEY.md §4.3.1) and
+  implemented as a **hash aggregate** — ``min_by(struct(row),
+  tweet_id)`` grouped by ``content`` — not a window sort. The
+  aggregate gets map-side partial combine (each partition reduces a
+  viral duplicate to ONE candidate before the shuffle), so the
+  skew hazard of hot ``content`` keys largely disappears and the
+  shuffle carries one row per (partition, key). A
+  ``row_number()``-window variant of the same contract lives in
+  ``queries/ref_parity.q_dedup_keyed`` — same semantics, but the
+  aggregate form is the 100 TB shape.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cleaning import clean_chain
+
+
+def keep_first(df: DataFrame, key: str, order_col: str, payload_cols: list[str]) -> DataFrame:
+    """Deterministic keep-first dedup as a two-phase hash aggregate:
+    survivor = the row with the minimum ``order_col`` per ``key``.
+    Partial aggregation collapses duplicates map-side before the
+    shuffle — the skew-robust form of ``row_number() = 1``."""
+    surv = F.min_by(F.struct(order_col, *payload_cols), F.col(order_col)).alias("__s")
+    agg = df.groupBy(key).agg(surv)
+    return agg.select(
+        F.col(f"__s.{order_col}").alias(order_col),
+        *[F.col(f"__s.{c}").alias(c) for c in payload_cols],
+        F.col(key),
+    )
 
 
 def transform_documents(df: DataFrame) -> DataFrame:
@@ -42,9 +60,6 @@ def transform_documents(df: DataFrame) -> DataFrame:
         )
         .withColumn("content", clean_chain(F.col("content")))
     )
-    w = Window.partitionBy("content").orderBy(F.col("tweet_id"))
-    return (
-        cleaned.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return keep_first(
+        cleaned, key="content", order_col="tweet_id", payload_cols=["lang", "source"]
+    ).select("tweet_id", "lang", "content", "source")

@@ -65,6 +65,43 @@ def create_table_if_absent(spark: SparkSession, path: str, schema: T.StructType 
     return path
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "ingest_date",
+    mode: str = "append",
+) -> None:
+    """Date-partitioned sink layout (SURVEY.md §4.3.6): the landing /
+    sink tables are partitioned by ingest date so downstream scans
+    get partition pruning and retention is a directory drop. The
+    caller supplies the partition column (e.g.
+    ``F.to_date("ts").alias("ingest_date")``)."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """Small-file compaction for an append-heavy parquet table: the
+    micro-batch loop produces one file set per batch; periodic
+    compaction rewrites the table at ``target_files`` per directory.
+    Returns the row count (sanity: compaction must not change it).
+
+    Local-fs implementation (write fresh, atomic-ish swap). On a real
+    deployment this is table-format territory (OPTIMIZE/rewrite); the
+    operator contract — same rows, fewer files — is what's tested.
+    """
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    out = os.path.join(tmp, "t")
+    df.coalesce(target_files).write.mode("overwrite").parquet(out)
+    shutil.rmtree(path)
+    shutil.move(out, path)
+    return n
+
+
 def append_jdbc(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:
     """Optional JDBC write-through (reference: DBI/RSQLite,
     ``main.R:117``). Parquet is the native sink; this exists for
