@@ -201,3 +201,38 @@ def test_watermark_drops_late_data(spark):
         (0, 1),
         (3, 1),
     ]
+
+
+def test_processing_time_trigger_live_loop(spark):
+    """Unbounded cadence path (reference's 60 s chunk loop,
+    main.R:165-170): start live, let the first micro-batch land,
+    stop cleanly."""
+    import time
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    sink = os.path.join(base, "sink")
+    _write_landing_file(
+        landing, "stream_20240101_000000.json", [_doc(1, "hola mundo vivo")]
+    )
+    q = run_microbatch_pipeline(
+        spark,
+        landing,
+        sink,
+        os.path.join(base, "ckpt"),
+        bounded=False,
+        cadence_seconds=1,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if os.path.exists(sink) and any(
+                f.endswith(".parquet") for f in os.listdir(sink)
+            ):
+                break
+            time.sleep(0.5)
+        assert spark.read.parquet(sink).count() == 1
+        assert q.isActive
+    finally:
+        q.stop()
+    assert not q.isActive

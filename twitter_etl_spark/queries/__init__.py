@@ -19,6 +19,7 @@ from __future__ import annotations
 from . import (
     aggregates,
     dedup,
+    extras,
     joins,
     multimodal_q,
     ref_parity,
@@ -42,6 +43,7 @@ _MODULES = (
     dedup,
     similarity,
     multimodal_q,
+    extras,
 )
 
 ALL_QUERIES: dict = {}

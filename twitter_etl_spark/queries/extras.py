@@ -1,0 +1,127 @@
+"""Breadth extensions beyond the core SURVEY §2 rows: date-range
+join, pivot, UDTF-surface posexplode, correlated subquery
+(decorrelation), and salted skew-safe aggregation — each with a
+DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..skew import salted_sum
+from ..tables import register_views, table
+
+
+def q_join_rangedate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + date-range join: lineitems shipped within 30 days of
+    their order's date; per-priority shipping stats. The orderkey
+    anchor keeps this a hash join with a range post-filter."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    joined = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(F.avg(F.datediff("l_shipdate", "o_orderdate")), 4).alias("avg_ship_days"),
+    )
+
+
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per market segment (explicit
+    pivot values — no extra distinct-discovery pass)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+def q_fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface (SURVEY.md §2.7): positional explode of the
+    token array — one output row per (doc, position, token)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+
+
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates to a join):
+    customers above their nation's average balance."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer i
+            WHERE i.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+def q_agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage salted sum per customer (equals the plain
+    group-by; the salt spreads hot keys across reducers)."""
+    o = table(spark, sf_dir, "orders")
+    out = salted_sum(
+        o,
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        out_name="revenue_dec",
+    )
+    return out.select(
+        "o_custkey", F.round(F.col("revenue_dec").cast("double"), 2).alias("revenue")
+    )
+
+
+QUERIES = {
+    "q_join_rangedate": q_join_rangedate,
+    "q_agg_pivot": q_agg_pivot,
+    "q_fn_posexplode": q_fn_posexplode,
+    "q_subquery_correlated": q_subquery_correlated,
+    "q_agg_salted_sum": q_agg_salted_sum,
+}
+
+ORACLE = {
+    "q_join_rangedate": (
+        "SELECT o_orderpriority, count(*)::BIGINT AS n_lineitems, "
+        "round(avg(date_diff('day', CAST(o_orderdate AS DATE), "
+        "                    CAST(l_shipdate AS DATE))), 4) AS avg_ship_days "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "AND l_shipdate >= o_orderdate "
+        "AND l_shipdate <= o_orderdate + INTERVAL 30 DAY "
+        "GROUP BY o_orderpriority"
+    ),
+    "q_agg_pivot": (
+        "SELECT c_mktsegment, "
+        "round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS \"F\", "
+        "round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS \"O\", "
+        "round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS \"P\" "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+    "q_fn_posexplode": (
+        "SELECT doc_id, "
+        "generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) - 1 AS pos, "
+        "unnest(string_split_regex(trim(text), '\\s+')) AS token "
+        "FROM documents"
+    ),
+    "q_subquery_correlated": (
+        "SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal "
+        "FROM customer c WHERE c_acctbal > ("
+        "  SELECT avg(c_acctbal) FROM customer i "
+        "  WHERE i.c_nationkey = c.c_nationkey)"
+    ),
+    "q_agg_salted_sum": (
+        "SELECT o_custkey, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue "
+        "FROM orders GROUP BY o_custkey"
+    ),
+}
