@@ -18,8 +18,17 @@ projection over the scan: the shape that survives a 100x scale-up
 
 The same five steps exist as DuckDB SQL fragments
 (:func:`sql_clean_chain`) so every oracle uses literally the same
-patterns (SURVEY.md §4.3.3: patterns restricted to the
-Java-regex ∩ RE2 common dialect — no backrefs, no lookarounds).
+patterns (SURVEY.md §4.3.3: no backrefs, no lookarounds).
+
+Known dialect divergence (found by cross-engine fuzzing,
+``tests/test_cross_engine_fuzz.py``): Java's ``\\b`` is
+Unicode-aware while RE2's is ASCII-only, so stopword removal can
+differ when a non-ASCII letter sits at a word-boundary edge
+(e.g. ``¿qué?``: Spark removes ``qué``; RE2 sees no boundary after
+``é``). The Spark side is the *reference-faithful* one (R's
+tm/ICU treats accented letters as word characters); the DuckDB
+oracle is only exercised on ASCII corpora, where the dialects are
+proven identical.
 """
 
 from __future__ import annotations
