@@ -1,0 +1,72 @@
+"""Physical-plan audits: the scale posture is enforced, not hoped.
+
+Each assertion pins a plan property that matters at 100 TB:
+pushdown reaching the parquet scan, pruned read schemas, broadcast
+joins on dims, TakeOrderedAndProject for top-k, no accidental
+cartesian products, and codegen on the hot string chain.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from twitter_etl_spark.queries import ALL_QUERIES
+
+from conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = ALL_QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    p = _plan(spark, "q_scan_parquet")
+    assert "GreaterThanOrEqual(p_size,25)" in p  # filter pushed to parquet
+    assert "p_retailprice" in p and "p_brand" not in p  # schema pruned
+
+
+def test_flagship_filter_pushed(spark):
+    p = _plan(spark, "q_flagship_transform")
+    assert "EqualTo(lang,es)" in p  # reaches PushedFilters
+    assert "CartesianProduct" not in p
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("q_join_broadcast", "q_join_multiway", "q_agg_rollup"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_theta_join_is_equi_anchored(spark):
+    p = _plan(spark, "q_join_theta")
+    # equi key keeps it a hash join with a post-condition, never a
+    # nested-loop over the cross product
+    assert "HashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_uses_take_ordered(spark):
+    p = _plan(spark, "q_limit_topk")
+    assert "TakeOrderedAndProject" in p  # no global sort
+
+
+def test_no_cartesian_anywhere_unexpected(spark):
+    # cross join and the broadcast-query cosine scans are the only
+    # sanctioned non-equi products
+    allowed = {"q_join_cross", "q_sim_cosine_topk", "q_text_tfidf"}
+    for name in sorted(ALL_QUERIES):
+        if name in allowed or name.startswith("q_multimodal"):
+            continue
+        if name in ("q_dedup_minhash", "q_sim_ann_lsh"):  # MLlib internals
+            continue
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+
+
+def test_clean_chain_stays_in_codegen(spark):
+    # '*(n)' marks a WholeStageCodegen stage in the plan rendering;
+    # the whole scan->project chain must sit inside one
+    p = _plan(spark, "q_clean_pipeline")
+    assert p.lstrip().startswith("*(1) Project") or "WholeStageCodegen" in p

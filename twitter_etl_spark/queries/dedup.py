@@ -86,7 +86,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     # narrow shuffle: pair keys only through the heavy join/agg; the
-    # one-row-per-doc sizes frame is broadcast back afterwards
+    # one-row-per-doc sizes frame is broadcast back afterwards.
+    # (Measured variant: compressing shingle strings to 60-bit
+    # md5-prefix ints — cross-engine identical via conv/0x-cast — is
+    # a wash at local scale (hash cost ≈ shuffle saving) but is the
+    # right trade at cluster scale where shuffle bytes dominate.)
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
