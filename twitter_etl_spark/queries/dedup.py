@@ -80,33 +80,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle, count intersections, join back sizes. No all-pairs
     product — cost follows shingle co-occurrence."""
     d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
-    sets = d.select("doc_id", _shingles().alias("s"))
-    sizes = sets.select("doc_id", F.size("s").alias("n_sh"))
-    sh = sets.select("doc_id", F.explode("s").alias("shingle"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # narrow shuffle: pair keys only through the heavy join/agg; the
-    # one-row-per-doc sizes frame is broadcast back afterwards.
-    # (Measured variant: compressing shingle strings to 60-bit
-    # md5-prefix ints — cross-engine identical via conv/0x-cast — is
-    # a wash at local scale (hash cost ≈ shuffle saving) but is the
-    # right trade at cluster scale where shuffle bytes dominate.)
+    sh = d.select("doc_id", _shingles().alias("s")).select(
+        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("shingle")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
+    # Set sizes ride the exploded rows (one extra int per shuffle
+    # row) — measured faster locally than broadcasting a separate
+    # sizes frame, because that variant re-scans and re-shingles the
+    # corpus twice more. (Other measured variants: 60-bit md5-prefix
+    # shingle keys are a wash locally, a win when shuffle bytes
+    # dominate at cluster scale.)
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sized = inter.join(
-        F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))),
-        "doc_a",
-    ).join(
-        F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))),
-        "doc_b",
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        sized.withColumn("jaccard", F.round(jac, 6))
+        inter.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.3)
         .select("doc_a", "doc_b", "jaccard")
     )

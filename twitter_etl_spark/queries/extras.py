@@ -81,7 +81,32 @@ def q_agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90) per market segment — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share linear
+    interpolation semantics."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates): richest and poorest
+    customer per nation — single hash-agg pass, no window sort."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
 QUERIES = {
+    "q_agg_percentile": q_agg_percentile,
+    "q_agg_argmax": q_agg_argmax,
     "q_join_rangedate": q_join_rangedate,
     "q_agg_pivot": q_agg_pivot,
     "q_fn_posexplode": q_fn_posexplode,
@@ -90,6 +115,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_agg_percentile": (
+        "SELECT c_mktsegment, "
+        "round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal, "
+        "round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal, "
+        "count(*)::BIGINT AS n "
+        "FROM customer GROUP BY c_mktsegment"
+    ),
+    "q_agg_argmax": (
+        "SELECT c_nationkey, "
+        "arg_max(c_custkey, c_acctbal) AS richest_cust, "
+        "arg_min(c_custkey, c_acctbal) AS poorest_cust, "
+        "round(max(c_acctbal), 2) AS max_bal "
+        "FROM customer GROUP BY c_nationkey"
+    ),
     "q_join_rangedate": (
         "SELECT o_orderpriority, count(*)::BIGINT AS n_lineitems, "
         "round(avg(date_diff('day', CAST(o_orderdate AS DATE), "
