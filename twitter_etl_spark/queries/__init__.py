@@ -22,6 +22,7 @@ from . import (
     extras,
     joins,
     multimodal_q,
+    pandas_udfs,
     ref_parity,
     scalar_fns,
     similarity,
@@ -44,6 +45,7 @@ _MODULES = (
     similarity,
     multimodal_q,
     extras,
+    pandas_udfs,
 )
 
 ALL_QUERIES: dict = {}
