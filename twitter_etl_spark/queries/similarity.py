@@ -51,16 +51,25 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    # precompute norms once per vector (not once per pair): the
+    # per-pair work drops to a single dot product
+    e = e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
     )
     c = e.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "cand_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -78,14 +87,18 @@ def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse cell an IVF index would give you at scale."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
-    )
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     a = e.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
     )
     pairs = a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b))
     return (
@@ -93,7 +106,9 @@ def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             "label",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.35)
     )

@@ -99,7 +99,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(_tokens()).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = words.distinct().groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # df derives from tf (one row per doc-word already) — avoids a
+    # second explode+distinct pass over the corpus
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.countDistinct("doc_id").alias("n"))
     return (
         tf.join(df_, "word")
