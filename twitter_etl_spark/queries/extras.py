@@ -164,3 +164,94 @@ ORACLE = {
         "FROM orders GROUP BY o_custkey"
     ),
 }
+
+
+def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over a running frame per user (the
+    full-partition last needs an explicit unbounded frame)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+    )
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance, correlation,
+    covariance (rounded — both engines use numerically different but
+    convergent accumulation)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("covar_disc_tax"),
+    )
+
+
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window in batch mode (30-minute gap),
+    cross-validated against an independent lag+cumsum formulation in
+    the oracle: session end = last event + gap."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("s.start")).alias("start_us"),
+            F.unix_micros(F.col("s.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "q_win_firstlast": q_win_firstlast,
+        "q_agg_stats": q_agg_stats,
+        "q_session_window_batch": q_session_window_batch,
+    }
+)
+
+ORACLE.update(
+    {
+        "q_win_firstlast": (
+            "SELECT event_id, user_id, "
+            "first_value(event_type) OVER w AS first_type, "
+            "last_value(event_type) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "q_agg_stats": (
+            "SELECT l_returnflag, "
+            "round(stddev_samp(l_quantity), 4) AS sd_qty, "
+            "round(var_samp(l_quantity), 4) AS var_qty, "
+            "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+            "round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "q_session_window_batch": (
+            "WITH gaps AS ("
+            "  SELECT user_id, event_id, ts, "
+            "         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "tagged AS (SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 "
+            "           THEN 1 ELSE 0 END AS is_new FROM gaps), "
+            "sessions AS (SELECT *, sum(is_new) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM tagged) "
+            "SELECT user_id, epoch_us(min(ts))::BIGINT AS start_us, "
+            "epoch_us(max(ts))::BIGINT + 1800000000 AS end_us, "
+            "count(*)::BIGINT AS n_events "
+            "FROM sessions GROUP BY user_id, sid"
+        ),
+    }
+)
