@@ -8,9 +8,13 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from twitter_etl_spark.pipeline import transform_documents
 from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES

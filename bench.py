@@ -18,6 +18,8 @@ import re
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from twitter_etl_spark.queries import ALL_QUERIES
 from twitter_etl_spark.session import get_spark
 

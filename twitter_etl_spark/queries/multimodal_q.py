@@ -18,6 +18,9 @@ from ..tables import table
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct -> Arrow-batched feature
     extraction (stubbed codec; real mapInPandas plumbing)."""
+    from ..session import ship_package_to_executors
+
+    ship_package_to_executors(spark)
     d = table(spark, sf_dir, "documents")
     return decode_features(attach_binary_payload(d))
 

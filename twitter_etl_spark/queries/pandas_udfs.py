@@ -48,6 +48,9 @@ def q_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map pandas UDF (applyInPandas): per-user z-score of
     event values. Oracle is the equivalent SQL window expression —
     the pandas path must agree with the declarative one."""
+    from ..session import ship_package_to_executors
+
+    ship_package_to_executors(spark)
     e = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return e.groupBy("user_id").applyInPandas(_zscore_group, schema=_ZSCORE_SCHEMA)
 

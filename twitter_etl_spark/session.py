@@ -44,6 +44,37 @@ def get_spark(app_name: str = "twitter-etl-spark", master: str | None = None) ->
     return spark
 
 
+def ship_package_to_executors(spark: SparkSession) -> None:
+    """Make ``twitter_etl_spark`` importable on executors.
+
+    cloudpickle serializes pandas-UDF / mapInPandas closures by
+    *reference* to this package, so worker processes must be able to
+    import it — true on a cluster via ``--py-files``, and true
+    locally only if the driver's cwd happens to be the repo root.
+    Shipping a package zip with ``addPyFile`` removes that
+    assumption. Idempotent per session.
+    """
+    if getattr(spark, "_tes_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "twitter_etl_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                arc = os.path.join(
+                    "twitter_etl_spark", os.path.relpath(full, pkg_dir)
+                )
+                z.write(full, arc)
+    spark.sparkContext.addPyFile(zpath)
+    spark._tes_pkg_shipped = True
+
+
 def tune_for_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable config to an externally
     provided session (the driver hands us one in ``entry``)."""
