@@ -236,3 +236,29 @@ def test_processing_time_trigger_live_loop(spark):
     finally:
         q.stop()
     assert not q.isActive
+
+
+def test_microbatch_global_dedup(spark):
+    """Global-dedup variant: a duplicate arriving in a LATER batch is
+    dropped (cross-batch scope — the upgrade over main.R:105)."""
+    from twitter_etl_spark.streaming.microbatch import (
+        run_microbatch_pipeline_global_dedup,
+    )
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    _write_landing_file(
+        landing, "stream_1.json", [_doc(1, "hola mundo"), _doc(2, "otra frase")]
+    )
+    run_microbatch_pipeline_global_dedup(spark, landing, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 2
+
+    _write_landing_file(
+        landing, "stream_2.json", [_doc(10, "hola   MUNDO"), _doc(11, "frase nueva")]
+    )
+    run_microbatch_pipeline_global_dedup(spark, landing, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == 3  # normalized dup of batch 1 dropped globally
+    assert out.filter(F.col("content") == "hola mundo").count() == 1

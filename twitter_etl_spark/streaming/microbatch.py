@@ -53,6 +53,45 @@ def transform_batch(df: DataFrame) -> DataFrame:
     )
 
 
+def run_microbatch_pipeline_global_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    *,
+    await_seconds: int | None = None,
+):
+    """The global-dedup upgrade of the loop (SURVEY.md §1.3): each
+    batch is additionally anti-joined against the sink's existing
+    ``content`` keys, so duplicates are dropped ACROSS batches, not
+    just within one (the reference keeps cross-chunk duplicates,
+    ``main.R:105``). At scale the anti-join probes only the sink's
+    key column (column-pruned scan); a key-digest index table would
+    replace the scan where the sink is huge."""
+    import os
+
+    stream = read_ndjson_stream(spark, landing_dir, DOCUMENTS_SCHEMA)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform_batch(batch_df)
+        if os.path.exists(sink_path):
+            existing = spark.read.parquet(sink_path).select("content")
+            out = out.join(existing, "content", "left_anti")
+        if out.isEmpty():
+            return
+        out.write.mode("append").parquet(sink_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)
+    return q
+
+
 def run_microbatch_pipeline(
     spark: SparkSession,
     landing_dir: str,
