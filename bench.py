@@ -27,6 +27,9 @@ HEADLINE = [
     "q_flagship_transform",
     "q_clean_pipeline",
     "q_agg_groupby",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
     "q_join_multiway",
     "q_join_selfasof",
     "q_win_running",

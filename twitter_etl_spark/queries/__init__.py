@@ -29,6 +29,7 @@ from . import (
     sortset,
     streaming_batch,
     text,
+    tpch,
     windows,
 )
 
@@ -46,6 +47,7 @@ _MODULES = (
     multimodal_q,
     extras,
     pandas_udfs,
+    tpch,
 )
 
 ALL_QUERIES: dict = {}
