@@ -200,3 +200,25 @@ ORACLE = {
         "  FROM orders) WHERE rk <= 2"
     ),
 }
+
+
+def q_win_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over balances per segment (relative
+    standing — distribution-shape window functions)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+QUERIES["q_win_pctrank"] = q_win_pctrank
+ORACLE["q_win_pctrank"] = (
+    "SELECT c_custkey, c_mktsegment, "
+    "round(percent_rank() OVER w, 6) AS pct_rank, "
+    "round(cume_dist() OVER w, 6) AS cume "
+    "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"
+)
