@@ -41,6 +41,9 @@ def _pin_parquet_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # calendar-dependent outputs (to_date/year/hour) must read the
+    # naive-UTC fixtures under UTC even on a driver-provided session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
