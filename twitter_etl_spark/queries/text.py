@@ -289,3 +289,92 @@ ORACLE = {
         "AS fingerprint FROM documents"
     ),
 }
+
+
+_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PATTERN = r"\+?\d[\d\- ]{7,}\d"
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish scrubbing for training corpora: mask emails and
+    phone-shaped spans (noise synthesized in-query — fixture text is
+    clean — so the masking regexes run for real on both engines)."""
+    d = table(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("contact user"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("@mail.example or +1 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("00 "),
+        F.col("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(noisy, _EMAIL_PATTERN, "<EMAIL>"),
+        _PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return d.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition score (low-quality filter): the most frequent
+    token's share of the document. One explode + per-doc agg."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_tokens()).alias("word"))
+    per_word = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    return per_word.groupBy("doc_id").agg(
+        F.max("c").alias("top_token_count"),
+        F.sum("c").alias("n_tokens"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("repetition_ratio"),
+    )
+
+
+def q_text_lengthhist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (50-char buckets) per language —
+    the corpus-shape profile every data pipeline reports."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 50) * 50).cast("long")
+    return d.groupBy("lang", bucket.alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+QUERIES.update(
+    {
+        "q_text_scrub": q_text_scrub,
+        "q_text_repetition": q_text_repetition,
+        "q_text_lengthhist": q_text_lengthhist,
+    }
+)
+
+_SQL_NOISY_PII = (
+    "'contact user' || CAST(doc_id % 50 AS VARCHAR) || '@mail.example or +1 555-01' "
+    "|| lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '00 ' || text"
+)
+
+ORACLE.update(
+    {
+        "q_text_scrub": (
+            "SELECT doc_id, regexp_replace(regexp_replace(" + _SQL_NOISY_PII + ", "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS scrubbed "
+            "FROM documents"
+        ),
+        "q_text_repetition": (
+            "WITH per_word AS ("
+            f"  SELECT doc_id, word, count(*)::BIGINT AS c FROM ("
+            f"    SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents) "
+            "   GROUP BY doc_id, word) "
+            "SELECT doc_id, max(c) AS top_token_count, "
+            "CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "round(max(c) * 1.0 / sum(c), 6) AS repetition_ratio "
+            "FROM per_word GROUP BY doc_id"
+        ),
+        "q_text_lengthhist": (
+            "SELECT lang, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS len_bucket, "
+            "count(*)::BIGINT AS n_docs, round(avg(n_chars), 4) AS avg_chars "
+            "FROM documents GROUP BY 1, 2"
+        ),
+    }
+)
