@@ -70,3 +70,48 @@ def test_clean_chain_stays_in_codegen(spark):
     # the whole scan->project chain must sit inside one
     p = _plan(spark, "q_clean_pipeline")
     assert p.lstrip().startswith("*(1) Project") or "WholeStageCodegen" in p
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-bucketed tables join without a shuffle: the write-once
+    pre-partitioning replaces the per-query exchange."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.sinks import write_bucketed
+    from twitter_etl_spark.tables import table
+
+    o = table(spark, SF_SMOKE, "orders")
+    c = table(spark, SF_SMOKE, "customer")
+    write_bucketed(o, "b_orders", "o_custkey", n_buckets=8, sort_col="o_custkey")
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        "o_custkey",
+        n_buckets=8,
+        sort_col="o_custkey",
+    )
+    bo, bc = spark.table("b_orders"), spark.table("b_customer")
+    # force the non-broadcast path so the test observes the bucketed
+    # join itself (at real scale neither side would broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bc, "o_custkey").groupBy("c_mktsegment").agg(
+            F.round(F.sum("o_totalprice"), 2).alias("rev")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed scans feed the sort-merge join with NO exchange
+        # on the join key (the only exchange allowed is the one for
+        # the final segment aggregation)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # sanity: result matches the unbucketed computation
+    plain = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))

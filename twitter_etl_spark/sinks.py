@@ -79,6 +79,38 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table layout (SURVEY.md §4.3.6): pre-shuffle the
+    table once at write time so every later join/aggregation on
+    ``bucket_col`` between co-bucketed tables runs WITHOUT an
+    exchange — the capstone co-location technique for repeated
+    fact-fact joins at 100 TB. (Bucketing requires ``saveAsTable``;
+    the warehouse dir is pinned in ``session.get_spark``.)"""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # with the in-memory catalog a stale location from a previous
+        # session blocks CREATE even in overwrite mode — clear both
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(
+            os.path.join(wh.removeprefix("file:"), table_name.lower()),
+            ignore_errors=True,
+        )
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
 def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> int:
     """Small-file compaction for an append-heavy parquet table: the
     micro-batch loop produces one file set per batch; periodic
