@@ -262,3 +262,50 @@ def test_microbatch_global_dedup(spark):
     out = spark.read.parquet(sink)
     assert out.count() == 3  # normalized dup of batch 1 dropped globally
     assert out.filter(F.col("content") == "hola mundo").count() == 1
+
+
+def test_stateful_running_totals_across_batches(spark):
+    """applyInPandasWithState: per-user state survives across
+    checkpointed micro-batch runs and keeps accumulating."""
+    from twitter_etl_spark.streaming.stateful import running_user_totals
+
+    base = tempfile.mkdtemp()
+    d, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    os.makedirs(d)
+
+    def ev(i, user, v):
+        return {"event_id": i, "ts": "2024-01-01T00:00:0%d" % (i % 10),
+                "user_id": user, "event_type": "click", "value": v}
+
+    def run():
+        q = (
+            running_user_totals(_events_stream(spark, d))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).collect()
+
+    with open(os.path.join(d, "f1.json"), "w") as f:
+        for r in [ev(1, 1, 10.0), ev(2, 1, 5.0), ev(3, 2, 1.0)]:
+            f.write(json.dumps(r) + "\n")
+    out1 = {r["user_id"]: (r["n_events"], r["total_value"]) for r in run()}
+    assert out1 == {1: (2, 15.0), 2: (1, 1.0)}
+
+    with open(os.path.join(d, "f2.json"), "w") as f:
+        for r in [ev(4, 1, 2.5), ev(5, 3, 7.0)]:
+            f.write(json.dumps(r) + "\n")
+    rows2 = run()
+    latest = {}
+    for r in rows2:
+        latest[r["user_id"]] = max(
+            latest.get(r["user_id"], (0, 0.0)), (r["n_events"], r["total_value"])
+        )
+    # user 1's state carried over: 2+1 events, 15+2.5 total
+    assert latest[1] == (3, 17.5)
+    assert latest[3] == (1, 7.0)
