@@ -11,7 +11,8 @@ bounded chunk loop of ingest -> transform -> append (reference
   session windows with watermarks, and stateful streaming dedup.
 """
 
-from .microbatch import run_microbatch_pipeline
+from .microbatch import run_microbatch_pipeline, run_microbatch_pipeline_global_dedup
+from .stateful import running_user_totals
 from .windows import (
     sessionized_stream,
     sliding_counts,
@@ -21,6 +22,8 @@ from .windows import (
 
 __all__ = [
     "run_microbatch_pipeline",
+    "run_microbatch_pipeline_global_dedup",
+    "running_user_totals",
     "tumbling_counts",
     "sliding_counts",
     "sessionized_stream",
