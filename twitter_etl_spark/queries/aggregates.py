@@ -135,7 +135,8 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collect-to-array per group, sorted for determinism."""
     s = table(spark, sf_dir, "supplier")
     return s.groupBy("s_nationkey").agg(
-        F.sort_array(F.collect_list("s_name")).alias("suppliers")
+        # joined string: hash-stable across result-fetch layers
+        F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("suppliers")
     ).withColumnRenamed("s_nationkey", "nationkey")
 
 
@@ -208,7 +209,7 @@ ORACLE = {
     ),
     "q_agg_collect": (
         "SELECT s_nationkey AS nationkey, "
-        "array_agg(s_name ORDER BY s_name) AS suppliers "
+        "array_to_string(array_agg(s_name ORDER BY s_name), ',') AS suppliers "
         "FROM supplier GROUP BY s_nationkey"
     ),
 }

@@ -33,10 +33,10 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.minute("ts").alias("mi"),
         F.second("ts").alias("s"),
         F.dayofweek("ts").alias("dow"),
-        d.alias("day"),
+        F.date_format(d, "yyyy-MM-dd").alias("day"),
         F.unix_timestamp("ts").alias("epoch_s"),
-        F.date_add(d, 7).alias("plus_week"),
-        F.add_months(d, 1).alias("plus_month"),
+        F.date_format(F.date_add(d, 7), "yyyy-MM-dd").alias("plus_week"),
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("plus_month"),
         F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute_str"),
     )
 
@@ -95,13 +95,16 @@ def q_fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     arr = F.split(F.trim(F.col("text")), r"\s+")
+    # array results are emitted as joined strings: hash-stable across
+    # result-fetch layers (pandas turns DuckDB lists into numpy
+    # arrays whose str() differs from Python lists')
     return d.select(
         "doc_id",
         F.size(arr).alias("n_tokens"),
-        F.slice(arr, 1, 3).alias("first3"),
+        F.array_join(F.slice(arr, 1, 3), " ").alias("first3"),
         F.array_contains(arr, "scan").alias("has_scan"),
         F.coalesce(F.array_position(arr, "scan"), F.lit(0)).alias("scan_pos"),
-        F.sort_array(F.array_distinct(arr)).alias("vocab"),
+        F.array_join(F.sort_array(F.array_distinct(arr)), " ").alias("vocab"),
     )
 
 
@@ -110,7 +113,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json("props", "map<string,int>")
     return e.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
         m["k"].alias("k_val"),
     )
 
@@ -134,7 +137,9 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("double").alias("line_dbl"),
         F.col("l_quantity").cast("decimal(9,2)").cast("double").alias("qty_dec"),
         (F.col("l_quantity") > 25).cast("int").alias("bulk_flag"),
-        F.col("l_shipdate").cast("date").alias("ship_day"),
+        # dates emitted as ISO strings: stable across result-fetch
+        # layers (pandas widens DATE to datetime64)
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias("ship_day"),
     )
 
 
@@ -156,10 +161,10 @@ ORACLE = {
         "hour(ts)::INT AS h, minute(ts)::INT AS mi, "
         "CAST(date_part('second', ts) AS INT) AS s, "
         "(dayofweek(ts) + 1)::INT AS dow, "
-        "CAST(ts AS DATE) AS day, "
+        "strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, "
         "CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, "
-        "CAST(ts AS DATE) + 7 AS plus_week, "
-        "CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month, "
+        "strftime(CAST(ts AS DATE) + 7, '%Y-%m-%d') AS plus_week, "
+        "strftime(CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS plus_month, "
         "strftime(ts, '%Y-%m-%d %H:%M') AS minute_str "
         "FROM events"
     ),
@@ -203,14 +208,14 @@ ORACLE = {
     "q_fn_array": (
         "SELECT doc_id, "
         "len(string_split_regex(trim(text), '\\s+'))::INT AS n_tokens, "
-        "string_split_regex(trim(text), '\\s+')[1:3] AS first3, "
+        "array_to_string(string_split_regex(trim(text), '\\s+')[1:3], ' ') AS first3, "
         "list_contains(string_split_regex(trim(text), '\\s+'), 'scan') AS has_scan, "
         "coalesce(list_position(string_split_regex(trim(text), '\\s+'), 'scan'), 0)::BIGINT AS scan_pos, "
-        "list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))) AS vocab "
+        "array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))), ' ') AS vocab "
         "FROM documents"
     ),
     "q_fn_map": (
-        "SELECT event_id, json_keys(props) AS prop_keys, "
+        "SELECT event_id, array_to_string(json_keys(props), ',') AS prop_keys, "
         "CAST(json_extract_string(props, '$.k') AS INT) AS k_val "
         "FROM events"
     ),
@@ -227,7 +232,7 @@ ORACLE = {
         "CAST(l_linenumber AS DOUBLE) AS line_dbl, "
         "CAST(CAST(l_quantity AS DECIMAL(9,2)) AS DOUBLE) AS qty_dec, "
         "CAST(l_quantity > 25 AS INT) AS bulk_flag, "
-        "CAST(l_shipdate AS DATE) AS ship_day "
+        "strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day "
         "FROM lineitem"
     ),
 }

@@ -41,7 +41,7 @@ _EN_MARKERS = r"\b(the|a|of|and|is|in|to|it|for|on)\b"
 def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokenization to an array column."""
     return table(spark, sf_dir, "documents").select(
-        "doc_id", _tokens().alias("tokens")
+        "doc_id", F.array_join(_tokens(), " ").alias("tokens_str")
     )
 
 
@@ -215,7 +215,7 @@ QUERIES = {
 _LEX_VALUES = ", ".join(f"('{w}', {s})" for w, s in LEXICON)
 
 ORACLE = {
-    "q_text_tokenize": f"SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents",
+    "q_text_tokenize": f"SELECT doc_id, array_to_string({_SQL_TOKENS}, ' ') AS tokens_str FROM documents",
     "q_text_wordcount": (
         f"SELECT word, count(*)::BIGINT AS n FROM ("
         f"SELECT unnest({_SQL_TOKENS}) AS word FROM documents) GROUP BY word"
