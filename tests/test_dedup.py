@@ -59,3 +59,23 @@ def test_exact_dedup_counts(spark):
     out = {r["text"]: r for r in q_dedup_exact_global(spark, d).collect()}
     assert out["aa"]["keeper_doc_id"] == 1 and out["aa"]["n_copies"] == 2
     assert out["bb"]["n_copies"] == 1
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL approx_count_distinct (rows-only in the oracle gate) must
+    track the exact distinct counts within its configured 1% rsd
+    (checked at 5% to avoid flakiness)."""
+    from twitter_etl_spark.queries.aggregates import (
+        q_agg_approx_distinct,
+        q_agg_distinct,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["event_type"]: r["n_users"] for r in q_agg_distinct(spark, sf).collect()}
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in q_agg_approx_distinct(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k]), (k, exact[k], approx[k])
