@@ -1,0 +1,57 @@
+"""CLI entry paths (reference main.R:125-215 parity incl. the
+initial_setup == force_stream gate, main.R:192)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from twitter_etl_spark.__main__ import main
+
+
+def _args(base, **kw):
+    a = [
+        "--db-file", os.path.join(base, "sink"),
+        "--raw-data-dir", os.path.join(base, "landing"),
+        "--checkpoint-dir", os.path.join(base, "ckpt"),
+        "--stream-chunks", "1",
+    ]
+    for flag in kw.get("flags", []):
+        a.append(flag)
+    if "keys" in kw:
+        a += ["--keys", kw["keys"]]
+    return a
+
+
+def _land(base, rows):
+    d = os.path.join(base, "landing")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "f.json"), "w") as f:
+        for i, text in enumerate(rows):
+            f.write(json.dumps({"doc_id": i, "text": text, "lang": "es",
+                                "source": "s", "n_chars": len(text)}) + "\n")
+
+
+def test_setup_only_does_ddl_not_stream(spark):
+    base = tempfile.mkdtemp()
+    _land(base, ["hola mundo"])
+    assert main(_args(base, flags=["--initial-setup"])) == 0
+    assert os.path.exists(os.path.join(base, "sink.schema"))  # DDL ran
+    assert not os.path.exists(os.path.join(base, "sink"))  # stream did NOT
+
+
+def test_plain_invocation_streams(spark):
+    base = tempfile.mkdtemp()
+    _land(base, ["hola mundo", "otra frase"])
+    assert main(_args(base)) == 0
+    assert spark.read.parquet(os.path.join(base, "sink")).count() == 2
+
+
+def test_setup_plus_force_does_both_with_keys_filter(spark):
+    base = tempfile.mkdtemp()
+    _land(base, ["spark merge rapido", "sin terminos aqui"])
+    assert main(_args(base, flags=["--initial-setup", "--force-stream"], keys="spark,scan")) == 0
+    assert os.path.exists(os.path.join(base, "sink.schema"))
+    out = spark.read.parquet(os.path.join(base, "sink"))
+    assert out.count() == 1  # only the doc containing a tracked term

@@ -101,15 +101,17 @@ def run_microbatch_pipeline(
     bounded: bool = True,
     cadence_seconds: int = 60,
     await_seconds: int | None = None,
+    transform=transform_batch,
 ):
     """Run the ETL loop. ``bounded=True`` = the reference's
     N-chunks-then-exit run (``availableNow``); otherwise a live
-    ``processingTime`` cadence. Returns the StreamingQuery (already
-    awaited when bounded)."""
+    ``processingTime`` cadence. ``transform`` defaults to the
+    reference-parity batch transform. Returns the StreamingQuery
+    (already awaited when bounded)."""
     stream = read_ndjson_stream(spark, landing_dir, DOCUMENTS_SCHEMA)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        out = transform_batch(batch_df)
+        out = transform(batch_df)
         if out.isEmpty():  # reference empty-chunk guard (main.R:75-78, 114)
             return
         out.write.mode("append").parquet(sink_path)
