@@ -121,3 +121,77 @@ ORACLE = {
         "AND l_quantity < 24"
     ),
 }
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 (returned-item reporting, adapted): revenue lost to
+    returns per customer, top-20. 4-table join; nation broadcast."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 (large-volume customers, adapted): orders whose total
+    quantity exceeds a threshold — agg-filter (HAVING via semi-join
+    shape) then enrich + top-k."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate")).alias("orderdate_us"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("l_orderkey"))
+        .limit(100)
+    )
+
+
+QUERIES.update({"q_tpch_q10": q_tpch_q10, "q_tpch_q18": q_tpch_q18})
+
+ORACLE.update(
+    {
+        "q_tpch_q10": (
+            "SELECT c_custkey, c_name, n_name, round(sum(" + _REV + "), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "GROUP BY c_custkey, c_name, n_name "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "q_tpch_q18": (
+            "WITH big AS ("
+            "  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty "
+            "  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 300) "
+            "SELECT c_custkey, c_name, l_orderkey, "
+            "epoch_us(o_orderdate)::BIGINT AS orderdate_us, o_totalprice, total_qty "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, l_orderkey LIMIT 100"
+        ),
+    }
+)
