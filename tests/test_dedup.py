@@ -61,6 +61,44 @@ def test_exact_dedup_counts(spark):
     assert out["bb"]["n_copies"] == 1
 
 
+def test_ngram_jaccard_df_cap(spark):
+    """Stop-shingle buckets above max_df are dropped before pair
+    generation: pairs supported only by a hot shingle vanish, pairs
+    supported by rare shingles survive, and the diagnostic names the
+    dropped shingle. Bounds the in-bucket quadratic at scale."""
+    from twitter_etl_spark.queries.dedup import (
+        ngram_jaccard_dropped_shingles,
+        q_dedup_ngram_jaccard,
+    )
+    import tempfile, os
+
+    rows = [(i, "zz zz zz", "en", "s", 8) for i in range(1, 7)]  # hot: df=6
+    rows += [
+        (10, "aa bb cc dd", "en", "s", 11),
+        (11, "aa bb cc dd ee", "en", "s", 14),  # 2/3 jaccard with 10
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    capped = q_dedup_ngram_jaccard(spark, d, max_df=5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert pairs == {(10, 11)}  # all 15 hot-only pairs dropped
+
+    # default cap (128) leaves this tiny corpus untouched
+    full = q_dedup_ngram_jaccard(spark, d)
+    assert {(r["doc_a"], r["doc_b"]) for r in full.collect()} == pairs | {
+        (a, b) for a in range(1, 7) for b in range(a + 1, 7)
+    }
+
+    dropped = ngram_jaccard_dropped_shingles(spark, d, max_df=5).collect()
+    assert [(r["shingle"], r["df"]) for r in dropped] == [("zz zz zz", 6)]
+
+    # the cap is in the plan, between the bucket agg and the explode
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "size(docs" in plan
+
+
 def test_approx_distinct_within_tolerance(spark):
     """HLL approx_count_distinct (rows-only in the oracle gate) must
     track the exact distinct counts within its configured 1% rsd

@@ -33,18 +33,24 @@ from . import (
     windows,
 )
 
+# Registration order is a contract: the driver's correctness gate
+# certifies a bounded prefix of this registry, so SURVEY.md §2
+# *canonical* operator names must register first (ref-parity chain,
+# scalar function families, streaming batch stand-ins, and the §2.6
+# text/dedup/similarity/multimodal surface = 48 names), followed by
+# the §2.4 relational core, with beyond-survey extras last.
 _MODULES = (
     ref_parity,
-    joins,
-    aggregates,
-    windows,
-    sortset,
     scalar_fns,
     streaming_batch,
     text,
     dedup,
     similarity,
     multimodal_q,
+    joins,
+    aggregates,
+    windows,
+    sortset,
     extras,
     pandas_udfs,
     tpch,

@@ -74,11 +74,40 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Document-frequency cap for the shingle inverted index: buckets
+# whose posting list exceeds this are stop-shingles (boilerplate,
+# templates) and are dropped before pair generation, bounding the
+# per-bucket pair cost at O(MAX_SHINGLE_DF**2) regardless of corpus
+# size — the standard guard in MinHash/shingle pipelines. The sf0.01
+# fixture's max df is 25, so the default cap is semantics-neutral for
+# the oracle while still bounding a 100 TB run.
+MAX_SHINGLE_DF = 128
+
+
+def ngram_jaccard_dropped_shingles(
+    spark: SparkSession, sf_dir: str, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Diagnostic companion to :func:`q_dedup_ngram_jaccard`: the
+    stop-shingles the df cap drops, with their document frequency.
+    Run (and log) this alongside the dedup job — a large dropped set
+    means near-dup recall is delegated to the MinHash twin."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+
+
+def q_dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (>= 0.3), via a
     shingle inverted index: explode distinct shingles, self-join on
     the shingle, count intersections, join back sizes. No all-pairs
-    product — cost follows shingle co-occurrence."""
+    product — cost follows shingle co-occurrence, bounded by the
+    stop-shingle df cap (``max_df``)."""
     d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
     sh = d.select("doc_id", _shingles().alias("s")).select(
         "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("shingle")
@@ -86,14 +115,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Posting-list pair generation: group the inverted index by
     # shingle, emit in-bucket pairs via higher-order functions —
     # shingles are computed and shuffled ONCE (a self-join computes
-    # and shuffles them twice): measured ~2x faster. Caveat at
-    # cluster scale: a stop-shingle with huge document frequency
-    # makes one quadratic bucket row; real 100 TB pipelines cap df
-    # (drop shingles above a frequency threshold, as MinHash
-    # pipelines do) or fall back to the self-join, which AQE can
-    # split. Fixture df max is 25 — far below any cap.
-    buckets = sh.groupBy("shingle").agg(
-        F.collect_list(F.struct("doc_id", "n_sh")).alias("docs")
+    # and shuffles them twice): measured ~2x faster. The df cap
+    # below drops stop-shingle buckets before the quadratic step, so
+    # no single collect_list row can exceed max_df entries;
+    # hot-corpus recall falls back to the MinHash-LSH twin
+    # (q_dedup_minhash), whose banding never materializes a bucket
+    # product. Use ngram_jaccard_dropped_shingles to audit the drop.
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
+        .filter(F.size("docs") <= max_df)
     )
     pairs = buckets.select(
         F.explode(
@@ -205,10 +236,14 @@ ORACLE = {
         "  range(1, greatest(len(toks) - 2, 0) + 1), "
         "  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM t), "
         "ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh), "
+        # same stop-shingle df cap as the Spark side (MAX_SHINGLE_DF)
+        "keep AS (SELECT shingle FROM ex GROUP BY shingle "
+        "         HAVING count(*) <= 128), "
+        "exk AS (SELECT ex.* FROM ex JOIN keep USING (shingle)), "
         "inter AS ("
         "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, "
         "         b.n_sh AS n_b, count(*) AS n_inter "
-        "  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "  FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
         "  GROUP BY 1, 2, 3, 4) "
         "SELECT doc_a, doc_b, "
         "round(n_inter * 1.0 / (n_a + n_b - n_inter), 6) AS jaccard "
