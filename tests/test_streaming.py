@@ -263,6 +263,48 @@ def test_microbatch_global_dedup(spark):
     assert out.count() == 3  # normalized dup of batch 1 dropped globally
     assert out.filter(F.col("content") == "hola mundo").count() == 1
 
+    # the decision comes from the compact digest index, not a sink
+    # rescan: one digest per sink row, matching md5(content)
+    from twitter_etl_spark.streaming.microbatch import key_index_path
+
+    idx = spark.read.parquet(key_index_path(sink))
+    assert idx.columns == ["digest"]
+    sink_digests = {
+        r["d"] for r in out.select(F.md5("content").alias("d")).collect()
+    }
+    assert {r["digest"] for r in idx.collect()} == sink_digests
+
+
+def test_microbatch_global_dedup_uses_index_not_sink(spark):
+    """Remove the sink but keep the index: a replayed duplicate is
+    still dropped — proof the anti-join probes the digest index and
+    never re-reads sink parquet."""
+    import shutil
+
+    from twitter_etl_spark.streaming.microbatch import (
+        key_index_path,
+        run_microbatch_pipeline_global_dedup,
+    )
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    _write_landing_file(landing, "stream_1.json", [_doc(1, "hola mundo")])
+    run_microbatch_pipeline_global_dedup(spark, landing, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 1
+
+    shutil.rmtree(sink)  # sink gone; only the index remains
+    _write_landing_file(
+        landing, "stream_2.json", [_doc(2, "HOLA  mundo"), _doc(3, "otra frase")]
+    )
+    run_microbatch_pipeline_global_dedup(spark, landing, sink, ckpt)
+    out = spark.read.parquet(sink).collect()
+    # dup of the (now-deleted) first batch was dropped via the index
+    # ("otra" is a stopword, so the survivor cleans to "frase")
+    assert [r["content"] for r in out] == ["frase"]
+    assert spark.read.parquet(key_index_path(sink)).count() == 2
+
 
 def test_stateful_running_totals_across_batches(spark):
     """applyInPandasWithState: per-user state survives across

@@ -53,6 +53,12 @@ def transform_batch(df: DataFrame) -> DataFrame:
     )
 
 
+def key_index_path(sink_path: str) -> str:
+    """Location of the compact key-digest index maintained next to a
+    global-dedup sink."""
+    return sink_path.rstrip("/") + "_keyidx"
+
+
 def run_microbatch_pipeline_global_dedup(
     spark: SparkSession,
     landing_dir: str,
@@ -61,25 +67,48 @@ def run_microbatch_pipeline_global_dedup(
     *,
     await_seconds: int | None = None,
 ):
-    """The global-dedup upgrade of the loop (SURVEY.md §1.3): each
-    batch is additionally anti-joined against the sink's existing
-    ``content`` keys, so duplicates are dropped ACROSS batches, not
-    just within one (the reference keeps cross-chunk duplicates,
-    ``main.R:105``). At scale the anti-join probes only the sink's
-    key column (column-pruned scan); a key-digest index table would
-    replace the scan where the sink is huge."""
-    import os
+    """The global-dedup upgrade of the loop (SURVEY.md §1.3):
+    duplicates are dropped ACROSS batches, not just within one (the
+    reference keeps cross-chunk duplicates, ``main.R:105``).
 
+    Scale design: the sink itself is NEVER re-read. Each batch
+    anti-joins against a compact **key-digest index**
+    (:func:`key_index_path`) holding one 16-byte ``md5(content)``
+    per sink row, and appends the surviving digests to the index —
+    per-batch read cost follows the number of *keys ever written*
+    (a few GB at 100 TB of documents), not sink size, and the scan
+    is a single fixed-width column. On a cluster the index would be
+    bucketed by digest so only the (small) batch side shuffles.
+
+    Ordering: sink append happens before index append, so a crash
+    between the two replays the batch and re-appends — at-least-once
+    on the sink, never data loss (index-first would silently drop
+    the replayed rows). The checkpoint makes replays rare; an
+    idempotent sink (dynamic-overwrite partition per batch id, or a
+    table format with txn commit) would close the remaining window.
+    """
     stream = read_ndjson_stream(spark, landing_dir, DOCUMENTS_SCHEMA)
+    index_path = key_index_path(sink_path)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        out = transform_batch(batch_df)
-        if os.path.exists(sink_path):
-            existing = spark.read.parquet(sink_path).select("content")
-            out = out.join(existing, "content", "left_anti")
-        if out.isEmpty():
-            return
-        out.write.mode("append").parquet(sink_path)
+        import os
+
+        out = transform_batch(batch_df).withColumn(
+            "__digest", F.md5(F.col("content"))
+        )
+        if os.path.exists(index_path):
+            seen = spark.read.parquet(index_path)
+            out = out.join(seen, out["__digest"] == seen["digest"], "left_anti")
+        out = out.persist()  # one anti-join, two writes
+        try:
+            if out.isEmpty():
+                return
+            out.drop("__digest").write.mode("append").parquet(sink_path)
+            out.select(F.col("__digest").alias("digest")).write.mode(
+                "append"
+            ).parquet(index_path)
+        finally:
+            out.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(_sink)
