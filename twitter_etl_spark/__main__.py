@@ -42,9 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--force-stream", action="store_true",
                    help="with --initial-setup: also run the stream loop")
     p.add_argument("--stream-chunks", type=int, default=5,
-                   help="number of micro-batch chunks (main.R:159-164)")
+                   help="number of micro-batch chunks (main.R:159-164); "
+                        "0 = live mode (unbounded processingTime stream)")
     p.add_argument("--stream-timeout", type=int, default=60,
-                   help="per-chunk cadence seconds for live mode (main.R:165-170)")
+                   help="micro-batch cadence seconds in live mode, i.e. "
+                        "--stream-chunks 0 (main.R:165-170); ignored for "
+                        "bounded runs, which drain the landing dir")
     p.add_argument("--keys", default="",
                    help="comma-separated track terms -> OR text filter (main.R:133-136)")
     p.add_argument("--db-file", default="/tmp/twitter_etl_spark/sink",
@@ -84,18 +87,34 @@ def main(argv: list[str] | None = None) -> int:
                 out = out.filter(cond)
             return out
 
-        # bounded run: availableNow drains the landing dir once per
-        # chunk invocation (the reference loops N blocking chunks)
-        for _chunk in range(opt.stream_chunks):
-            run_microbatch_pipeline(
+        if opt.stream_chunks <= 0:
+            # live mode: unbounded processingTime stream at the
+            # reference's per-chunk cadence (main.R:165-170)
+            q = run_microbatch_pipeline(
                 spark,
                 opt.raw_data_dir,
                 opt.db_file,
                 opt.checkpoint_dir,
-                bounded=True,
+                bounded=False,
+                cadence_seconds=opt.stream_timeout,
                 transform=transform,
             )
-        print(f"ran {opt.stream_chunks} chunk(s) -> {opt.db_file}")
+            print(f"live stream started (every {opt.stream_timeout}s) "
+                  f"-> {opt.db_file}; Ctrl-C to stop")
+            q.awaitTermination()
+        else:
+            # bounded run: availableNow drains the landing dir once per
+            # chunk invocation (the reference loops N blocking chunks)
+            for _chunk in range(opt.stream_chunks):
+                run_microbatch_pipeline(
+                    spark,
+                    opt.raw_data_dir,
+                    opt.db_file,
+                    opt.checkpoint_dir,
+                    bounded=True,
+                    transform=transform,
+                )
+            print(f"ran {opt.stream_chunks} chunk(s) -> {opt.db_file}")
     return 0
 
 

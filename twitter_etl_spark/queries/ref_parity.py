@@ -33,6 +33,13 @@ def _noisy(c):
 _SQL_NOISY = "'Visit https://spark.apache.org/docs MORE ' || text || ' cc @User_1 and @dev2 END'"
 
 
+def _scratch(spark: SparkSession, name: str) -> str:
+    """Per-run scratch path for queries with write side effects,
+    keyed by the Spark application id so two concurrent harness /
+    driver runs can never race on a shared fixed directory."""
+    return f"/tmp/twitter_etl_spark/{spark.sparkContext.applicationId}/{name}"
+
+
 # --- §2.1 sources & sinks ---------------------------------------------------
 
 def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +57,7 @@ def q_source_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDJSON landing-zone round trip (``main.R:55-66`` write side,
     ``main.R:81`` read side): land ``documents`` as NDJSON, re-read
     with the explicit schema (no inference), return the parsed rows."""
-    path = "/tmp/twitter_etl_spark/q_source_ndjson"
+    path = _scratch(spark, "q_source_ndjson")
     write_ndjson(table(spark, sf_dir, "documents"), path, mode="overwrite")
     return read_ndjson(spark, path, DOCUMENTS_SCHEMA)
 
@@ -59,7 +66,7 @@ def q_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-only sink semantics (``main.R:113-121``): two appends
     of the same batch -> both copies kept (at-least-once, no upsert);
     an empty batch is guarded out (``main.R:75-78, 114``)."""
-    path = "/tmp/twitter_etl_spark/q_sink_append"
+    path = _scratch(spark, "q_sink_append")
     shutil.rmtree(path, ignore_errors=True)
     batch = table(spark, sf_dir, "documents").filter(F.col("lang") == "es")
     assert append_table(batch, path) is True

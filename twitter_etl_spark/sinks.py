@@ -117,20 +117,32 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> int:
     compaction rewrites the table at ``target_files`` per directory.
     Returns the row count (sanity: compaction must not change it).
 
-    Local-fs implementation (write fresh, atomic-ish swap). On a real
-    deployment this is table-format territory (OPTIMIZE/rewrite); the
+    Local-fs implementation. The compacted copy is written to a
+    sibling directory on the SAME filesystem, then swapped in with
+    two ``os.rename`` calls (old aside → new in → delete old), so
+    the destructive step only happens after the replacement exists
+    and a crash mid-swap leaves a recoverable directory — never a
+    missing table. On a real deployment this is table-format
+    territory (OPTIMIZE/rewrite with a transactional commit); the
     operator contract — same rows, fewer files — is what's tested.
+    Note ``coalesce(1)`` serializes the rewrite into one task; at
+    scale pass a larger ``target_files`` (repartition) instead.
     """
     import shutil
-    import tempfile
 
     df = spark.read.parquet(path)
     n = df.count()
-    tmp = tempfile.mkdtemp(prefix="compact_")
-    out = os.path.join(tmp, "t")
-    df.coalesce(target_files).write.mode("overwrite").parquet(out)
-    shutil.rmtree(path)
-    shutil.move(out, path)
+    norm = path.rstrip("/")
+    fresh = f"{norm}.compact.{os.getpid()}.{time.time_ns()}"
+    old = f"{norm}.precompact.{os.getpid()}.{time.time_ns()}"
+    df.coalesce(target_files).write.mode("errorifexists").parquet(fresh)
+    os.rename(norm, old)
+    try:
+        os.rename(fresh, norm)
+    except OSError:
+        os.rename(old, norm)  # roll back: the original table returns
+        raise
+    shutil.rmtree(old)
     return n
 
 

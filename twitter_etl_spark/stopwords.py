@@ -15,10 +15,15 @@ stemmer project's Spanish list. We freeze that list here as data
 
 The pattern ``\\b(w1|w2|...)\\b`` replaced with "" reproduces
 ``tm::removeWords`` semantics: whole-word deletion leaving
-punctuation and whitespace in place. Both Java regex (Spark) and
-RE2 (DuckDB) define ``\\b``/``\\w`` over ASCII word characters by
-default, so the dialects agree (SURVEY.md §4.3.3); the list contains
-no regex metacharacters.
+punctuation and whitespace in place. Dialect caveat (SURVEY.md
+§4.3.3, ``cleaning.py``): Java's ``\\b`` is Unicode-aware while
+RE2's is ASCII-only, so the engines diverge on accented words at
+word edges (and this list contains ``más``/``qué``/``está``…) —
+the dialects agree only on ASCII corpora. The divergence is
+fuzz-characterized in ``tests/test_cross_engine_fuzz.py`` and
+resolved in favor of reference-faithful (Unicode/ICU-like)
+semantics, with oracle corpora constrained to ASCII. The list
+contains no regex metacharacters.
 """
 
 from __future__ import annotations

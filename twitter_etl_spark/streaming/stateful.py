@@ -41,7 +41,9 @@ def _update_totals(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, round(total, 2)))
+    # state keeps the EXACT running sum; rounding happens only on the
+    # emitted row, so the total can't drift as batch count grows
+    state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
     )
