@@ -29,6 +29,37 @@ def test_cosine_matches_numpy(spark):
     assert math.isclose(got, want, rel_tol=1e-12)
 
 
+def test_neardup_hot_block_cap(spark):
+    """Labels whose block exceeds max_block are excluded from exact
+    pairing (their recall is the ANN path's job); small blocks are
+    unaffected, and the diagnostic names the dropped label."""
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.similarity import (
+        neardup_dropped_labels,
+        q_sim_embedding_neardup,
+    )
+
+    unit = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, unit, 1) for i in range(1, 5)]  # hot label 1: block of 4
+    rows += [(10, [0.0, 1.0, 0.0, 0.0], 2), (11, [0.0, 0.9, 0.1, 0.0], 2)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+    capped = q_sim_embedding_neardup(spark, d, max_block=3)
+    assert {(r["vec_a"], r["vec_b"]) for r in capped.collect()} == {(10, 11)}
+
+    full = q_sim_embedding_neardup(spark, d)  # default cap: untouched
+    assert full.count() == 1 + 6  # label-2 pair + all label-1 pairs
+
+    dropped = neardup_dropped_labels(spark, d, max_block=3).collect()
+    assert [(r["label"], r["block_size"]) for r in dropped] == [(1, 4)]
+
+
 def test_decode_one_deterministic_and_guarded():
     assert _decode_one(b"") == [0.0, 0.0, 0.0, 0.0]
     f = _decode_one(b"abcd")

@@ -81,13 +81,52 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Hot-block cap for the label-blocked near-dup join: a block of b
+# vectors generates b*(b-1)/2 pairs, so one dominant label (a dead
+# IVF cell, a junk cluster) turns the within-block join quadratic.
+# Blocks above this size are excluded from exact pairing — their
+# recall is delegated to the ANN path (q_sim_ann_lsh), whose bucket
+# join never materializes a block product. Fixture max block is 218
+# (sf0.1), far below the cap, so the default is semantics-neutral
+# for the oracle.
+MAX_BLOCK_SIZE = 4096
+
+
+def neardup_dropped_labels(
+    spark: SparkSession, sf_dir: str, max_block: int = MAX_BLOCK_SIZE
+) -> DataFrame:
+    """Diagnostic companion to :func:`q_sim_embedding_neardup`: the
+    hot labels the block-size cap excludes, with their block size.
+    Log this alongside the job; a non-empty result means those cells
+    are served by the ANN path only."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("block_size"))
+        .filter(F.col("block_size") > max_block)
+    )
+
+
+def q_sim_embedding_neardup(
+    spark: SparkSession, sf_dir: str, max_block: int = MAX_BLOCK_SIZE
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= 0.35), blocked by
     label: the join is within-block only — the blocking key is the
-    coarse cell an IVF index would give you at scale."""
+    coarse cell an IVF index would give you at scale. Blocks larger
+    than ``max_block`` are dropped before the pair join (quadratic
+    bound; see :data:`MAX_BLOCK_SIZE`): block sizes are one tiny
+    broadcast agg, so the guard adds no extra shuffle of the
+    vectors themselves."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    keep = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") <= max_block)
+        .select("label")
+    )
+    e = e.join(F.broadcast(keep), "label")
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         "label",
@@ -168,7 +207,11 @@ ORACLE = {
         "  FROM scored) WHERE rk <= 10"
     ),
     "q_sim_embedding_neardup": (
-        "WITH e AS (SELECT vec_id, label, " + _V + " AS v FROM embeddings) "
+        # same hot-block cap as the Spark side (MAX_BLOCK_SIZE)
+        "WITH e0 AS (SELECT vec_id, label, " + _V + " AS v FROM embeddings), "
+        "keep AS (SELECT label FROM e0 GROUP BY label "
+        "         HAVING count(*) <= 4096), "
+        "e AS (SELECT e0.* FROM e0 JOIN keep USING (label)) "
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label, "
         "round(list_dot_product(a.v, b.v) / "
         "      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) "
