@@ -275,6 +275,48 @@ def test_microbatch_global_dedup(spark):
     assert {r["digest"] for r in idx.collect()} == sink_digests
 
 
+def test_rate_source_live_cadence(spark):
+    """Unbounded-ingest demonstrator: the rate source never ends, so
+    a processingTime trigger keeps producing micro-batches through
+    the reference transform — the live-stream role of main.R:60-66
+    (the file-landing source, by contrast, drains and stops)."""
+    import time
+
+    from twitter_etl_spark.sources import read_rate_stream
+    from twitter_etl_spark.streaming.microbatch import transform_batch
+
+    base = tempfile.mkdtemp()
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    seen: list[int] = []
+
+    def _sink(batch_df, batch_id):
+        out = transform_batch(batch_df)
+        if out.isEmpty():
+            return
+        out.write.mode("append").parquet(sink)
+        seen.append(batch_id)
+
+    q = (
+        read_rate_stream(spark, rows_per_second=100)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 90
+    try:
+        while len(set(seen)) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(set(seen)) >= 2  # two live batches consumed
+    out = spark.read.parquet(sink)
+    assert out.count() > 0
+    # the per-batch transform ran: en rows filtered, content cleaned
+    assert out.filter(~F.col("content").startswith("hola mundo")).count() == 0
+
+
 def test_microbatch_global_dedup_uses_index_not_sink(spark):
     """Remove the sink but keep the index: a replayed duplicate is
     still dropped — proof the anti-join probes the digest index and

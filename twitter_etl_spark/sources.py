@@ -101,6 +101,33 @@ def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_rate_stream(
+    spark: SparkSession, rows_per_second: int = 50
+) -> DataFrame:
+    """Genuinely unbounded source playing the live-HTTP-stream role
+    (``main.R:60-66``): the built-in ``rate`` source never ends, so
+    a ``processingTime`` trigger keeps producing micro-batches for
+    as long as the query runs — unlike the file-landing source,
+    which drains. Rows are mapped onto the documents shape so the
+    same per-batch transform runs unchanged; in production the
+    mapping would be a Kafka/socket payload parse instead."""
+    from pyspark.sql import functions as F
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    text = F.concat(F.lit("hola mundo numero "), F.col("value").cast("string"))
+    return rate.select(
+        F.col("value").alias("doc_id"),
+        text.alias("text"),
+        F.when(F.col("value") % 5 == 0, "en").otherwise("es").alias("lang"),
+        F.concat(F.lit("src"), (F.col("value") % 3).cast("string")).alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Multimodal ingestion: opaque binary payloads + typed metadata
     via Spark's ``binaryFile`` source -> columns
