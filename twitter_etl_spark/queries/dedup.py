@@ -32,6 +32,18 @@ def _tokens():
     return F.split(F.trim(F.col("text")), r"\s+")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan yields fewer
+    partitions than cores (tiny local fixtures are one parquet row
+    group -> one task, serializing the CPU-heavy shingle explode
+    that follows). At cluster scale inputs have >= cores splits and
+    this is a no-op — no shuffle is added to the 100 TB plan."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def _shingles(tok_col: str = "toks", n: int = 3):
     """Distinct word n-gram shingles as zip_with over shifted
     slices. This formulation is ~9x faster than indexing with
@@ -108,23 +120,32 @@ def q_dedup_ngram_jaccard(
     the shingle, count intersections, join back sizes. No all-pairs
     product — cost follows shingle co-occurrence, bounded by the
     stop-shingle df cap (``max_df``)."""
-    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    d = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    )
     sh = d.select("doc_id", _shingles().alias("s")).select(
         "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("shingle")
     )
     # Posting-list pair generation: group the inverted index by
     # shingle, emit in-bucket pairs via higher-order functions —
     # shingles are computed and shuffled ONCE (a self-join computes
-    # and shuffles them twice): measured ~2x faster. The df cap
+    # and shuffles them twice): measured ~2x faster. At cluster
+    # scale, shuffle xxhash64(shingle) instead of the string to cut
+    # shuffle bytes ~4x (kept as the string here: the oracle can't
+    # hash, and a 64-bit collision — however improbable — would
+    # silently merge buckets). The df cap
     # below drops stop-shingle buckets before the quadratic step, so
     # no single collect_list row can exceed max_df entries;
     # hot-corpus recall falls back to the MinHash-LSH twin
     # (q_dedup_minhash), whose banding never materializes a bucket
     # product. Use ngram_jaccard_dropped_shingles to audit the drop.
+    # size >= 2: singleton buckets (the vast majority of shingles)
+    # generate zero pairs — dropping them here skips the pair
+    # transform/flatten/explode machinery for most of the index
     buckets = (
         sh.groupBy("shingle")
         .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
-        .filter(F.size("docs") <= max_df)
+        .filter(F.size("docs").between(2, max_df))
     )
     pairs = buckets.select(
         F.explode(
@@ -164,7 +185,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness is pinned by the q_dedup_ngram_jaccard twin."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
-    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    d = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    )
     sh = d.select("doc_id", _shingles().alias("shingles"))
     cv = CountVectorizer(
         inputCol="shingles", outputCol="features", binary=True, minDF=1.0
@@ -191,7 +214,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (rows-only: xxhash64 is
     Spark-specific). Per-token hashes vote per bit; the fingerprint
     packs the vote signs. One explode + one agg — linear cost."""
-    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    d = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    )
     tok = d.select("doc_id", F.explode("toks").alias("token")).withColumn(
         "h", F.xxhash64("token")
     )
