@@ -24,6 +24,7 @@ from . import (
     multimodal_q,
     pandas_udfs,
     ref_parity,
+    sampling,
     scalar_fns,
     similarity,
     sortset,
@@ -51,6 +52,7 @@ _MODULES = (
     aggregates,
     windows,
     sortset,
+    sampling,
     extras,
     pandas_udfs,
     tpch,
