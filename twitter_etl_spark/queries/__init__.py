@@ -48,11 +48,11 @@ _MODULES = (
     dedup,
     similarity,
     multimodal_q,
+    sampling,
     joins,
     aggregates,
     windows,
     sortset,
-    sampling,
     extras,
     pandas_udfs,
     tpch,
