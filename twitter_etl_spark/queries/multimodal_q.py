@@ -39,14 +39,48 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: frame-sampling geometry: 8-byte frames every 16 bytes, first 4
+#: frames — 16 hex chars at stride 32 over the hex view.
+_N_FRAMES, _FRAME_HEX, _STRIDE_HEX = 4, 16, 32
+
+
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling over the binary payload (the
+    video/audio frame-sample shape): fixed-size byte windows at a
+    fixed stride, as pure column expressions over the payload's hex
+    view — one codegen'd projection + posexplode, no UDF, no
+    payload shuffle (frames are cut where the payload is read).
+    Partial tail frames are dropped (only full windows emitted)."""
+    d = table(spark, sf_dir, "documents")
+    h = F.hex(F.encode(F.col("text"), "UTF-8"))
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_FRAMES - 1)),
+        lambda i: F.substring(h, i * _STRIDE_HEX + 1, _FRAME_HEX),
+    )
+    return (
+        d.select("doc_id", F.posexplode(frames).alias("frame_idx", "frame_hex"))
+        .filter(F.length("frame_hex") == _FRAME_HEX)
+    )
+
+
 QUERIES = {
     "q_multimodal_decode": q_multimodal_decode,  # rows-only
     "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_framesample": q_multimodal_framesample,
 }
 
 ORACLE = {
     "q_multimodal_meta": (
         "SELECT doc_id, 'text-as-bytes' AS modality, "
         "length(text)::INT AS n_bytes, md5(text) AS digest FROM documents"
+    ),
+    "q_multimodal_framesample": (
+        "SELECT doc_id, frame_idx, frame_hex FROM ("
+        "  SELECT doc_id, "
+        f"  UNNEST(range(0, {_N_FRAMES}))::INT AS frame_idx, "
+        f"  UNNEST(list_transform(range(0, {_N_FRAMES}), "
+        f"    i -> substring(hex(encode(text)), i*{_STRIDE_HEX} + 1, {_FRAME_HEX}))) "
+        "    AS frame_hex "
+        f"  FROM documents) WHERE len(frame_hex) = {_FRAME_HEX}"
     ),
 }
