@@ -65,6 +65,21 @@ def test_no_cartesian_anywhere_unexpected(spark):
         assert "CartesianProduct" not in p, name
 
 
+def test_projection_ops_are_shuffle_free(spark):
+    """Hash sampling and frame sampling are per-row projections —
+    their plans must contain NO Exchange at any scale."""
+    for name in ("q_sample_hash", "q_multimodal_framesample"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, name
+
+
+def test_neardup_block_filter_broadcasts(spark):
+    """The hot-block cap joins against a tiny label-count set — it
+    must be a broadcast, never an extra shuffle of the vectors."""
+    p = _plan(spark, "q_sim_embedding_neardup")
+    assert "BroadcastHashJoin" in p
+
+
 def test_clean_chain_stays_in_codegen(spark):
     # '*(n)' marks a WholeStageCodegen stage in the plan rendering;
     # the whole scan->project chain must sit inside one
