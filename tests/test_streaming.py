@@ -275,6 +275,40 @@ def test_microbatch_global_dedup(spark):
     assert {r["digest"] for r in idx.collect()} == sink_digests
 
 
+def test_idempotent_sink_replay_safe(spark):
+    """A replayed batch (crash between write and checkpoint commit)
+    overwrites its own batch_id partition instead of appending a
+    duplicate — effectively-once with plain parquet."""
+    from twitter_etl_spark.streaming.microbatch import (
+        idempotent_batch_writer,
+        run_microbatch_pipeline_idempotent,
+    )
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    _write_landing_file(
+        landing, "stream_1.json", [_doc(1, "hola mundo"), _doc(2, "frase unica")]
+    )
+    run_microbatch_pipeline_idempotent(spark, landing, sink, ckpt)
+    out1 = spark.read.parquet(sink)
+    assert out1.count() == 2
+    assert "batch_id" in out1.columns  # per-batch partition pruning
+
+    # simulate the at-least-once replay: same batch data, same id
+    writer = idempotent_batch_writer(sink)
+    replay = spark.createDataFrame(
+        [(1, "hola mundo", "es", "s1", 10), (2, "frase unica", "es", "s2", 11)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    writer(replay, 0)
+    assert spark.read.parquet(sink).count() == 2  # no duplicates
+
+    writer(replay, 1)  # a genuinely NEW batch still appends
+    assert spark.read.parquet(sink).count() == 4
+
+
 def test_rate_source_live_cadence(spark):
     """Unbounded-ingest demonstrator: the rate source never ends, so
     a processingTime trigger keeps producing micro-batches through

@@ -121,6 +121,51 @@ def run_microbatch_pipeline_global_dedup(
     return q
 
 
+def idempotent_batch_writer(sink_path: str, transform=transform_batch):
+    """foreachBatch writer with **idempotent replay**: each batch
+    lands in its own ``batch_id=N`` partition directory with
+    overwrite semantics, so a batch replayed after a crash between
+    write and checkpoint-commit overwrites its own output instead of
+    appending a duplicate — effectively-once on top of the
+    at-least-once checkpoint contract, with plain parquet (the same
+    trick a table format's transactional commit generalizes).
+    Readers scan the sink root; ``batch_id`` surfaces as a partition
+    column and partition pruning gives per-batch access for free."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df)
+        if out.isEmpty():
+            return
+        out.write.mode("overwrite").parquet(
+            f"{sink_path.rstrip('/')}/batch_id={batch_id}"
+        )
+
+    return _sink
+
+
+def run_microbatch_pipeline_idempotent(
+    spark: SparkSession,
+    landing_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    *,
+    await_seconds: int | None = None,
+):
+    """The loop with :func:`idempotent_batch_writer` as the sink —
+    the exactly-once-effective upgrade of the reference's
+    at-least-once append (``main.R:118``; SURVEY.md §1.3)."""
+    stream = read_ndjson_stream(spark, landing_dir, DOCUMENTS_SCHEMA)
+    q = (
+        stream.writeStream.foreachBatch(idempotent_batch_writer(sink_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)
+    return q
+
+
 def run_microbatch_pipeline(
     spark: SparkSession,
     landing_dir: str,
