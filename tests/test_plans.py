@@ -73,6 +73,15 @@ def test_projection_ops_are_shuffle_free(spark):
         assert "Exchange" not in p, name
 
 
+def test_salted_join_stays_on_shuffle_path(spark):
+    """The salted join must exercise the shuffled path (that's the
+    scenario it exists for) with the salt in the join keys."""
+    p = _plan(spark, "q_join_salted")
+    assert "ShuffledHashJoin" in p
+    assert "__salt" in p
+    assert "BroadcastHashJoin" not in p
+
+
 def test_neardup_block_filter_broadcasts(spark):
     """The hot-block cap joins against a tiny label-count set — it
     must be a broadcast, never an extra shuffle of the vectors."""

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..skew import salted_sum
+from ..skew import salted_join, salted_sum
 from ..tables import register_views, table
 
 
@@ -81,6 +81,21 @@ def q_agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi join (orders x customer on custkey,
+    salt 8): identical result to the plain join — the oracle IS the
+    plain join — with the hot-key work spread over 8 reducers."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    joined = salted_join(o, c, "o_custkey", "c_custkey", n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "revenue"
+        ),
+    )
+
+
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (median / p90) per market segment — Spark
     ``percentile`` and DuckDB ``quantile_cont`` share linear
@@ -112,9 +127,16 @@ QUERIES = {
     "q_fn_posexplode": q_fn_posexplode,
     "q_subquery_correlated": q_subquery_correlated,
     "q_agg_salted_sum": q_agg_salted_sum,
+    "q_join_salted": q_join_salted,
 }
 
 ORACLE = {
+    "q_join_salted": (
+        "SELECT c_mktsegment, count(*)::BIGINT AS n_orders, "
+        "round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE, 2) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
     "q_agg_percentile": (
         "SELECT c_mktsegment, "
         "round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal, "

@@ -135,7 +135,11 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> int:
     norm = path.rstrip("/")
     fresh = f"{norm}.compact.{os.getpid()}.{time.time_ns()}"
     old = f"{norm}.precompact.{os.getpid()}.{time.time_ns()}"
-    df.coalesce(target_files).write.mode("errorifexists").parquet(fresh)
+    # coalesce(1) serializes the rewrite into one task — only use it
+    # when one output file is the explicit goal; multi-file targets
+    # repartition so the rewrite itself is parallel
+    sized = df.coalesce(1) if target_files == 1 else df.repartition(target_files)
+    sized.write.mode("errorifexists").parquet(fresh)
     os.rename(norm, old)
     try:
         os.rename(fresh, norm)
