@@ -61,6 +61,24 @@ def test_exact_dedup_counts(spark):
     assert out["bb"]["n_copies"] == 1
 
 
+def test_simhash_banded_pairs(spark):
+    """Band-bucketed Hamming pairs: identical docs pair at distance
+    0; an unrelated doc pairs with neither."""
+    from twitter_etl_spark.queries.dedup import q_dedup_simhash_pairs
+    import tempfile, os
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    far = "completely different vocabulary entirely unrelated words " * 5
+    df = spark.createDataFrame(
+        [(1, base, "en", "s", 1), (2, base, "en", "s", 1), (3, far, "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = q_dedup_simhash_pairs(spark, d).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+
 def test_ngram_jaccard_df_cap(spark):
     """Stop-shingle buckets above max_df are dropped before pair
     generation: pairs supported only by a hot shingle vanish, pairs

@@ -237,12 +237,61 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select("doc_id", fingerprint.alias("simhash"))
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only): banded Hamming bucketing
+    over the 64-bit fingerprints. By pigeonhole, any pair within
+    Hamming distance 3 agrees exactly on at least one of four 16-bit
+    bands — so candidates come from four band-equality bucket joins
+    (linear index build, in-bucket pairs only, never all-pairs), and
+    the popcount verify runs per candidate. The same shape at
+    cluster scale, with the band buckets as the shuffle keys."""
+    fp = q_dedup_simhash(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.band_val")
+    a = bands.select(
+        "band", "band_val",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),
+    )
+    b = bands.select(
+        "band", "band_val",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"),
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()  # a pair may collide in several bands
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 QUERIES = {
     "q_dedup_exact_global": q_dedup_exact_global,
     "q_dedup_normalized": q_dedup_normalized,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_minhash": q_dedup_minhash,  # rows-only
     "q_dedup_simhash": q_dedup_simhash,  # rows-only
+    "q_dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
 }
 
 ORACLE = {
