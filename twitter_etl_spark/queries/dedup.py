@@ -244,7 +244,11 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands — so candidates come from four band-equality bucket joins
     (linear index build, in-bucket pairs only, never all-pairs), and
     the popcount verify runs per candidate. The same shape at
-    cluster scale, with the band buckets as the shuffle keys."""
+    cluster scale, with the band buckets as the shuffle keys.
+    Same quadratic guard as the other pair generators: band buckets
+    larger than ``max_bucket`` (boilerplate fingerprints — empty or
+    templated docs) are dropped before pairing."""
+    max_bucket = 1024
     fp = q_dedup_simhash(spark, sf_dir)
     bands = fp.select(
         "doc_id",
@@ -263,6 +267,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bv"),
     ).select("doc_id", "simhash", "bv.band", "bv.band_val")
+    keep = (
+        bands.groupBy("band", "band_val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("band", "band_val")
+    )
+    bands = bands.join(F.broadcast(keep), ["band", "band_val"])
     a = bands.select(
         "band", "band_val",
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),
