@@ -117,6 +117,27 @@ def test_ngram_jaccard_df_cap(spark):
     assert "size(docs" in plan
 
 
+def test_approx_percentile_within_tolerance(spark):
+    """Sketch percentiles must track the exact percentiles within a
+    loose relative tolerance (accuracy 10000 is far tighter)."""
+    from twitter_etl_spark.queries.aggregates import q_agg_approx_percentile
+    from twitter_etl_spark.queries.extras import q_agg_percentile
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["c_mktsegment"]: r for r in q_agg_percentile(spark, sf).collect()}
+    approx = {
+        r["c_mktsegment"]: r for r in q_agg_approx_percentile(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for seg in exact:
+        for e_col, a_col in (
+            ("median_bal", "median_bal_approx"),
+            ("p90_bal", "p90_bal_approx"),
+        ):
+            e, a = exact[seg][e_col], approx[seg][a_col]
+            assert abs(a - e) <= max(10.0, 0.05 * abs(e)), (seg, e_col, e, a)
+
+
 def test_approx_distinct_within_tolerance(spark):
     """HLL approx_count_distinct (rows-only in the oracle gate) must
     track the exact distinct counts within its configured 1% rsd

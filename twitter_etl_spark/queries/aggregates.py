@@ -79,6 +79,25 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the t-digest-style sketch
+    (rows-only: sketch internals are engine-specific; correctness
+    pinned by the exact twin q_agg_percentile plus a pytest
+    tolerance check). The sketch is mergeable, so the aggregation
+    stays one pass with map-side partials — the only percentile
+    form that scales to 100 TB groups (exact percentile needs a
+    per-group sort)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.approx_percentile("c_acctbal", F.lit(0.5), F.lit(10000)).alias(
+            "median_bal_approx"
+        ),
+        F.approx_percentile("c_acctbal", F.lit(0.9), F.lit(10000)).alias(
+            "p90_bal_approx"
+        ),
+    )
+
+
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy subtotals region -> nation over customer accounts."""
     c = table(spark, sf_dir, "customer")
@@ -146,6 +165,7 @@ QUERIES = {
     "q_agg_distinct": q_agg_distinct,
     "q_agg_multi_distinct": q_agg_multi_distinct,
     "q_agg_approx_distinct": q_agg_approx_distinct,  # rows-only
+    "q_agg_approx_percentile": q_agg_approx_percentile,  # rows-only
     "q_agg_rollup": q_agg_rollup,
     "q_agg_cube": q_agg_cube,
     "q_agg_groupingsets": q_agg_groupingsets,
