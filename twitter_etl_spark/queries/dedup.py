@@ -302,7 +302,9 @@ QUERIES = {
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_minhash": q_dedup_minhash,  # rows-only
     "q_dedup_simhash": q_dedup_simhash,  # rows-only
-    "q_dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
+    # q_dedup_simhash_pairs registers in extras: rows-only, so it
+    # must not displace an oracle-backed op from the certified
+    # registry prefix (see queries/__init__.py ordering note)
 }
 
 ORACLE = {

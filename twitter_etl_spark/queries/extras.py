@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..skew import salted_join, salted_sum
 from ..tables import register_views, table
+from .dedup import q_dedup_simhash_pairs
 
 
 def q_join_rangedate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,6 +129,7 @@ QUERIES = {
     "q_subquery_correlated": q_subquery_correlated,
     "q_agg_salted_sum": q_agg_salted_sum,
     "q_join_salted": q_join_salted,
+    "q_dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
 }
 
 ORACLE = {
