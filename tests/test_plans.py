@@ -89,6 +89,13 @@ def test_neardup_block_filter_broadcasts(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_contamination_broadcasts_eval_set(spark):
+    """Decontamination must broadcast the (tiny) eval shingle set —
+    the corpus side is never shuffled."""
+    p = _plan(spark, "q_text_contamination")
+    assert "BroadcastHashJoin" in p
+
+
 def test_clean_chain_stays_in_codegen(spark):
     # '*(n)' marks a WholeStageCodegen stage in the plan rendering;
     # the whole scan->project chain must sit inside one

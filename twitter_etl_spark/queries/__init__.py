@@ -19,6 +19,7 @@ from __future__ import annotations
 from . import (
     aggregates,
     behavior,
+    decontam,
     dedup,
     extras,
     joins,
@@ -55,6 +56,7 @@ _MODULES = (
     windows,
     sortset,
     behavior,
+    decontam,
     extras,
     pandas_udfs,
     tpch,
