@@ -275,6 +275,49 @@ def test_microbatch_global_dedup(spark):
     assert {r["digest"] for r in idx.collect()} == sink_digests
 
 
+def test_stream_stream_join_attribution(spark):
+    """Stream-stream inner join with a 30-minute attribution window:
+    a purchase joins prior clicks of the same user inside the
+    horizon only; the time-bounded condition keeps join state
+    finite. Two independent file-source streams."""
+    from twitter_etl_spark.streaming import stream_stream_join
+
+    clicks_dir, purchases_dir = tempfile.mkdtemp(), tempfile.mkdtemp()
+
+    def _write(d, rows):
+        with open(os.path.join(d, "events.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    _write(
+        clicks_dir,
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+             "event_type": "click", "value": 0.0},
+            {"event_id": 2, "ts": "2024-01-01T02:00:00", "user_id": 2,
+             "event_type": "click", "value": 0.0},
+        ],
+    )
+    _write(
+        purchases_dir,
+        [
+            # 10 min after user 1's click: attributed
+            {"event_id": 10, "ts": "2024-01-01T00:10:00", "user_id": 1,
+             "event_type": "purchase", "value": 9.99},
+            # 3 h after user 2's click: outside the horizon
+            {"event_id": 11, "ts": "2024-01-01T05:00:00", "user_id": 2,
+             "event_type": "purchase", "value": 5.0},
+        ],
+    )
+    joined = stream_stream_join(
+        _events_stream(spark, clicks_dir), _events_stream(spark, purchases_dir)
+    )
+    out = _run_to_memory(spark, joined, "t_ssjoin", "append").collect()
+    assert [(r["user_id"], r["click_id"], r["purchase_value"]) for r in out] == [
+        (1, 1, 9.99)
+    ]
+
+
 def test_idempotent_sink_replay_safe(spark):
     """A replayed batch (crash between write and checkpoint commit)
     overwrites its own batch_id partition instead of appending a

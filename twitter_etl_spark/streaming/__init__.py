@@ -11,11 +11,16 @@ bounded chunk loop of ingest -> transform -> append (reference
   session windows with watermarks, and stateful streaming dedup.
 """
 
-from .microbatch import run_microbatch_pipeline, run_microbatch_pipeline_global_dedup
+from .microbatch import (
+    run_microbatch_pipeline,
+    run_microbatch_pipeline_global_dedup,
+    run_microbatch_pipeline_idempotent,
+)
 from .stateful import running_user_totals
 from .windows import (
     sessionized_stream,
     sliding_counts,
+    stream_stream_join,
     streaming_dedup,
     tumbling_counts,
 )
@@ -23,9 +28,11 @@ from .windows import (
 __all__ = [
     "run_microbatch_pipeline",
     "run_microbatch_pipeline_global_dedup",
+    "run_microbatch_pipeline_idempotent",
     "running_user_totals",
     "tumbling_counts",
     "sliding_counts",
     "sessionized_stream",
+    "stream_stream_join",
     "streaming_dedup",
 ]

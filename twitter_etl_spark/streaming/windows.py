@@ -79,6 +79,54 @@ def sessionized_stream(
     )
 
 
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to a prior
+    click by the same user within ``horizon`` (ad-attribution
+    shape). Both sides carry watermarks and the join condition is
+    time-BOUNDED in both directions — the two requirements that let
+    the engine expire buffered rows, keeping state O(events inside
+    the horizon) instead of unbounded. An unbounded-condition
+    stream-stream join buffers forever and dies at scale; this
+    signature makes the bound impossible to omit."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful streaming dedup on event_id within the watermark
     horizon — the global-scope upgrade of the reference's per-chunk
