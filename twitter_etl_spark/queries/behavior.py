@@ -82,9 +82,36 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming attribution join
+    (:func:`twitter_etl_spark.streaming.stream_stream_join`): each
+    purchase matched to same-user clicks within the prior 30
+    minutes; per-user attributed counts and value. The user_id equi
+    key anchors a hash join with a time post-filter — never a
+    nested-loop over the time condition."""
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "value"
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+    )
+
+
 QUERIES = {
     "q_funnel_conversion": q_funnel_conversion,
     "q_cohort_retention": q_cohort_retention,
+    "q_attribution_batch": q_attribution_batch,
 }
 
 ORACLE = {
@@ -104,6 +131,18 @@ ORACLE = {
         "     AND t_purchase >= t_click)::INT)::BIGINT "
         "  AS n_purchase_after_click "
         "FROM per_user"
+    ),
+    "q_attribution_batch": (
+        "WITH c AS (SELECT user_id AS c_user, ts AS click_ts FROM events "
+        "           WHERE event_type = 'click'), "
+        "p AS (SELECT user_id, ts AS purchase_ts, value FROM events "
+        "      WHERE event_type = 'purchase') "
+        "SELECT user_id, count(*)::BIGINT AS n_attributed, "
+        "round(sum(value), 2) AS attributed_value "
+        "FROM p JOIN c ON user_id = c_user "
+        "AND purchase_ts >= click_ts "
+        "AND purchase_ts <= click_ts + INTERVAL 30 MINUTE "
+        "GROUP BY user_id"
     ),
     "q_cohort_retention": (
         "WITH e AS (SELECT user_id, date_trunc('week', ts) AS week FROM events), "
