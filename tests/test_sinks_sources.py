@@ -128,3 +128,36 @@ def test_jdbc_sink_roundtrip(spark):
     assert [c.lower() for c in back.columns] == ["tweet_id", "content"]
     assert back.count() == 4
     assert back.filter("tweet_id = 1").count() == 2
+
+
+def test_retention_drops_old_partitions(spark):
+    """Retention on a date-partitioned sink is a directory drop: old
+    partitions disappear, newer data is untouched, and the surviving
+    table still reads cleanly."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.sinks import (
+        drop_partitions_older_than,
+        write_partitioned,
+    )
+    from twitter_etl_spark.tables import table
+
+    d = os.path.join(tempfile.mkdtemp(), "events_ret")
+    ev = table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "ingest_date", F.to_date("ts")
+    )
+    write_partitioned(ev, d)
+    days = sorted(
+        p.split("=")[1] for p in os.listdir(d) if p.startswith("ingest_date=")
+    )
+    assert len(days) >= 2
+    cutoff = days[1]  # keep from the second day onward
+    before = spark.read.parquet(d).count()
+    old_rows = (
+        spark.read.parquet(d).filter(F.col("ingest_date") < cutoff).count()
+    )
+    dropped = drop_partitions_older_than(d, cutoff)
+    assert dropped == [days[0]]
+    survivors = spark.read.parquet(d)
+    assert survivors.count() == before - old_rows
+    assert survivors.filter(F.col("ingest_date") < cutoff).count() == 0

@@ -150,6 +150,36 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> int:
     return n
 
 
+def drop_partitions_older_than(
+    path: str, cutoff_date: str, partition_col: str = "ingest_date"
+) -> list[str]:
+    """Retention for a date-partitioned table: delete partition
+    directories strictly older than ``cutoff_date`` (ISO
+    ``YYYY-MM-DD``). This is the payoff of date-partitioned layout
+    (SCALE.md): retention is a metadata-level directory drop — no
+    scan, no rewrite, no tombstones — O(#partitions) regardless of
+    table bytes. Returns the dropped partition values.
+
+    Hive-style layout assumed (``{partition_col}={value}/``). On
+    object stores the rm becomes a prefix delete; table formats do
+    the same thing transactionally.
+    """
+    import shutil
+
+    dropped = []
+    prefix = f"{partition_col}="
+    if not os.path.isdir(path):
+        return dropped
+    for name in sorted(os.listdir(path)):
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        if value < cutoff_date:  # ISO dates order lexicographically
+            shutil.rmtree(os.path.join(path, name))
+            dropped.append(value)
+    return dropped
+
+
 def append_jdbc(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:
     """Optional JDBC write-through (reference: DBI/RSQLite,
     ``main.R:117``). Parquet is the native sink; this exists for
