@@ -1,0 +1,135 @@
+"""Corpus-level ops: near-dup clusters (connected components),
+adaptive stopword scrub, and the incremental merge family."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _write_docs(spark, rows):
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_cluster_transitivity(spark):
+    """A~B and B~C near-dup (but A!~C directly) must land in ONE
+    cluster labeled with the min doc_id — the defining property that
+    pair output alone does not give you."""
+    from twitter_etl_spark.queries.corpus import q_dedup_cluster
+
+    rows = [
+        (10, "a b c d e f", "en", "s", 11),   # shingles abc bcd cde def
+        (20, "c d e f g h", "en", "s", 11),   # ∩A = {cde,def} -> j=1/3
+        (30, "e f g h i j", "en", "s", 11),   # ∩B = {efg,fgh} -> j=1/3, ∩A = ∅
+        (40, "z y x w v u", "en", "s", 11),   # isolated: no near-dup pair
+    ]
+    d = _write_docs(spark, rows)
+    out = {r["doc_id"]: r["cluster_id"] for r in q_dedup_cluster(spark, d).collect()}
+    assert out == {10: 10, 20: 10, 30: 10}  # one component, canonical=min
+
+
+def test_cluster_stats_dedup_yield(spark):
+    from twitter_etl_spark.queries.corpus import q_dedup_cluster_stats
+
+    rows = [
+        (10, "a b c d e f", "en", "s", 11),
+        (20, "c d e f g h", "en", "s", 11),
+        (30, "e f g h i j", "en", "s", 11),
+        (40, "z y x w v u", "en", "s", 11),
+    ]
+    d = _write_docs(spark, rows)
+    [row] = q_dedup_cluster_stats(spark, d).collect()
+    assert (row["cluster_id"], row["cluster_size"], row["n_dropped"]) == (10, 3, 2)
+
+
+def test_corpus_stopwords_scrub(spark):
+    """A token in >50% of documents is discovered as boilerplate and
+    scrubbed; rare tokens and token order survive."""
+    from twitter_etl_spark.queries.corpus import q_text_corpus_stopwords
+
+    rows = [
+        (1, "spam alpha beta", "en", "s", 15),
+        (2, "gamma spam delta", "en", "s", 16),
+        (3, "epsilon zeta spam", "en", "s", 17),
+        (4, "eta theta iota", "en", "s", 14),
+    ]
+    d = _write_docs(spark, rows)
+    out = {r["doc_id"]: r for r in q_text_corpus_stopwords(spark, d).collect()}
+    assert out[1]["n_stopwords"] == 1  # only 'spam' crosses 50% df
+    assert out[1]["scrubbed_text"] == "alpha beta"
+    assert out[2]["scrubbed_text"] == "gamma delta"
+    assert out[4]["scrubbed_text"] == "eta theta iota"
+
+
+def test_merge_upsert_latest_wins(spark):
+    from twitter_etl_spark.queries.incremental import q_merge_upsert
+    from twitter_etl_spark.tables import table
+
+    merged = q_merge_upsert(spark, SF_SMOKE).cache()
+    orders = table(spark, SF_SMOKE, "orders")
+    # merge never changes cardinality: one row per key
+    assert merged.count() == orders.count()
+    # every restated key surfaces version 2 with price = round+1.0
+    sample = (
+        orders.filter(F.col("o_orderkey") % 100 < 10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("p"))
+        .limit(5)
+        .collect()
+    )
+    got = {r["o_orderkey"]: r for r in merged.collect()}
+    for r in sample:
+        assert got[r["o_orderkey"]]["version"] == 2
+        assert abs(got[r["o_orderkey"]]["o_totalprice"] - (r["p"] + 1.0)) < 1e-9
+    # untouched keys keep version 1
+    assert all(
+        row["version"] == 1 for k, row in got.items() if k % 100 >= 10
+    )
+    merged.unpersist()
+
+
+def test_merge_upsert_plan_is_agg_not_window(spark):
+    """The latest-wins pick must be an aggregation with a PARTIAL
+    (map-side) phase before the exchange — hot keys collapse before
+    they shuffle — and never a window sort over the whole union.
+    (Struct-valued max_by buffers take the SortAggregate strategy;
+    the partial phase, not the agg flavor, is the skew defense.)"""
+    from twitter_etl_spark.queries.incremental import q_merge_upsert
+
+    plan = q_merge_upsert(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+
+
+def test_unpivot_shape(spark):
+    from twitter_etl_spark.queries.incremental import q_fn_unpivot
+    from twitter_etl_spark.tables import table
+
+    out = q_fn_unpivot(spark, SF_SMOKE)
+    n_status = (
+        table(spark, SF_SMOKE, "orders").select("o_orderstatus").distinct().count()
+    )
+    rows = out.collect()
+    assert len(rows) == 3 * n_status
+    assert set(r["metric"] for r in rows) == {
+        "n_orders", "total_price", "avg_price",
+    }
+    assert dict(out.dtypes)["value"] == "double"
+
+
+def test_csv_source_roundtrip(spark):
+    from twitter_etl_spark.queries.incremental import q_source_csv
+    from twitter_etl_spark.tables import table
+
+    back = q_source_csv(spark, SF_SMOKE)
+    nation = table(spark, SF_SMOKE, "nation")
+    assert back.schema == nation.schema  # explicit schema, no inference
+    assert sorted(back.collect()) == sorted(nation.collect())

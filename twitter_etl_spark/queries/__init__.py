@@ -19,9 +19,11 @@ from __future__ import annotations
 from . import (
     aggregates,
     behavior,
+    corpus,
     decontam,
     dedup,
     extras,
+    incremental,
     joins,
     multimodal_q,
     pandas_udfs,
@@ -57,6 +59,8 @@ _MODULES = (
     sortset,
     behavior,
     decontam,
+    corpus,
+    incremental,
     extras,
     pandas_udfs,
     tpch,
