@@ -125,6 +125,53 @@ def test_unpivot_shape(spark):
     assert dict(out.dtypes)["value"] == "double"
 
 
+def test_minhash_banded_finds_near_dups(spark):
+    """A true near-dup pair must surface through the banded path
+    with its exact verified Jaccard; unrelated docs must not pair.
+    md5 banding is deterministic, so this is exact, not flaky."""
+    from twitter_etl_spark.queries.corpus import q_dedup_minhash_banded
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    near = base + " w11"  # 8 base shingles ⊂ 9 near shingles -> j = 8/9
+    rows = [
+        (1, base, "en", "s", 1),
+        (2, near, "en", "s", 1),
+        (3, "q r s t u v x y z aa bb cc", "en", "s", 1),
+    ]
+    d = _write_docs(spark, rows)
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in q_dedup_minhash_banded(spark, d).collect()}
+    assert set(out) == {(1, 2)}
+    assert abs(out[(1, 2)] - 8 / 9) < 1e-6
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """int8 quantization must reconstruct within half a quantization
+    step, and q values must fit int8."""
+    from twitter_etl_spark.queries.corpus import q_sim_quantize
+    from twitter_etl_spark.tables import table
+
+    got = {r["vec_id"]: r for r in q_sim_quantize(spark, SF_SMOKE).collect()}
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, SF_SMOKE, "embeddings").limit(20).collect()
+    }
+    checked = 0
+    for vid, vec in orig.items():
+        if vid not in got:
+            continue
+        scale = got[vid]["qscale"]
+        q = [int(v) for v in got[vid]["qvec"].split(",")]
+        assert len(q) == len(vec)
+        assert all(-127 <= v <= 127 for v in q)
+        # qscale is rounded to 6 dp, so allow that slack on top of
+        # the half-step bound
+        for x, qi in zip(vec, q):
+            assert abs(x - qi * scale) <= scale / 2 + 1e-4
+        checked += 1
+    assert checked > 0
+
+
 def test_csv_source_roundtrip(spark):
     from twitter_etl_spark.queries.incremental import q_source_csv
     from twitter_etl_spark.tables import table

@@ -37,7 +37,7 @@ from pyspark import StorageLevel
 
 from ..tables import table
 from .dedup import ORACLE as _DEDUP_ORACLE
-from .dedup import _spread, _tokens, q_dedup_ngram_jaccard
+from .dedup import _shingles, _spread, _tokens, q_dedup_ngram_jaccard
 
 # Stop when this many min-label rounds did not change any label.
 # Diameter of near-dup clusters is small; 20 is a generous ceiling
@@ -155,10 +155,115 @@ def q_text_corpus_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Banded-MinHash parameters: 8 bands of 1 minhash each. Collision
+# probability for Jaccard j is 1-(1-j)^8 (0.94 at the 0.3 verify
+# threshold), and every candidate is verified exactly, so the band
+# stage only controls recall/cost, never correctness. md5 is the
+# hash so the signature is bit-identical across engines (and across
+# cluster layouts — no RNG/JVM-seed state, same argument as the
+# hash-bucketed sampling family).
+_MINHASH_BANDS = 8
+# same guard family as the other pair generators (SCALE.md): a
+# degenerate signature bucket (empty/templated docs) never goes
+# quadratic
+_MINHASH_MAX_BUCKET = 1024
+
+
+def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-certified MinHash LSH near-dup: per band b, a doc's
+    signature is min(md5('b|' || shingle)) over its distinct 3-gram
+    shingles; docs agreeing on ANY band signature are candidates
+    (bucket join, never all-pairs); candidates are then verified
+    with exact shingle Jaccard >= 0.3.
+
+    This is the same banded shape as the MLlib twin
+    (``q_dedup_minhash``) but with an engine-independent hash, so
+    the WHOLE sub-quadratic scale path — signature, banding, bucket
+    join, verify — gets a DuckDB-checkable oracle instead of the
+    rows-only gate MLlib's seeded hash family forces."""
+    d = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    )
+    sh = d.select("doc_id", _shingles().alias("s")).filter(F.size("s") > 0)
+    sigs = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_min(
+                            F.transform(
+                                F.col("s"),
+                                lambda x, _b=b: F.md5(F.concat(F.lit(f"{_b}|"), x)),
+                            )
+                        ).alias("sig"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    keep = (
+        sigs.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n").between(2, _MINHASH_MAX_BUCKET))
+        .select("band", "sig")
+    )
+    sigs = sigs.join(F.broadcast(keep), ["band", "sig"])
+    cand = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()  # a pair may collide in several bands
+    )
+    # exact verify: join the shingle sets back, compute true Jaccard
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    jac = inter / (F.size("s_a") + F.size("s_b") - inter)
+    return (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (the storage/serving
+    format for embedding corpora at scale — 4x smaller than float32,
+    dot products stay SIMD-able): per-vector scale = max|x| / 127,
+    q_i = round(x_i / scale). Pure per-row array expressions — zero
+    shuffle, linear scale-out. Quantized vector emitted as a joined
+    string (oracle outputs stay scalar)."""
+    e = table(spark, sf_dir, "embeddings")
+    scale = F.array_max(F.transform("embedding", F.abs)).cast("double") / F.lit(127.0)
+    q = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") / F.col("scale")).cast("int")
+    )
+    return (
+        e.withColumn("scale", scale)
+        .filter(F.col("scale") > 0)
+        .select(
+            "vec_id",
+            F.round("scale", 6).alias("qscale"),
+            F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))).alias(
+                "qvec"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_cluster": q_dedup_cluster,
     "q_dedup_cluster_stats": q_dedup_cluster_stats,
     "q_text_corpus_stopwords": q_text_corpus_stopwords,
+    "q_dedup_minhash_banded": q_dedup_minhash_banded,
+    "q_sim_quantize": q_sim_quantize,
 }
 
 # The pair graph is the ngram-Jaccard oracle verbatim (single source
@@ -185,6 +290,39 @@ ORACLE = {
         "WITH cc AS (" + _CC_SQL + ") "
         "SELECT cluster_id, count(*)::BIGINT AS cluster_size, "
         "(count(*) - 1)::BIGINT AS n_dropped FROM cc GROUP BY cluster_id"
+    ),
+    "q_dedup_minhash_banded": (
+        "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks "
+        "           FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "  range(1, greatest(len(toks) - 2, 0) + 1), "
+        "  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM t), "
+        "shf AS (SELECT * FROM sh WHERE len(s) > 0), "
+        "sig AS (SELECT doc_id, band, "
+        "  list_min(list_transform(s, x -> md5(band::VARCHAR || '|' || x))) AS sig_v "
+        "  FROM shf, (SELECT unnest(range(8)) AS band) bands), "
+        # same degenerate-bucket cap as the Spark side
+        "keep AS (SELECT band, sig_v FROM sig GROUP BY band, sig_v "
+        "         HAVING count(*) BETWEEN 2 AND 1024), "
+        "sigk AS (SELECT sig.* FROM sig JOIN keep USING (band, sig_v)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "  FROM sigk a JOIN sigk b "
+        "  ON a.band = b.band AND a.sig_v = b.sig_v AND a.doc_id < b.doc_id), "
+        "v AS (SELECT doc_a, doc_b, len(list_intersect(sa.s, sb.s)) AS n_i, "
+        "  len(sa.s) AS n_a, len(sb.s) AS n_b FROM cand "
+        "  JOIN shf sa ON sa.doc_id = cand.doc_a "
+        "  JOIN shf sb ON sb.doc_id = cand.doc_b) "
+        "SELECT doc_a, doc_b, round(n_i * 1.0 / (n_a + n_b - n_i), 6) AS jaccard "
+        "FROM v WHERE round(n_i * 1.0 / (n_a + n_b - n_i), 6) >= 0.3"
+    ),
+    "q_sim_quantize": (
+        "WITH s AS (SELECT vec_id, embedding, "
+        "  list_max(list_transform(embedding, x -> abs(x)))::DOUBLE / 127.0 AS scale "
+        "  FROM embeddings) "
+        "SELECT vec_id, round(scale, 6) AS qscale, "
+        "array_to_string(list_transform(embedding, "
+        "  x -> round(x::DOUBLE / scale)::INT), ',') AS qvec "
+        "FROM s WHERE scale > 0"
     ),
     "q_text_corpus_stopwords": (
         "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks "
