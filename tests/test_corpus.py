@@ -172,6 +172,35 @@ def test_quantize_roundtrip_error_bound(spark):
     assert checked > 0
 
 
+def test_ivf_ann_consistent_with_exact(spark):
+    """IVF results must carry TRUE cosine scores (identical to the
+    exact scan for the same pair) and can never beat the exact top-1
+    — the approximation only restricts the candidate set."""
+    from twitter_etl_spark.queries.corpus import q_sim_ann_ivf
+    from twitter_etl_spark.queries.similarity import q_sim_cosine_topk
+
+    ivf = q_sim_ann_ivf(spark, SF_SMOKE).collect()
+    exact = q_sim_cosine_topk(spark, SF_SMOKE).collect()
+    exact_scores = {(r["query_id"], r["cand_id"]): r["cos_sim"] for r in exact}
+    best_exact = {}
+    for r in exact:
+        if r["rk"] == 1:
+            best_exact[r["query_id"]] = r["cos_sim"]
+    assert ivf, "IVF returned nothing"
+    per_query = {}
+    for r in ivf:
+        per_query.setdefault(r["query_id"], []).append(r)
+        # same pair -> same exact score (IVF never rescores approximately)
+        if (r["query_id"], r["cand_id"]) in exact_scores:
+            assert r["cos_sim"] == exact_scores[(r["query_id"], r["cand_id"])]
+        assert r["cos_sim"] <= best_exact[r["query_id"]]
+    for q, rows in per_query.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
 def test_csv_source_roundtrip(spark):
     from twitter_etl_spark.queries.incremental import q_source_csv
     from twitter_etl_spark.tables import table

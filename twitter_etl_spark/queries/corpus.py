@@ -258,12 +258,109 @@ def q_sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF probe width: each query searches only its 2 nearest coarse
+# cells. Recall/cost knob, never correctness (the exact twin
+# q_sim_cosine_topk pins full-scan results).
+_IVF_NPROBE = 2
+
+
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor, oracle-certified end to
+    end: (1) coarse quantizer = per-label centroid (one Lloyd step
+    given the label assignment — the ``q_sim_centroid`` update),
+    (2) every candidate vector is assigned to its nearest centroid
+    (its inverted list), (3) each query probes only its
+    ``_IVF_NPROBE`` nearest cells and ranks cosine top-10 within
+    them.
+
+    Scale shape: centroids are K rows — broadcast; assignment is one
+    scan of the corpus (K distance evals per row, no shuffle of the
+    vectors); the probe join touches only the probed cells. In a
+    materialized index the assignment is precomputed and the corpus
+    is PARTITIONED BY cell, so the probe join becomes partition
+    pruning — probing 2 of K cells reads 2/K of the bytes. Distances
+    use the ||a||²-2ab+||b||² expansion over precomputed norms, and
+    centroids are rounded (avg/4) so the quantizer — and therefore
+    cell membership — is bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def dot(a, b):
+        # sequential fold == DuckDB list_dot_product accumulation
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    ex = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cd = ex.groupBy("label", "pos").agg(F.round(F.avg("val"), 4).alias("cx"))
+    cent = (
+        cd.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("c")
+        )
+        .withColumn("cc", dot(F.col("c"), F.col("c")))
+    )
+    cands = (
+        e.filter(F.col("vec_id") >= 5)
+        .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+        .withColumn("cvv", dot(F.col("cv"), F.col("cv")))
+    )
+    qs = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("qvv", dot(F.col("qv"), F.col("qv")))
+    )
+    d2 = lambda vv, v: F.round(  # noqa: E731
+        F.col(vv) - 2 * dot(F.col(v), F.col("c")) + F.col("cc"), 6
+    )
+    aw = Window.partitionBy("cand_id").orderBy("d2", "label")
+    assign = (
+        cands.crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2("cvv", "cv"))
+        .withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .select("cand_id", "label", "cv", "cvv")
+    )
+    qw = Window.partitionBy("query_id").orderBy("d2", "label")
+    probe = (
+        qs.crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2("qvv", "qv"))
+        .withColumn("rk", F.row_number().over(qw))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select("query_id", "label", "qv", "qvv")
+    )
+    scored = probe.join(assign, "label").select(
+        "query_id",
+        "cand_id",
+        F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (F.sqrt(F.col("qvv")) * F.sqrt(F.col("cvv"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "cand_id", "cos_sim", "rk")
+    )
+
+
 QUERIES = {
     "q_dedup_cluster": q_dedup_cluster,
     "q_dedup_cluster_stats": q_dedup_cluster_stats,
     "q_text_corpus_stopwords": q_text_corpus_stopwords,
     "q_dedup_minhash_banded": q_dedup_minhash_banded,
     "q_sim_quantize": q_sim_quantize,
+    "q_sim_ann_ivf": q_sim_ann_ivf,
 }
 
 # The pair graph is the ngram-Jaccard oracle verbatim (single source
@@ -314,6 +411,37 @@ ORACLE = {
         "  JOIN shf sb ON sb.doc_id = cand.doc_b) "
         "SELECT doc_a, doc_b, round(n_i * 1.0 / (n_a + n_b - n_i), 6) AS jaccard "
         "FROM v WHERE round(n_i * 1.0 / (n_a + n_b - n_i), 6) >= 0.3"
+    ),
+    "q_sim_ann_ivf": (
+        "WITH e AS (SELECT vec_id, label, "
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        "ex AS (SELECT label, UNNEST(v) AS val, "
+        "  UNNEST(range(1, len(v) + 1)) AS pos FROM e), "
+        "cd AS (SELECT label, pos, round(avg(val), 4) AS cx "
+        "  FROM ex GROUP BY label, pos), "
+        "cent AS (SELECT label, list(cx ORDER BY pos) AS c FROM cd GROUP BY label), "
+        "cent2 AS (SELECT label, c, list_dot_product(c, c) AS cc FROM cent), "
+        "cands AS (SELECT vec_id AS cand_id, v AS cv, "
+        "  list_dot_product(v, v) AS cvv FROM e WHERE vec_id >= 5), "
+        "qs AS (SELECT vec_id AS query_id, v AS qv, "
+        "  list_dot_product(v, v) AS qvv FROM e WHERE vec_id < 5), "
+        "assign AS (SELECT cand_id, label, cv, cvv FROM ("
+        "  SELECT cands.cand_id, cent2.label, cands.cv, cands.cvv, "
+        "  row_number() OVER (PARTITION BY cands.cand_id ORDER BY "
+        "    round(cvv - 2 * list_dot_product(cv, c) + cc, 6), cent2.label) AS rk "
+        "  FROM cands CROSS JOIN cent2) WHERE rk = 1), "
+        "probe AS (SELECT query_id, label, qv, qvv FROM ("
+        "  SELECT qs.query_id, cent2.label, qs.qv, qs.qvv, "
+        "  row_number() OVER (PARTITION BY qs.query_id ORDER BY "
+        "    round(qvv - 2 * list_dot_product(qv, c) + cc, 6), cent2.label) AS rk "
+        "  FROM qs CROSS JOIN cent2) WHERE rk <= 2), "
+        "scored AS (SELECT query_id, cand_id, "
+        "  round(list_dot_product(qv, cv) / (sqrt(qvv) * sqrt(cvv)), 6) AS cos_sim "
+        "  FROM probe JOIN assign USING (label)) "
+        "SELECT query_id, cand_id, cos_sim, rk FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rk "
+        "  FROM scored) WHERE rk <= 10"
     ),
     "q_sim_quantize": (
         "WITH s AS (SELECT vec_id, embedding, "
