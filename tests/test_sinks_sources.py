@@ -161,3 +161,24 @@ def test_retention_drops_old_partitions(spark):
     survivors = spark.read.parquet(d)
     assert survivors.count() == before - old_rows
     assert survivors.filter(F.col("ingest_date") < cutoff).count() == 0
+
+
+def test_robust_ndjson_quarantines_malformed_lines(spark):
+    """PERMISSIVE landing read: good lines parse with the explicit
+    schema, broken lines are quarantined verbatim, nothing crashes
+    and nothing is silently dropped."""
+    from twitter_etl_spark.sources import read_ndjson_robust, split_quarantine
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "landing.json")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "ok one", "lang": "es", "source": "s", "n_chars": 6}\n')
+        f.write('{"doc_id": 2, "text": "ok two", "lang": "en", "source": "s", "n_chars": 6}\n')
+        f.write('{"doc_id": 3, "text": "truncat\n')  # cut mid-record
+        f.write('not json at all\n')
+        f.write('{"doc_id": 4, "text": "ok three", "lang": "es", "source": "s", "n_chars": 8}\n')
+    good, bad = split_quarantine(read_ndjson_robust(spark, p))
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2, 4]
+    quarantined = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(quarantined) == 2
+    assert "not json at all" in quarantined

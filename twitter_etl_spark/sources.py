@@ -81,6 +81,46 @@ def read_ndjson(spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS
     return spark.read.schema(schema).json(path)
 
 
+def read_ndjson_robust(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Malformed-line-tolerant NDJSON read: PERMISSIVE mode parses
+    what it can and lands each broken raw line in ``corrupt_col``
+    instead of failing the job. A live tweet stream ships truncated
+    and garbage lines (the reference's ``parse_stream`` silently
+    drops them, ``main.R:81``); at scale you neither crash the batch
+    (FAILFAST) nor silently lose evidence (DROPMALFORMED) — you
+    quarantine, count, and alert."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_quarantine(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE read into (parsed rows sans corrupt col,
+    quarantined raw lines). The df is cached first: Spark disallows
+    filtering on the internal corrupt column straight off a raw
+    file scan (SPARK-21610), and the cache also makes the two
+    branches share one parse."""
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
+
+
 def read_ndjson_stream(
     spark: SparkSession, landing_dir: str, schema: T.StructType = DOCUMENTS_SCHEMA
 ) -> DataFrame:
