@@ -1,0 +1,62 @@
+"""Mergeable-agg algebra and the bounded-memory heavy hitters."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_mergeable_agg_equals_direct(spark):
+    """merge(agg(half0), agg(half1)) must equal agg(whole) — the
+    incremental-rollup invariant."""
+    from twitter_etl_spark.queries.sketches import q_agg_mergeable
+    from twitter_etl_spark.tables import table
+
+    merged = {r["lang"]: r for r in q_agg_mergeable(spark, SF_SMOKE).collect()}
+    direct = {
+        r["lang"]: r
+        for r in table(spark, SF_SMOKE, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for lang, r in direct.items():
+        m = merged[lang]
+        assert (m["n_docs"], m["sum_chars"], m["min_chars"], m["max_chars"]) == (
+            r["n_docs"], r["sum_chars"], r["min_chars"], r["max_chars"],
+        )
+
+
+def test_heavy_hitters_exact_on_skewed_fixture(spark):
+    """A token planted above the N/k threshold must come back with
+    its EXACT count; tokens below must not appear — the sketch
+    bounds memory, never the answer."""
+    from twitter_etl_spark.queries.sketches import q_text_heavyhitters
+
+    # 300 docs: every doc says 'hot'; unique cold tokens elsewhere.
+    # N = 300*4 = 1200 tokens; threshold N/100 = 12; count(hot)=300,
+    # count(warm)=10 (below), all others unique.
+    rows = []
+    for i in range(300):
+        filler = f"u{i}a u{i}b" if i >= 10 else "warm warmx"
+        rows.append((i, f"hot {filler} hotend{i % 7}", "en", "s", 1))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["token"]: r["n"] for r in q_text_heavyhitters(spark, d).collect()}
+    assert out["hot"] == 300
+    assert "warm" not in out  # 10 <= 12 threshold
+    # hotend0..6 appear 42-43x each (> 12): present with exact counts
+    for j in range(7):
+        expected = sum(1 for i in range(300) if i % 7 == j)
+        assert out[f"hotend{j}"] == expected

@@ -31,6 +31,7 @@ from . import (
     sampling,
     scalar_fns,
     similarity,
+    sketches,
     sortset,
     streaming_batch,
     text,
@@ -61,6 +62,7 @@ _MODULES = (
     decontam,
     corpus,
     incremental,
+    sketches,
     extras,
     pandas_udfs,
     tpch,

@@ -1,0 +1,139 @@
+"""Mergeable-aggregation algebra and bounded-memory sketches
+([EXT], SURVEY.md §2.4/§2.6).
+
+- **Partial-agg merge** (``q_agg_mergeable``): the algebra that makes
+  incremental rollup maintenance work — count/sum/min/max merge by
+  (sum, sum, min, max) and avg re-derives as sum/count. The query
+  splits the corpus into two deterministic halves, aggregates each
+  independently (two "micro-batches"), merges the partials, and the
+  oracle is the DIRECT aggregation of the whole — proving
+  merge(agg(A), agg(B)) == agg(A ∪ B) cross-engine. At 100 TB this
+  is how a materialized rollup absorbs a new partition without
+  re-reading history: the merge touches only partial-state rows.
+- **Heavy hitters** (``q_text_heavyhitters``): exact tokens with
+  count > N/k in bounded memory, two passes. Pass 1: per-partition
+  Misra-Gries with k counters (Arrow-batched ``mapInPandas``,
+  O(k) memory per task regardless of partition bytes) emits a
+  candidate superset — by pigeonhole, any token with global count >
+  N/k exceeds N_p/k in at least one partition, and Misra-Gries
+  never evicts such a token to zero. Pass 2: broadcast the (≤ k ×
+  partitions) candidates, exact-count only them, keep count > N/k.
+  Output is EXACT (the sketch only bounds candidate-generation
+  memory), so the DuckDB oracle is a plain GROUP BY ... HAVING.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .dedup import _spread, _tokens
+
+# Misra-Gries counter budget per task, and the heavy-hitter
+# threshold denominator: we return tokens with count > N / _HH_K.
+_HH_K = 100
+
+
+def _agg_half(d: DataFrame, which: int) -> DataFrame:
+    """Aggregate one deterministic half of documents (md5 text-hash
+    parity) — stands in for one micro-batch / one new partition."""
+    from .sampling import hash_bucket
+
+    half = d.filter(hash_bucket(F.col("text"), 2) == which)
+    return half.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+    )
+
+
+def q_agg_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge two independently-computed partial aggregates into the
+    final per-lang stats (count/sum/min/max/avg). The oracle
+    aggregates the whole table directly — the results must be
+    identical, which is exactly the property incremental rollup
+    maintenance relies on."""
+    d = table(spark, sf_dir, "documents")
+    partials = _agg_half(d, 0).unionByName(_agg_half(d, 1))
+    return partials.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("s").alias("sum_chars"),
+        F.min("mn").alias("min_chars"),
+        F.max("mx").alias("max_chars"),
+        F.round(F.sum("s") / F.sum("n"), 4).alias("avg_chars"),
+    )
+
+
+def _misra_gries_partition(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-partition batched Misra-Gries over the token stream:
+    maintain at most _HH_K counters; when the table overflows,
+    subtract the minimum counter from all and drop zeros (the
+    batched form of decrement-all — same undercount bound N_p/k).
+    Emits surviving candidate tokens."""
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for tok, cnt in pdf["token"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(cnt)
+        while len(counters) > _HH_K:
+            m = min(counters.values())
+            counters = {t: c - m for t, c in counters.items() if c > m}
+    yield pd.DataFrame({"token": list(counters.keys())})
+
+
+def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (count > N/_HH_K) in bounded memory:
+    Misra-Gries candidates per partition, then one exact counting
+    pass restricted to the broadcast candidate set."""
+    from ..session import ship_package_to_executors
+
+    ship_package_to_executors(spark)
+    d = _spread(table(spark, sf_dir, "documents").select(_tokens().alias("toks")))
+    toks = d.select(F.explode("toks").alias("token"))
+    candidates = (
+        toks.mapInPandas(_misra_gries_partition, schema="token string")
+        .distinct()
+    )
+    totals = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    counted = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(totals))
+        .filter(F.col("n") * _HH_K > F.col("n_total"))
+        .select("token", "n")
+    )
+
+
+QUERIES = {
+    "q_agg_mergeable": q_agg_mergeable,
+    "q_text_heavyhitters": q_text_heavyhitters,
+}
+
+ORACLE = {
+    # direct whole-table aggregation: must equal the merged partials
+    "q_agg_mergeable": (
+        "SELECT lang, count(*)::BIGINT AS n_docs, "
+        "sum(n_chars)::BIGINT AS sum_chars, "
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+        "round(sum(n_chars) * 1.0 / count(*), 4) AS avg_chars "
+        "FROM documents GROUP BY lang"
+    ),
+    # the sketch bounds memory, not the answer: plain GROUP BY oracle
+    "q_text_heavyhitters": (
+        "WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) "
+        "  AS token FROM documents), "
+        "n AS (SELECT count(*) AS n_total FROM toks) "
+        "SELECT token, count(*)::BIGINT AS n FROM toks, n "
+        "GROUP BY token, n_total HAVING count(*) * 100 > n_total"
+    ),
+}
