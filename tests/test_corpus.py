@@ -201,6 +201,61 @@ def test_ivf_ann_consistent_with_exact(spark):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_leakage_safe_split_co_travels_duplicates(spark):
+    """Documents that normalize to the same text (near-identical
+    copies) must land in the SAME split — per-doc hashing would let
+    a duplicate straddle train/test."""
+    from twitter_etl_spark.queries.corpus import q_sample_leakage_safe
+
+    rows = []
+    for i in range(60):
+        rows.append((2 * i, f"Hola Mundo numero {i}", "es", "a", 1))
+        rows.append((2 * i + 1, f"hola   MUNDO numero {i}", "es", "b", 1))  # dup
+    d = _write_docs(spark, rows)
+    out = q_sample_leakage_safe(spark, d).collect()
+    by_digest = {}
+    for r in out:
+        by_digest.setdefault(r["norm_digest"], set()).add(r["split"])
+    assert len(by_digest) == 60  # pairs collapse to one digest each
+    assert all(len(s) == 1 for s in by_digest.values())  # co-travel
+    assert len({r["split"] for r in out}) > 1  # and it does split
+
+
+def test_behavior_transitions_counts(spark):
+    from datetime import datetime
+
+    from twitter_etl_spark.queries.behavior import q_behavior_transitions
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: view -> click -> purchase
+        (1, t(1), 1, "view", 1.0, "{}"),
+        (2, t(2), 1, "click", 1.0, "{}"),
+        (3, t(3), 1, "purchase", 1.0, "{}"),
+        # user 2: view -> view
+        (4, t(1), 2, "view", 1.0, "{}"),
+        (5, t(2), 2, "view", 1.0, "{}"),
+        # user 3: single event -> no transition
+        (6, t(1), 3, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in q_behavior_transitions(spark, d).collect()
+    }
+    assert out == {
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,
+        ("view", "view"): 1,
+    }
+
+
 def test_csv_source_roundtrip(spark):
     from twitter_etl_spark.queries.incremental import q_source_csv
     from twitter_etl_spark.tables import table

@@ -108,10 +108,27 @@ def q_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_behavior_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition counts (the Markov-chain /
+    clickstream-path-mining primitive): per user, consecutive
+    event-type pairs in (ts, event_id) order, counted globally. One
+    window shuffle on user_id, one hash agg on the tiny
+    (from, to) grid — never an events self-join."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 QUERIES = {
     "q_funnel_conversion": q_funnel_conversion,
     "q_cohort_retention": q_cohort_retention,
     "q_attribution_batch": q_attribution_batch,
+    "q_behavior_transitions": q_behavior_transitions,
 }
 
 ORACLE = {
@@ -152,5 +169,13 @@ ORACLE = {
         "(date_diff('day', cohort_week, week) / 7)::BIGINT AS week_offset, "
         "count(DISTINCT user_id)::BIGINT AS n_active "
         "FROM c GROUP BY cohort_week, week"
+    ),
+    "q_behavior_transitions": (
+        "WITH seq AS (SELECT user_id, event_type, "
+        "  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "    AS next_type FROM events) "
+        "SELECT event_type AS from_type, next_type AS to_type, "
+        "count(*)::BIGINT AS n FROM seq WHERE next_type IS NOT NULL "
+        "GROUP BY 1, 2"
     ),
 }

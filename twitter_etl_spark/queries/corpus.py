@@ -354,6 +354,27 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is assigned by
+    hashing the NORMALIZED-text digest (the dup-cluster key), not
+    the document, so every copy of a duplicate lands in the same
+    split — plain per-doc hashing leaks duplicated content from
+    train into test, inflating eval scores. Same 80/10/10 bucketing
+    as ``q_sample_split``, one per-row projection, zero shuffle."""
+    from ..cleaning import clean_chain
+    from .sampling import hash_bucket
+
+    d = table(spark, sf_dir, "documents")
+    digest = F.md5(clean_chain(F.col("text")))
+    bucket = hash_bucket(digest)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.select(
+        "doc_id", digest.alias("norm_digest"), split.alias("split")
+    )
+
+
 QUERIES = {
     "q_dedup_cluster": q_dedup_cluster,
     "q_dedup_cluster_stats": q_dedup_cluster_stats,
@@ -361,7 +382,25 @@ QUERIES = {
     "q_dedup_minhash_banded": q_dedup_minhash_banded,
     "q_sim_quantize": q_sim_quantize,
     "q_sim_ann_ivf": q_sim_ann_ivf,
+    "q_sample_leakage_safe": q_sample_leakage_safe,
 }
+
+def _leakage_safe_sql() -> str:
+    from ..cleaning import sql_clean_chain
+    from .sampling import _sql_bucket
+
+    digest = f"md5({sql_clean_chain('text')})"
+    bucket = _sql_bucket(digest)
+    return (
+        f"SELECT doc_id, {digest} AS norm_digest, "
+        f"CASE WHEN {bucket} < 80 THEN 'train' "
+        f"WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split "
+        "FROM documents"
+    )
+
+
+_LEAKAGE_SAFE_SQL = _leakage_safe_sql()
+
 
 # The pair graph is the ngram-Jaccard oracle verbatim (single source
 # of truth for the edge set), wrapped as a CTE; components then come
@@ -452,6 +491,7 @@ ORACLE = {
         "  x -> round(x::DOUBLE / scale)::INT), ',') AS qvec "
         "FROM s WHERE scale > 0"
     ),
+    "q_sample_leakage_safe": _LEAKAGE_SAFE_SQL,
     "q_text_corpus_stopwords": (
         "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks "
         "           FROM documents), "
