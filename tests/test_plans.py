@@ -146,3 +146,36 @@ def test_bucketed_join_has_no_exchange(spark):
         .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
     )
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_leakage_safe_split_is_shuffle_free(spark):
+    """Digest-keyed split assignment is a per-row projection — no
+    Exchange at any scale."""
+    p = _plan(spark, "q_sample_leakage_safe")
+    assert "Exchange" not in p
+
+
+def test_minhash_banded_bucket_cap_broadcasts(spark):
+    """The signature-bucket keep-set is tiny — it must broadcast,
+    never reshuffle the signatures."""
+    p = _plan(spark, "q_dedup_minhash_banded")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_centroids_broadcast(spark):
+    """IVF assignment/probe joins K centroids against every vector —
+    the centroids must move to the data (broadcast), never the
+    vectors to the centroids."""
+    p = _plan(spark, "q_sim_ann_ivf")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_heavyhitters_candidates_broadcast_and_arrow(spark):
+    """Pass 2 must broadcast the candidate set (the corpus is never
+    shuffled for the recount), and pass 1 must be the Arrow-batched
+    python map, not row-at-a-time."""
+    p = _plan(spark, "q_text_heavyhitters")
+    assert "BroadcastHashJoin" in p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p or "PythonMapInArrow" in p
