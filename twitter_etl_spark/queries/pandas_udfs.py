@@ -70,9 +70,104 @@ def q_text_tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("tfidf").cast("string").alias("tfidf_vec"))
 
 
+_ASOF_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("purchase_us", T.LongType()),
+        T.StructField("prior_click_us", T.LongType()),
+    ]
+)
+
+
+def _epoch_us(ts: pd.Series) -> pd.Series:
+    """Exact integer epoch-microseconds (nullable): timestamps are
+    sub-second, so float seconds would truncate differently across
+    engines — integer µs is exact on both (DuckDB ``epoch_us``)."""
+    iv = ts.astype("datetime64[us]").astype("int64")
+    return pd.Series(iv, dtype="Int64").mask(ts.isna().to_numpy())
+
+
+def _asof_cogroup(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+    """Per-user pandas merge_asof: each purchase matched to the
+    latest click at-or-before it (NULL when none)."""
+    if purchases.empty:
+        return pd.DataFrame(
+            {"user_id": [], "event_id": [], "purchase_us": [], "prior_click_us": []}
+        )
+    p = purchases.sort_values("ts")
+    c = clicks.sort_values("click_ts")
+    if c.empty:
+        m = p.assign(click_ts=pd.NaT)
+    else:
+        m = pd.merge_asof(
+            p, c[["click_ts"]], left_on="ts", right_on="click_ts",
+            direction="backward",
+        )
+    return pd.DataFrame(
+        {
+            "user_id": m["user_id"],
+            "event_id": m["event_id"],
+            "purchase_us": _epoch_us(m["ts"]),
+            "prior_click_us": _epoch_us(m["click_ts"]),
+        }
+    )
+
+
+def q_pandas_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF (``cogroup(...).applyInPandas``):
+    per user, align purchases to their latest prior click with
+    pandas ``merge_asof`` — the two-table per-key shape the grouped
+    map can't express. Both sides shuffle once on user_id; each
+    cogroup is one small Arrow batch pair. The oracle is the
+    declarative equivalent (LEFT JOIN + max), which must agree
+    exactly."""
+    from ..session import ship_package_to_executors
+
+    ship_package_to_executors(spark)
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(_asof_cogroup, schema=_ASOF_SCHEMA)
+    )
+
+
+def _gmean_fn(v: pd.Series) -> float:
+    """Grouped-agg pandas UDF body: geometric mean (no builtin)."""
+    import numpy as np
+
+    return float(np.exp(np.log(v.astype("float64")).mean()))
+
+
+def q_pandas_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (vectorized UDAF): per-lang geometric
+    mean of document lengths. Arrow-batched, one hash-agg shuffle —
+    the UDAF completes the §2.7 surface (scalar ✓ grouped-map ✓
+    cogrouped-map ✓ UDAF ✓). Oracle: exp(avg(ln(x))). The udf is
+    built here, not at module import (type parsing needs a live
+    session)."""
+    from ..session import ship_package_to_executors
+
+    ship_package_to_executors(spark)
+    gmean = F.pandas_udf(_gmean_fn, T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return d.groupBy("lang").agg(
+        F.round(gmean("n_chars"), 4).alias("gmean_chars")
+    )
+
+
 QUERIES = {
     "q_pandas_zscore": q_pandas_zscore,
     "q_text_tfidf_mllib": q_text_tfidf_mllib,  # rows-only
+    "q_pandas_asof_cogroup": q_pandas_asof_cogroup,
+    "q_pandas_gmean": q_pandas_gmean,
 }
 
 ORACLE = {
@@ -80,5 +175,17 @@ ORACLE = {
         "SELECT event_id, user_id, "
         "round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore "
         "FROM events WINDOW w AS (PARTITION BY user_id)"
+    ),
+    "q_pandas_asof_cogroup": (
+        "SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us, "
+        "max(epoch_us(c.ts)) AS prior_click_us "
+        "FROM events p LEFT JOIN events c "
+        "  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts "
+        "WHERE p.event_type = 'purchase' "
+        "GROUP BY p.user_id, p.event_id, p.ts"
+    ),
+    "q_pandas_gmean": (
+        "SELECT lang, round(exp(avg(ln(n_chars))), 4) AS gmean_chars "
+        "FROM documents WHERE n_chars > 0 GROUP BY lang"
     ),
 }
