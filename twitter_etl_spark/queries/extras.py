@@ -120,9 +120,32 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` ≡ SQL ``IS NOT DISTINCT
+    FROM``): NULL keys match each other instead of vanishing — the
+    semantics NULL-able dimension keys need. Key is
+    ``nullif(n_regionkey, 0)`` so the fixture actually exercises the
+    NULL-matches-NULL branch. Still a hash join: null-safe equality
+    is a valid equi key (nulls hash to one bucket)."""
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.expr("nullif(n_regionkey, 0)").alias("rk")
+    )
+    a = n.select(F.col("n_nationkey").alias("nk_a"), F.col("rk").alias("rk_a"))
+    b = n.select(F.col("n_nationkey").alias("nk_b"), F.col("rk").alias("rk_b"))
+    return (
+        a.join(b, a["rk_a"].eqNullSafe(b["rk_b"]) & (a["nk_a"] < b["nk_b"]))
+        .select(
+            "nk_a",
+            "nk_b",
+            F.coalesce("rk_a", F.lit(-1)).alias("region_or_null"),
+        )
+    )
+
+
 QUERIES = {
     "q_agg_percentile": q_agg_percentile,
     "q_agg_argmax": q_agg_argmax,
+    "q_join_nullsafe": q_join_nullsafe,
     "q_join_rangedate": q_join_rangedate,
     "q_agg_pivot": q_agg_pivot,
     "q_fn_posexplode": q_fn_posexplode,
@@ -133,6 +156,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_join_nullsafe": (
+        "WITH n AS (SELECT n_nationkey, nullif(n_regionkey, 0) AS rk "
+        "           FROM nation) "
+        "SELECT a.n_nationkey AS nk_a, b.n_nationkey AS nk_b, "
+        "coalesce(a.rk, -1) AS region_or_null "
+        "FROM n a JOIN n b ON a.rk IS NOT DISTINCT FROM b.rk "
+        "AND a.n_nationkey < b.n_nationkey"
+    ),
     "q_join_salted": (
         "SELECT c_mktsegment, count(*)::BIGINT AS n_orders, "
         "round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE, 2) AS revenue "
