@@ -182,3 +182,30 @@ def test_robust_ndjson_quarantines_malformed_lines(spark):
     quarantined = [r["_corrupt_record"] for r in bad.collect()]
     assert len(quarantined) == 2
     assert "not json at all" in quarantined
+
+
+def test_training_shard_export_deterministic(spark):
+    """Shard assignment is content-keyed: two exports produce
+    identical shard membership, every row lands in exactly one
+    shard, and each shard directory holds one data file."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.sinks import export_training_shards
+    from twitter_etl_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    d1 = os.path.join(tempfile.mkdtemp(), "shards1")
+    d2 = os.path.join(tempfile.mkdtemp(), "shards2")
+    export_training_shards(docs, d1, "doc_id", n_shards=4)
+    export_training_shards(docs, d2, "doc_id", n_shards=4)
+    r1 = spark.read.parquet(d1).select("doc_id", "shard")
+    r2 = spark.read.parquet(d2).select("doc_id", "shard")
+    assert r1.count() == docs.count()
+    assert r1.subtract(r2).count() == 0 and r2.subtract(r1).count() == 0
+    assert r1.select("shard").distinct().count() == 4
+    for shard_dir in (p for p in os.listdir(d1) if p.startswith("shard=")):
+        files = [
+            f for f in os.listdir(os.path.join(d1, shard_dir))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, shard_dir

@@ -180,6 +180,32 @@ def drop_partitions_older_than(
     return dropped
 
 
+def export_training_shards(
+    df: DataFrame, path: str, key_col: str, n_shards: int = 8
+) -> None:
+    """Deterministic content-keyed shard export — the final step of
+    a training-data pipeline. Shard = md5-bucket(key) % n_shards, so
+    the same document lands in the same shard on every run and every
+    cluster layout (no RNG, no task-order dependence — downstream
+    data loaders can cache/resume per shard). ``repartition`` on the
+    shard id makes each task own exactly one shard, so each
+    ``shard=N/`` directory holds one file; readers get
+    partition-pruned access to any shard subset."""
+    from pyspark.sql import functions as F
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    )
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def append_jdbc(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:
     """Optional JDBC write-through (reference: DBI/RSQLite,
     ``main.R:117``). Parquet is the native sink; this exists for
