@@ -209,3 +209,24 @@ def test_training_shard_export_deterministic(spark):
             if f.endswith(".parquet")
         ]
         assert len(files) == 1, shard_dir
+
+
+def test_versioned_publish_atomic_pointer(spark):
+    """Snapshot publish: each publish creates an immutable v=N,
+    _LATEST always resolves to a complete snapshot, and old
+    versions stay readable (time travel)."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.sinks import publish_version, read_version
+    from twitter_etl_spark.tables import table
+
+    d = os.path.join(tempfile.mkdtemp(), "versioned")
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    v1 = publish_version(docs.filter(F.col("lang") == "es"), d)
+    v2 = publish_version(docs, d)
+    assert (v1, v2) == (1, 2)
+    assert read_version(spark, d).count() == docs.count()  # latest = v2
+    assert read_version(spark, d, 1).count() == docs.filter(
+        F.col("lang") == "es"
+    ).count()
+    assert open(os.path.join(d, "_LATEST")).read() == "2"

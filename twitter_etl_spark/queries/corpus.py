@@ -354,6 +354,60 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# md5-SimHash width: 60 bits = 15 hex chars — the widest md5 prefix
+# that fits a signed 64-bit int exactly in BOTH engines (16 chars
+# can set bit 63 and overflow the signed cast).
+_SIMHASH_MD5_BITS = 60
+
+
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-certified SimHash: identical shape to the xxhash64
+    fingerprint (``q_dedup_simhash``) but the per-token hash is a
+    60-bit md5 prefix, so the bit votes — and the fingerprint — are
+    engine-independent and DuckDB-checkable. Emitted as a 60-char
+    bit string (type-safe: no signed-overflow corner at the top
+    bit). Same linear cost: one explode + one 60-vote agg."""
+    d = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("token")).withColumn(
+        "h", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(_SIMHASH_MD5_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(_SIMHASH_MD5_BITS - 1, -1, -1)
+        ]
+    )
+    return per_doc.select("doc_id", bits.alias("simhash_bits"))
+
+
+def _simhash_md5_sql() -> str:
+    n = _SIMHASH_MD5_BITS
+    votes = ", ".join(
+        f"sum(CASE WHEN ((hv >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(n)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(n - 1, -1, -1)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents), "
+        "h AS (SELECT doc_id, "
+        "(('0x' || substr(md5(token), 1, 15))::UBIGINT)::BIGINT AS hv FROM t), "
+        f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, {bits} AS simhash_bits FROM v"
+    )
+
+
 def q_sample_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the split is assigned by
     hashing the NORMALIZED-text digest (the dup-cluster key), not
@@ -383,6 +437,7 @@ QUERIES = {
     "q_sim_quantize": q_sim_quantize,
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_sample_leakage_safe": q_sample_leakage_safe,
+    "q_dedup_simhash_md5": q_dedup_simhash_md5,
 }
 
 def _leakage_safe_sql() -> str:
@@ -492,6 +547,7 @@ ORACLE = {
         "FROM s WHERE scale > 0"
     ),
     "q_sample_leakage_safe": _LEAKAGE_SAFE_SQL,
+    "q_dedup_simhash_md5": _simhash_md5_sql(),
     "q_text_corpus_stopwords": (
         "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks "
         "           FROM documents), "

@@ -180,6 +180,40 @@ def drop_partitions_older_than(
     return dropped
 
 
+def publish_version(df: DataFrame, table_dir: str) -> int:
+    """Atomic snapshot publish on plain parquet: write the full new
+    snapshot to an immutable ``v=N`` directory, then flip a
+    ``_LATEST`` pointer file with ``os.replace`` (atomic on POSIX).
+    Readers resolve the pointer first, so they see either the old or
+    the new snapshot in full — never a half-written directory (the
+    failure mode ADVICE flagged in the in-place compaction swap).
+    Old versions stay readable (time travel) until explicitly
+    dropped; this is the pointer-flip core of what table formats'
+    commit protocols do. Returns the published version number."""
+    os.makedirs(table_dir, exist_ok=True)
+    versions = [
+        int(p.split("=")[1])
+        for p in os.listdir(table_dir)
+        if p.startswith("v=")
+    ]
+    nxt = max(versions, default=0) + 1
+    df.write.mode("errorifexists").parquet(os.path.join(table_dir, f"v={nxt}"))
+    tmp = os.path.join(table_dir, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, os.path.join(table_dir, "_LATEST"))
+    return nxt
+
+
+def read_version(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
+    """Read a published snapshot: the ``_LATEST`` pointer by
+    default, or any retained ``v=N`` for time travel."""
+    if version is None:
+        with open(os.path.join(table_dir, "_LATEST")) as f:
+            version = int(f.read().strip())
+    return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
+
+
 def export_training_shards(
     df: DataFrame, path: str, key_col: str, n_shards: int = 8
 ) -> None:
