@@ -470,3 +470,56 @@ def test_stateful_running_totals_across_batches(spark):
     # user 1's state carried over: 2+1 events, 15+2.5 total
     assert latest[1] == (3, 17.5)
     assert latest[3] == (1, 7.0)
+
+
+def test_transform_with_state_processor_across_batches(spark):
+    """Spark-4 StatefulProcessor (transformWithStateInPandas):
+    ValueState + MapState both survive a checkpointed restart and
+    keep accumulating, on the RocksDB state store."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    # the TWS state-server protocol speaks protobuf from a separate
+    # python worker; without a working protobuf install the worker
+    # crashes at init (verified: ImportError google.protobuf.descriptor)
+    pytest.importorskip("google.protobuf.descriptor")
+    from twitter_etl_spark.streaming.tws import running_user_activity
+
+    base = tempfile.mkdtemp()
+    d, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    os.makedirs(d)
+
+    def ev(i, user, typ, v):
+        return {"event_id": i, "ts": "2024-01-01T00:00:0%d" % (i % 10),
+                "user_id": user, "event_type": typ, "value": v}
+
+    def run():
+        q = (
+            running_user_activity(_events_stream(spark, d))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).collect()
+
+    with open(os.path.join(d, "f1.json"), "w") as f:
+        for r in [ev(1, 1, "view", 10.0), ev(2, 1, "view", 5.0),
+                  ev(3, 1, "click", 1.0), ev(4, 2, "view", 2.0)]:
+            f.write(json.dumps(r) + "\n")
+    out1 = {r["user_id"]: r for r in run()}
+    assert (out1[1]["n_events"], out1[1]["total_value"]) == (3, 16.0)
+    assert (out1[1]["n_types"], out1[1]["top_type"]) == (2, "view")
+    assert out1[2]["n_events"] == 1
+
+    with open(os.path.join(d, "f2.json"), "w") as f:
+        for r in [ev(5, 1, "click", 2.0), ev(6, 1, "click", 3.0)]:
+            f.write(json.dumps(r) + "\n")
+    rows2 = [r for r in run() if r["user_id"] == 1]
+    latest = max(rows2, key=lambda r: r["n_events"])
+    # carried over: 3+2 events, 16+5 value; click now ties view at
+    # 3 -> lexicographic tie-break picks 'click'
+    assert (latest["n_events"], latest["total_value"]) == (5, 21.0)
+    assert (latest["n_types"], latest["top_type"]) == (2, "click")

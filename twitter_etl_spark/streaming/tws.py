@@ -1,0 +1,107 @@
+"""Arbitrary stateful streaming via ``transformWithStateInPandas``
+(Spark 4's StatefulProcessor API — SURVEY.md §2.5 [EXT]).
+
+Where ``applyInPandasWithState`` gives one opaque state tuple per
+key (``stateful.py``), the Spark-4 processor API gives TYPED,
+composable state primitives per key — here a ``ValueState`` for the
+running (count, sum) and a ``MapState`` for per-event-type counts —
+each independently checkpointed, plus timers/TTL for state expiry.
+This is the API a 100 TB streaming job wants: state lives in the
+RocksDB state store (spillable, changelog-checkpointed, not
+heap-bound), and per-key state size stays O(#distinct event types).
+
+The demonstrator keeps per-user running totals AND the per-type
+breakdown, emitting one row per user per batch. Restart recovery is
+tested with two bounded runs over one checkpoint
+(``tests/test_streaming.py``) — the test self-skips where the TWS
+state-server protocol's ``google.protobuf`` dependency is absent
+(this container ships a broken protobuf; the worker crashes at
+init). The ``applyInPandasWithState`` twin (``stateful.py``)
+carries the always-runnable stateful coverage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("top_type", T.StringType()),
+    ]
+)
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class UserActivityProcessor(StatefulProcessor):
+    """Per-user running totals (ValueState) + per-event-type counts
+    (MapState). The exact running sum stays in state; rounding only
+    on emit (no cross-batch drift)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+        self._by_type = handle.getMapState(
+            "by_type", "event_type STRING", "c BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            for t, c in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._by_type.getValue((t,))[0]
+                    if self._by_type.containsKey((t,))
+                    else 0
+                )
+                self._by_type.updateValue((t,), (prev + int(c),))
+        self._totals.update((n, total))
+        per_type = {k[0]: v[0] for k, v in self._by_type.iterator()}
+        # deterministic top type: max count, then lexicographic
+        top = sorted(per_type.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "n_types": [len(per_type)],
+                "top_type": [top],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_activity(stream: DataFrame) -> DataFrame:
+    """Per-user running totals + event-type breakdown across ALL
+    batches via the Spark-4 StatefulProcessor. Requires the RocksDB
+    state store (set here; it is the store this API — and any
+    at-scale stateful job — is designed for)."""
+    from ..session import ship_package_to_executors
+
+    spark = stream.sparkSession
+    ship_package_to_executors(spark)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserActivityProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
