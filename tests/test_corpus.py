@@ -264,3 +264,26 @@ def test_csv_source_roundtrip(spark):
     nation = table(spark, SF_SMOKE, "nation")
     assert back.schema == nation.schema  # explicit schema, no inference
     assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_curate_and_shard_end_to_end(spark):
+    """The composed curation pipeline: dedup keeps one copy per
+    normalized text, duplicates co-travel into one split, shard
+    dirs exist per split, and counts reconcile."""
+    from twitter_etl_spark.curation import curate, curate_and_shard
+    from twitter_etl_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    curated = curate(docs)
+    n = curated.count()
+    assert 0 < n <= docs.count()
+    assert curated.select("norm_digest").distinct().count() == n  # deduped
+    out = os.path.join(tempfile.mkdtemp(), "corpus")
+    counts = curate_and_shard(docs, out, n_shards=2)
+    assert sum(counts.values()) == n
+    for split, c in counts.items():
+        if c == 0:
+            continue
+        back = spark.read.parquet(os.path.join(out, split))
+        assert back.count() == c
+        assert back.select("shard").distinct().count() <= 2

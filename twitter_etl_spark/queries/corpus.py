@@ -429,6 +429,20 @@ def q_sample_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation summary: per-split document counts after
+    normalize → keep-first exact dedup → quality gate → leakage-safe
+    split (:mod:`twitter_etl_spark.curation` — the whole pipeline as
+    one oracle-checkable query)."""
+    from ..curation import curate
+
+    curated = curate(table(spark, sf_dir, "documents"))
+    return curated.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("norm_digest").alias("n_unique"),
+    )
+
+
 QUERIES = {
     "q_dedup_cluster": q_dedup_cluster,
     "q_dedup_cluster_stats": q_dedup_cluster_stats,
@@ -438,7 +452,27 @@ QUERIES = {
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_sample_leakage_safe": q_sample_leakage_safe,
     "q_dedup_simhash_md5": q_dedup_simhash_md5,
+    "q_llm_curation": q_llm_curation,
 }
+
+def _llm_curation_sql() -> str:
+    from ..cleaning import sql_clean_chain
+    from .sampling import _sql_bucket
+
+    clean = sql_clean_chain("text")
+    bucket = _sql_bucket("dg")
+    return (
+        f"WITH d AS (SELECT md5({clean}) AS dg, {clean} AS nm FROM documents), "
+        # norm is identical within a digest group; min() is just a picker
+        "g AS (SELECT dg, min(nm) AS nm FROM d GROUP BY dg), "
+        "q AS (SELECT dg FROM g "
+        "      WHERE len(string_split_regex(trim(nm), '\\s+')) >= 3), "
+        f"s AS (SELECT dg, CASE WHEN {bucket} < 80 THEN 'train' "
+        f"WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split FROM q) "
+        "SELECT split, count(*)::BIGINT AS n_docs, "
+        "count(DISTINCT dg)::BIGINT AS n_unique FROM s GROUP BY split"
+    )
+
 
 def _leakage_safe_sql() -> str:
     from ..cleaning import sql_clean_chain
@@ -548,6 +582,7 @@ ORACLE = {
     ),
     "q_sample_leakage_safe": _LEAKAGE_SAFE_SQL,
     "q_dedup_simhash_md5": _simhash_md5_sql(),
+    "q_llm_curation": _llm_curation_sql(),
     "q_text_corpus_stopwords": (
         "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks "
         "           FROM documents), "
