@@ -25,6 +25,7 @@ from . import (
     extras,
     incremental,
     joins,
+    llmprep,
     multimodal_q,
     pandas_udfs,
     ref_parity,
@@ -66,6 +67,7 @@ _MODULES = (
     extras,
     pandas_udfs,
     tpch,
+    llmprep,
 )
 
 ALL_QUERIES: dict = {}

@@ -1,0 +1,401 @@
+"""LLM training-data preparation operators (SURVEY.md §2.6 [EXT]).
+
+The round-2/3 corpus family covers dedup / similarity / quality
+scoring; this module adds the remaining steps a pretraining data
+pipeline runs between "curated documents" and "tensors on GPUs":
+
+- **sequence packing** (``q_pack_sequences``): concat-and-chunk
+  packing of documents into fixed-size context windows — the step
+  that turns a corpus into training examples. Expressed as a
+  *partitioned* running sum (window per ``source`` shard), so at
+  100 TB each shard packs independently: no global sort, no driver
+  loop, one shuffle on the shard key.
+- **RAG chunking** (``q_text_chunk_overlap``): overlapping token
+  windows per document — a pure per-row projection
+  (``sequence`` + ``slice`` + ``explode``), no shuffle at all.
+- **BM25 scoring** (``q_text_bm25``): the classic retrieval score
+  for a fixed query-term set. One corpus pass computes per-doc term
+  frequencies JVM-side (``filter`` higher-order function — no
+  explode, no per-term shuffle); corpus statistics (N, avgdl, df)
+  reduce to ONE row and broadcast back, so the big side is touched
+  exactly once.
+- **Gopher-style quality gates** (``q_quality_gopher``): the
+  published repetition/length/symbol rule family as integer-exact
+  per-row flags + one aggregation, mirroring Rae et al. 2021
+  (Gopher) §A1.1 rules re-expressed over the fixture schema.
+
+Plus two warehouse staples the inventory still lacked:
+
+- **SCD2 history build** (``q_scd2_history``): change-point
+  compaction of an event log into validity intervals (lag/lead
+  windows partitioned by the entity key — scales with users, not
+  with total events).
+- **skew diagnostics** (``q_skew_diagnose``): the operational query
+  you run *before* choosing a join strategy at 100 TB — per-key
+  frequency of the heaviest keys and their ratio to the mean.
+
+Reference parity: the reference (main.R) has no packing/retrieval
+surface; these are [EXT] rows mandated by the driver contract's
+large-scale-training-pipeline clause. Cross-engine notes: all
+floats rounded at 6 (transcendental) / 4 (ratios); BM25 per-term
+scores are combined in a FIXED left-to-right order on both engines
+(sum order over grouped doubles is engine-dependent otherwise);
+chunk text compared as md5; empty array_join coalesced (DuckDB
+``array_to_string([])`` is NULL, Spark ``array_join`` is '').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+#: context window (tokens) for sequence packing — small enough that
+#: sf0.01 fixture docs produce multi-pack shards, structurally
+#: identical to a 2k/8k window at scale.
+PACK_CTX = 512
+
+#: RAG chunk geometry: window of 32 tokens, stride 24 (8 overlap).
+CHUNK_W = 32
+CHUNK_S = 24
+
+#: BM25 hyperparameters (Robertson/Sparck Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: fixed query-term set for the BM25 demo (fixture vocabulary).
+BM25_TERMS = ("spark", "error", "fast")
+
+
+def _tokens():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def _eq_term(term: str):
+    # single-arg closure: a two-param lambda would be read by PySpark
+    # as an (element, index) higher-order function
+    return lambda x: x == F.lit(term)
+
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each ``source``
+    shard, documents are laid end-to-end in ``doc_id`` order and cut
+    every ``PACK_CTX`` tokens; a document belongs to the pack where
+    its first token lands. Output: one row per (shard, pack) with
+    doc and token counts.
+
+    Scale: the window is PARTITIONED by ``source`` — each shard
+    packs independently after one hash shuffle on the shard key; no
+    global ordering exists anywhere in the plan. At 100 TB you pack
+    per input shard/file exactly like this (pack boundaries crossing
+    shard boundaries are not wanted: shards are the unit of
+    shuffling at training time).
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(_tokens()).alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tok").over(w)
+    packed = d.select(
+        "source",
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / PACK_CTX).alias("pack_id"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping RAG chunks: token windows of ``CHUNK_W`` with
+    stride ``CHUNK_S`` per document. Pure projection + explode —
+    embarrassingly parallel, zero shuffle; chunk text returned as
+    md5 so the output stays skinny."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(CHUNK_S)
+    )
+    d = d.select("doc_id", "t", F.explode(starts).alias("start"))
+    chunk = F.slice("t", F.col("start"), F.lit(CHUNK_W))
+    return d.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_S).cast("bigint").alias("chunk_ix"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.coalesce(F.array_join(chunk, " "), F.lit(""))).alias(
+            "chunk_md5"
+        ),
+    )
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the fixed query ``BM25_TERMS``.
+
+    One pass over documents computes dl and per-term tf JVM-side via
+    the ``filter`` higher-order function (conditional per-row scan
+    of the token array — no explode, so no |doc|×|vocab| blow-up and
+    no shuffle on the word key). Corpus stats (N, avgdl, df per
+    term) aggregate that same pass down to ONE row, broadcast back
+    with a crossJoin. Per-term idf×tf components are summed in
+    fixed left-to-right term order (float-sum order is part of the
+    cross-engine contract), rounded at 6.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    per_doc = d.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        *[
+            F.size(F.filter("t", _eq_term(term))).alias(f"tf_{i}")
+            for i, term in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}")
+        denom = tf + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return idf * tf * (BM25_K1 + 1.0) / denom
+
+    score = term_score(0)
+    for i in range(1, len(BM25_TERMS)):
+        score = score + term_score(i)
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule family (Rae et al. 2021, §A1.1),
+    re-expressed over the fixture schema with INTEGER-exact flags
+    (mean-word-length bounds become ``3n ≤ Σlen ≤ 10n`` — no float
+    division anywhere, so the hash compare is arithmetic-free):
+
+    - r_words:   10 ≤ word count ≤ 1000
+    - r_wordlen: mean word length in [3, 10]
+    - r_symbol:  non-alphanumeric, non-space chars ≤ 10% of chars
+    - r_stop:    ≥ 2 occurrences of common English stopwords
+
+    Per-row flags aggregate to one row per source: map-side partial
+    counts, one tiny shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_words = F.size(toks)
+    sum_len = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9 ]", "")
+    )
+    n_stop = F.size(
+        F.filter(
+            toks,
+            lambda x: x.isin("the", "a", "of", "and", "is", "in", "to"),
+        )
+    )
+    flags = d.select(
+        "source",
+        ((n_words >= 10) & (n_words <= 1000)).cast("bigint").alias("r_words"),
+        ((sum_len >= 3 * n_words) & (sum_len <= 10 * n_words))
+        .cast("bigint")
+        .alias("r_wordlen"),
+        (10 * n_sym <= n_chars).cast("bigint").alias("r_symbol"),
+        (n_stop >= 2).cast("bigint").alias("r_stop"),
+    )
+    pass_all = (
+        (F.col("r_words") == 1)
+        & (F.col("r_wordlen") == 1)
+        & (F.col("r_symbol") == 1)
+        & (F.col("r_stop") == 1)
+    ).cast("bigint")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("r_words").alias("n_words_ok"),
+        F.sum("r_wordlen").alias("n_wordlen_ok"),
+        F.sum("r_symbol").alias("n_symbol_ok"),
+        F.sum("r_stop").alias("n_stop_ok"),
+        F.sum(pass_all).alias("n_pass_all"),
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) build from the event
+    log: per user, keep only rows where ``event_type`` CHANGED from
+    the previous event (change-point compaction), then derive
+    validity intervals ``[valid_from, valid_to)`` with lead; the
+    open interval marks the current state.
+
+    Scale: both windows are partitioned by ``user_id`` — one hash
+    shuffle on the entity key, per-user local sorts; never a global
+    sort and never an events×events join. Timestamps emitted as
+    epoch microseconds (sub-second parquet timestamps diverge under
+    float-seconds comparison)."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    changed = e.withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    ).where(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    return changed.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w2).alias("version"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
+        F.lead("ts").over(w2).isNull().cast("bigint").alias("is_current"),
+    )
+
+
+def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew report: the 10 heaviest ``l_suppkey`` keys in
+    lineitem with their frequency ratio vs the mean key frequency —
+    the number that decides broadcast/salt/AQE-skew-join strategy.
+    Two cheap aggregations (key counts, then a 1-row mean broadcast
+    back); top-10 compiles to TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    mean = counts.agg(F.avg("n").alias("mean_n"))
+    return (
+        counts.crossJoin(F.broadcast(mean))
+        .select(
+            "l_suppkey",
+            "n",
+            F.round(F.col("n") / F.col("mean_n"), 4).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n"), "l_suppkey")
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "q_pack_sequences": q_pack_sequences,
+    "q_text_chunk_overlap": q_text_chunk_overlap,
+    "q_text_bm25": q_text_bm25,
+    "q_quality_gopher": q_quality_gopher,
+    "q_scd2_history": q_scd2_history,
+    "q_skew_diagnose": q_skew_diagnose,
+}
+
+_PER_DOC_BM25 = (
+    "SELECT doc_id, len(" + _SQL_TOKENS + ") AS dl, "
+    + ", ".join(
+        "len(list_filter(" + _SQL_TOKENS + ", x -> x = '%s')) AS tf_%d"
+        % (term, i)
+        for i, term in enumerate(BM25_TERMS)
+    )
+    + " FROM documents"
+)
+
+_BM25_SCORE = " + ".join(
+    "ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * tf_{i} * "
+    "({k1} + 1.0) / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl))".format(
+        i=i, k1=BM25_K1, b=BM25_B
+    )
+    for i in range(len(BM25_TERMS))
+)
+
+ORACLE = {
+    "q_pack_sequences": (
+        "WITH toks AS (SELECT source, doc_id, "
+        "len(" + _SQL_TOKENS + ") AS n_tok FROM documents), "
+        "packed AS (SELECT source, n_tok, "
+        "floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tok) / %d)::BIGINT AS pack_id "
+        "FROM toks) "
+        "SELECT source, pack_id, count(*) AS n_docs, "
+        "sum(n_tok) AS n_tokens FROM packed GROUP BY source, pack_id"
+        % PACK_CTX
+    ),
+    "q_text_chunk_overlap": (
+        "WITH toks AS (SELECT doc_id, " + _SQL_TOKENS + " AS t "
+        "FROM documents), "
+        "chunks AS (SELECT doc_id, t, unnest(generate_series(1, "
+        "greatest(len(t), 1), %(s)d)) AS start FROM toks) "
+        "SELECT doc_id, ((start - 1) / %(s)d)::BIGINT AS chunk_ix, "
+        "len(t[start : start + %(wm1)d]) AS n_chunk_tokens, "
+        "md5(coalesce(array_to_string(t[start : start + %(wm1)d], ' '), "
+        "'')) AS chunk_md5 FROM chunks"
+        % {"s": CHUNK_S, "wm1": CHUNK_W - 1}
+    ),
+    "q_text_bm25": (
+        "WITH per_doc AS (" + _PER_DOC_BM25 + "), "
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, "
+        + ", ".join(
+            "sum((tf_%d > 0)::BIGINT) AS df_%d" % (i, i)
+            for i in range(len(BM25_TERMS))
+        )
+        + " FROM per_doc) "
+        "SELECT doc_id, round(" + _BM25_SCORE + ", 6) AS bm25 "
+        "FROM per_doc CROSS JOIN stats "
+        "WHERE round(" + _BM25_SCORE + ", 6) > 0 "
+        "ORDER BY bm25 DESC, doc_id LIMIT 20"
+    ),
+    "q_quality_gopher": (
+        "WITH flags AS (SELECT source, "
+        "(len(" + _SQL_TOKENS + ") BETWEEN 10 AND 1000)::BIGINT "
+        "AS r_words, "
+        "(length(regexp_replace(trim(text), '\\s+', '', 'g')) "
+        "BETWEEN 3 * len(" + _SQL_TOKENS + ") "
+        "AND 10 * len(" + _SQL_TOKENS + "))::BIGINT AS r_wordlen, "
+        "(10 * (length(text) - length(regexp_replace(text, "
+        "'[^A-Za-z0-9 ]', '', 'g'))) <= length(text))::BIGINT AS r_symbol, "
+        "(len(list_filter(" + _SQL_TOKENS + ", x -> x IN "
+        "('the', 'a', 'of', 'and', 'is', 'in', 'to'))) >= 2)::BIGINT "
+        "AS r_stop FROM documents) "
+        "SELECT source, count(*) AS n_docs, sum(r_words) AS n_words_ok, "
+        "sum(r_wordlen) AS n_wordlen_ok, sum(r_symbol) AS n_symbol_ok, "
+        "sum(r_stop) AS n_stop_ok, "
+        "sum((r_words = 1 AND r_wordlen = 1 AND r_symbol = 1 "
+        "AND r_stop = 1)::BIGINT) AS n_pass_all "
+        "FROM flags GROUP BY source"
+    ),
+    "q_scd2_history": (
+        "WITH marked AS (SELECT user_id, ts, event_type, "
+        "lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_type) AS prev_type FROM events), "
+        "changed AS (SELECT user_id, ts, event_type FROM marked "
+        "WHERE prev_type IS NULL OR prev_type <> event_type) "
+        "SELECT user_id, event_type, "
+        "row_number() OVER w AS version, "
+        "epoch_us(ts)::BIGINT AS valid_from_us, "
+        "epoch_us(lead(ts) OVER w)::BIGINT AS valid_to_us, "
+        "(lead(ts) OVER w IS NULL)::BIGINT AS is_current "
+        "FROM changed WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts, event_type)"
+    ),
+    "q_skew_diagnose": (
+        "WITH counts AS (SELECT l_suppkey, count(*) AS n "
+        "FROM lineitem GROUP BY l_suppkey), "
+        "mean AS (SELECT avg(n) AS mean_n FROM counts) "
+        "SELECT l_suppkey, n, round(n / mean_n, 4) AS skew_ratio "
+        "FROM counts CROSS JOIN mean "
+        "ORDER BY n DESC, l_suppkey LIMIT 10"
+    ),
+}
