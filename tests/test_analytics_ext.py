@@ -1,0 +1,134 @@
+"""Semantic + plan tests for the time-series / graph / data-quality
+operator families (``timeseries.py``, ``graph.py``, ``dq.py``).
+Oracle parity is the harness's job; here we pin invariants and the
+scale posture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_etl_spark.queries import dq, graph, timeseries
+from twitter_etl_spark.tables import table
+
+from conftest import SF_ORACLE, SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- time series --------------------------------------------------------------
+
+
+def test_gapfill_grid_complete_and_conserves(spark):
+    e = table(spark, SF_ORACLE, "events")
+    n_events = e.count()
+    n_types = e.select("event_type").distinct().count()
+    out = timeseries.q_ts_gapfill(spark, SF_ORACLE).collect()
+    days = {r.day for r in out}
+    assert len(out) == n_types * len(days)  # dense grid
+    assert sum(r.n for r in out) == n_events  # zero-fill adds nothing
+    assert any(r.n == 0 for r in out) or n_events >= len(out)
+
+
+def test_locf_carries_forward(spark):
+    rows = timeseries.q_ts_locf(spark, SF_ORACLE).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    carried = 0
+    for urows in by_user.values():
+        urows.sort(key=lambda r: r.day)
+        last = None
+        for r in urows:
+            if r.is_observed:
+                last = r.value_filled
+            else:
+                assert r.value_filled == last  # LOCF, incl. leading None
+                carried += r.value_filled is not None
+    assert carried > 0  # the fixture has gaps that actually fill
+
+
+def test_ohlc_bounds(spark):
+    rows = timeseries.q_ts_resample_ohlc(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.high
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+
+
+def test_ohlc_is_hash_agg_not_window(spark):
+    p = _plan(timeseries.q_ts_resample_ohlc(spark, SF_SMOKE))
+    assert "Window" not in p  # min_by/max_by agg, no event-stream sort
+
+
+def test_locf_window_partitioned_by_user(spark):
+    p = _plan(timeseries.q_ts_locf(spark, SF_SMOKE))
+    assert "hashpartitioning(user_id" in p
+
+
+# -- graph --------------------------------------------------------------------
+
+
+def test_triangles_degree_ordered_equals_naive(spark):
+    # cross-validate the O(m^1.5) algorithm against the naive
+    # a<b<c three-way join on the small fixture
+    fast = graph.q_graph_triangles(spark, SF_SMOKE).first()[0]
+    e = graph._edges(spark, SF_SMOKE)
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    naive = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    assert fast == naive
+    assert fast > 0  # fixture co-purchase graph has triangles
+
+
+def test_degree_report_ordered(spark):
+    rows = graph.q_graph_degree(spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    degs = [r.degree for r in rows]
+    assert degs == sorted(degs, reverse=True)
+
+
+def test_pagerank_symmetric_cliques_converge_equal(spark):
+    # nation graph = same-size cliques: by symmetry every node's
+    # fixed-point rank is identical, and ~PR_SCALE (conservation)
+    rows = graph.q_graph_pagerank(spark, SF_ORACLE).collect()
+    assert len(rows) == 25
+    ranks = {r.rank_fp for r in rows}
+    assert len(ranks) == 1
+    (r,) = ranks
+    assert abs(r - graph.PR_SCALE) <= graph.PR_SCALE // 10**6
+
+
+# -- data quality -------------------------------------------------------------
+
+
+def test_dq_report_contents(spark):
+    out = {r.check_name: r for r in dq.q_dq_checks(spark, SF_ORACLE).collect()}
+    assert set(out) == {
+        "not_null_o_custkey",
+        "unique_o_orderkey",
+        "accepted_values_o_orderstatus",
+        "range_l_discount_policy",
+        "positive_l_quantity",
+        "ref_lineitem_orderkey",
+    }
+    # generator invariants hold...
+    assert out["not_null_o_custkey"].n_violations == 0
+    assert out["unique_o_orderkey"].n_violations == 0
+    assert out["ref_lineitem_orderkey"].n_violations == 0
+    # ...and the deliberately-tight policy checks catch real rows
+    assert out["range_l_discount_policy"].n_violations > 0
+    assert out["accepted_values_o_orderstatus"].n_violations > 0
+
+
+def test_fuzzy_match_blocked_and_bounded(spark):
+    out = dq.q_er_fuzzy_blocked(spark, SF_ORACLE)
+    rows = out.collect()
+    assert rows
+    assert all(r.custkey_a < r.custkey_b and r.lev_dist <= 2 for r in rows)
+    p = _plan(out)
+    # equi-anchored on the block key — never a nested-loop all-pairs
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p

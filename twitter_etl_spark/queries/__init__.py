@@ -22,6 +22,8 @@ from . import (
     corpus,
     decontam,
     dedup,
+    dq,
+    graph,
     extras,
     incremental,
     joins,
@@ -36,6 +38,7 @@ from . import (
     sortset,
     streaming_batch,
     text,
+    timeseries,
     tpch,
     windows,
 )
@@ -68,6 +71,9 @@ _MODULES = (
     pandas_udfs,
     tpch,
     llmprep,
+    timeseries,
+    graph,
+    dq,
 )
 
 ALL_QUERIES: dict = {}

@@ -1,0 +1,161 @@
+"""Data-quality and entity-resolution operators (SURVEY.md §2 [EXT]).
+
+- **constraint checker** (``q_dq_checks``): the dbt-test /
+  Deequ-style validation report — not-null, uniqueness,
+  accepted-values, referential integrity, numeric range — emitted
+  as one row per check with its violation count. Per-table checks
+  collapse into ONE conditional aggregation per table (a naive
+  check-per-scan runs the 100 TB scan k times; this runs it once),
+  plus one anti-join for the cross-table referential check.
+- **fuzzy entity matching** (``q_er_fuzzy_blocked``): candidate
+  duplicate customers via blocking (same nation) + Levenshtein ≤ 2
+  on the name. Blocked comparison is the classic ER shape: the
+  self-join is equi-anchored on the block key so comparisons are
+  quadratic only WITHIN a block; at 100 TB add a block-size cap or
+  sorted-neighborhood windowing (same guard family as the dedup
+  caps — see ``dedup.MAX_SHINGLE_DF``). Both engines implement
+  classic Levenshtein, so distances hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+#: policy bound for the discount range check (deliberately tighter
+#: than the generator's [0, 0.1] so the report shows real nonzero
+#: violation counts, not a wall of zeros).
+MAX_DISCOUNT_POLICY = 0.05
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation report: (check_name, n_violations, n_rows)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.isnull("o_custkey").cast("bigint")).alias(
+            "not_null_o_custkey"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "unique_o_orderkey"
+        ),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F")).cast("bigint")
+        ).alias("accepted_values_o_orderstatus"),
+    )
+    o_checks = o_agg.unpivot(
+        ids=["n_rows"],
+        values=[
+            "not_null_o_custkey",
+            "unique_o_orderkey",
+            "accepted_values_o_orderstatus",
+        ],
+        variableColumnName="check_name",
+        valueColumnName="n_violations",
+    )
+
+    l_agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (
+                (F.col("l_discount") < 0)
+                | (F.col("l_discount") > MAX_DISCOUNT_POLICY)
+            ).cast("bigint")
+        ).alias("range_l_discount_policy"),
+        F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias(
+            "positive_l_quantity"
+        ),
+    )
+    l_checks = l_agg.unpivot(
+        ids=["n_rows"],
+        values=["range_l_discount_policy", "positive_l_quantity"],
+        variableColumnName="check_name",
+        valueColumnName="n_violations",
+    )
+
+    orphans = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("n_rows")))
+        .select(
+            "n_rows",
+            F.lit("ref_lineitem_orderkey").alias("check_name"),
+            "n_violations",
+        )
+    )
+
+    return o_checks.unionByName(l_checks).unionByName(orphans).select(
+        "check_name", "n_violations", "n_rows"
+    )
+
+
+def q_er_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy match: same-nation customer pairs whose names
+    are within Levenshtein distance 2."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    b = (
+        c.withColumnRenamed("c_custkey", "custkey_b")
+        .withColumnRenamed("c_name", "name_b")
+    )
+    lev = F.levenshtein(F.col("c_name"), F.col("name_b"))
+    return (
+        c.join(b, "c_nationkey")
+        .where(F.col("c_custkey") < F.col("custkey_b"))
+        .where(lev <= 2)
+        .select(
+            F.col("c_custkey").alias("custkey_a"),
+            F.col("custkey_b"),
+            lev.alias("lev_dist"),
+        )
+    )
+
+
+QUERIES = {
+    "q_dq_checks": q_dq_checks,
+    "q_er_fuzzy_blocked": q_er_fuzzy_blocked,
+}
+
+ORACLE = {
+    "q_dq_checks": (
+        "WITH o_agg AS (SELECT count(*) AS n_rows, "
+        "sum((o_custkey IS NULL)::BIGINT) AS not_null_o_custkey, "
+        "count(*) - count(DISTINCT o_orderkey) AS unique_o_orderkey, "
+        "sum((o_orderstatus NOT IN ('O', 'F'))::BIGINT) "
+        "AS accepted_values_o_orderstatus FROM orders), "
+        "l_agg AS (SELECT count(*) AS n_rows, "
+        "sum((l_discount < 0 OR l_discount > %(d)s)::BIGINT) "
+        "AS range_l_discount_policy, "
+        "sum((l_quantity <= 0)::BIGINT) AS positive_l_quantity "
+        "FROM lineitem), "
+        "orphans AS (SELECT (SELECT count(*) FROM lineitem) AS n_rows, "
+        "'ref_lineitem_orderkey' AS check_name, count(*) AS n_violations "
+        "FROM lineitem l WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) "
+        "SELECT 'not_null_o_custkey' AS check_name, "
+        "not_null_o_custkey::BIGINT AS n_violations, n_rows FROM o_agg "
+        "UNION ALL SELECT 'unique_o_orderkey', "
+        "unique_o_orderkey::BIGINT, n_rows FROM o_agg "
+        "UNION ALL SELECT 'accepted_values_o_orderstatus', "
+        "accepted_values_o_orderstatus::BIGINT, n_rows FROM o_agg "
+        "UNION ALL SELECT 'range_l_discount_policy', "
+        "range_l_discount_policy::BIGINT, n_rows FROM l_agg "
+        "UNION ALL SELECT 'positive_l_quantity', "
+        "positive_l_quantity::BIGINT, n_rows FROM l_agg "
+        "UNION ALL SELECT check_name, n_violations::BIGINT, n_rows "
+        "FROM orphans" % {"d": MAX_DISCOUNT_POLICY}
+    ),
+    "q_er_fuzzy_blocked": (
+        "SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b, "
+        "levenshtein(a.c_name, b.c_name)::INT AS lev_dist "
+        "FROM customer a JOIN customer b "
+        "ON a.c_nationkey = b.c_nationkey "
+        "AND a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 2"
+    ),
+}

@@ -1,0 +1,197 @@
+"""Graph analytics over the relational tables (SURVEY.md §2 [EXT]).
+
+The co-purchase graph: nodes are parts, with an undirected edge
+between two parts iff they appear in the same order (per-order pair
+generation is bounded by order size, so edge construction is a
+self-join on ``l_orderkey`` that never goes quadratic in the table).
+
+- **degree** (``q_graph_degree``): top-20 hub parts by distinct
+  co-purchase partners.
+- **triangles** (``q_graph_triangles``): global triangle count via
+  the DEGREE-ORDERED node-iterator algorithm: orient every edge
+  from its lower-(degree, id) endpoint to the higher one, generate
+  wedges only at each triangle's minimum node, and close them
+  against the oriented edge set. Wedge count is O(m^1.5) instead of
+  O(sum deg²) — the difference between feasible and not at 100 TB
+  (the oracle states the naive 3-way join; the answer is identical,
+  each triangle counted exactly once at its minimum-ordered vertex).
+- **PageRank** (``q_graph_pagerank``): 3 unrolled iterations over
+  the nation adjacency (same-region cliques), damping 0.85, in
+  FIXED-POINT INTEGER arithmetic (ranks scaled by 10^12, integer
+  division): float summation order across engines is undefined, so
+  the cross-engine contract demands exact arithmetic. Each
+  iteration is one equi-join + one hash agg — the standard
+  iterate-as-dataflow shape (no driver-side state but the loop
+  counter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+#: fixed-point scale for PageRank ranks (1.0 == 10**12).
+PR_SCALE = 10**12
+PR_ITERS = 3
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (a < b by part id)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    b = li.withColumnRenamed("l_partkey", "p2")
+    return (
+        li.join(b, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+
+
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hub parts by co-purchase degree (distinct partners).
+    Edge build + one union + one hash agg; top-k compiles to
+    TakeOrderedAndProject."""
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node"))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy(F.desc("degree"), "node")
+        .limit(20)
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count, degree-ordered (see module docstring).
+
+    Orientation: edge {x, y} points from the endpoint with the
+    smaller (degree, id) key to the larger. Wedges are generated
+    per out-neighborhood — whose size the orientation bounds by
+    O(sqrt(m)) — and closed with one more equi-join against the
+    oriented edges."""
+    e = _edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    out = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    o1 = out.select(
+        F.col("src"), F.col("dst").alias("v"), F.col("dd").alias("dv")
+    )
+    o2 = out.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("dd").alias("dw")
+    )
+    wedges = o1.join(o2, "src").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closer = out.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closer, ["v", "w"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the nation same-region graph,
+    ``PR_ITERS`` unrolled iterations (see module docstring for the
+    integer-arithmetic contract)."""
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    m = n.select(
+        F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("r")
+    )
+    edges = (
+        n.join(m, n["n_regionkey"] == m["r"])
+        .where(F.col("n_nationkey") != F.col("dst"))
+        .select(F.col("n_nationkey").alias("src"), "dst")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    esrc = edges.join(deg, "src")
+    ranks = n.select(
+        F.col("n_nationkey").alias("node"), F.lit(PR_SCALE).alias("r")
+    )
+    base = (15 * PR_SCALE) // 100
+    for _ in range(PR_ITERS):
+        contrib = esrc.join(
+            ranks, esrc["src"] == ranks["node"]
+        ).select("dst", F.expr("r div deg").alias("c"))
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(base) + F.expr("85 * sum(c) div 100")).alias("r")
+        )
+    return ranks.select(F.col("node").alias("n_nationkey"), F.col("r").alias("rank_fp"))
+
+
+QUERIES = {
+    "q_graph_degree": q_graph_degree,
+    "q_graph_triangles": q_graph_triangles,
+    "q_graph_pagerank": q_graph_pagerank,
+}
+
+_EDGES = (
+    "SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b "
+    "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+    "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+)
+
+_PR_EDGES = (
+    "SELECT a.n_nationkey AS src, b.n_nationkey AS dst "
+    "FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey "
+    "AND a.n_nationkey <> b.n_nationkey"
+)
+
+_PR_BASE = (15 * PR_SCALE) // 100
+
+
+def _pr_iter(prev: str, out: str) -> str:
+    return (
+        f"{out} AS (SELECT e.dst AS node, "
+        f"{_PR_BASE} + (85 * (sum(p.r // d.deg))::BIGINT) // 100 AS r "
+        f"FROM e JOIN deg d ON e.src = d.src "
+        f"JOIN {prev} p ON p.node = e.src GROUP BY e.dst)"
+    )
+
+
+ORACLE = {
+    "q_graph_degree": (
+        "WITH e AS (" + _EDGES + "), "
+        "nodes AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e) "
+        "SELECT node, count(*) AS degree FROM nodes GROUP BY node "
+        "ORDER BY degree DESC, node LIMIT 20"
+    ),
+    "q_graph_triangles": (
+        "WITH e AS (" + _EDGES + ") "
+        "SELECT count(*) AS n_triangles "
+        "FROM e e1 JOIN e e2 ON e1.b = e2.a "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
+    ),
+    "q_graph_pagerank": (
+        "WITH e AS (" + _PR_EDGES + "), "
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+        "it0 AS (SELECT n_nationkey AS node, "
+        f"{PR_SCALE}::BIGINT AS r FROM nation), "
+        + _pr_iter("it0", "it1") + ", "
+        + _pr_iter("it1", "it2") + ", "
+        + _pr_iter("it2", "it3") + " "
+        "SELECT node AS n_nationkey, r::BIGINT AS rank_fp FROM it3"
+    ),
+}

@@ -1,0 +1,176 @@
+"""Time-series operators over the event log (SURVEY.md §2 [EXT]).
+
+The hypertable/continuous-aggregate query family (TimescaleDB /
+InfluxDB-style) re-expressed as Spark DataFrame plans:
+
+- **gap-fill** (``q_ts_gapfill``): dense daily buckets with
+  zero-fill for missing (type, day) cells. The calendar grid is
+  derived from a 1-row min/max aggregate and exploded — grid size
+  is |types| × |days|, independent of event volume, so the dense
+  side broadcasts and the event side is touched once.
+- **LOCF** (``q_ts_locf``): last-observation-carried-forward over
+  the dense per-user daily grid — ``last(value, ignorenulls=True)``
+  over a per-user window (DuckDB twin: ``last_value(... IGNORE
+  NULLS)``). Window is PARTITIONED by user: one shuffle on the
+  entity key, never a global sort.
+- **OHLC resample** (``q_ts_resample_ohlc``): open/high/low/close
+  downsampling per (type, day). Open/close are ``min_by/max_by``
+  keyed on a zero-padded ``(epoch_us, event_id)`` string — a total
+  order both engines compare identically (DuckDB's ``arg_min``
+  cannot take a composite key), and a hash-agg with map-side
+  partials rather than a window sort.
+
+Cross-engine notes: days emitted as ``yyyy-MM-dd`` strings (date
+objects survive the drivers differently); values rounded at 2;
+LOCF rows before a user's first observation stay NULL on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+
+def _events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+        F.to_date("ts").alias("day"),
+    )
+
+
+def _calendar(e: DataFrame) -> DataFrame:
+    """1-row min/max agg exploded into the dense day axis."""
+    bounds = e.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    return bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+
+
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily event counts per type, zero-filled: the
+    continuous-aggregate shape. The (type × day) grid is built from
+    two tiny aggregates and LEFT-joins the real counts — the event
+    table is scanned exactly once (for the counts); the grid never
+    scales with volume."""
+    e = _events_daily(spark, sf_dir)
+    counts = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    grid = _calendar(e).crossJoin(
+        e.select("event_type").distinct()
+    )
+    return grid.join(counts, ["event_type", "day"], "left").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_raw", F.lit(0)).alias("n"),
+    )
+
+
+def q_ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: per-user daily last value,
+    forward-filled across the dense day grid. Observed days carry
+    ``is_observed = 1``; leading days before a user's first
+    observation remain NULL (no back-fill)."""
+    e = _events_daily(spark, sf_dir)
+    # deterministic "last of day": max_by on the (epoch, id) total order
+    key = F.format_string("%020d%012d", F.unix_micros("ts"), F.col("event_id"))
+    daily = e.groupBy("user_id", "day").agg(
+        F.round(F.max_by("value", key), 2).alias("v_obs")
+    )
+    grid = _calendar(e).crossJoin(e.select("user_id").distinct())
+    sparse = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sparse.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("v_obs", ignorenulls=True).over(w).alias("value_filled"),
+        (~F.isnull("v_obs")).cast("bigint").alias("is_observed"),
+    )
+
+
+def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsample of ``value`` per (event_type, day): the
+    financial-resample primitive as ONE hash aggregation (min_by /
+    max_by / min / max partials combine map-side; a window-sort
+    formulation would shuffle the full event stream)."""
+    e = _events_daily(spark, sf_dir)
+    key = F.format_string("%020d%012d", F.unix_micros("ts"), F.col("event_id"))
+    return e.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.round(F.min_by("value", key), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", key), 2).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES = {
+    "q_ts_gapfill": q_ts_gapfill,
+    "q_ts_locf": q_ts_locf,
+    "q_ts_resample_ohlc": q_ts_resample_ohlc,
+}
+
+_DAILY = (
+    "SELECT user_id, event_type, value, ts, event_id, "
+    "date_trunc('day', ts)::DATE AS day FROM events"
+)
+
+_CAL = (
+    "SELECT unnest(generate_series(d0, d1, interval 1 day))::DATE AS day "
+    "FROM (SELECT min(day) AS d0, max(day) AS d1 FROM daily)"
+)
+
+_KEY = "printf('%020d%012d', epoch_us(ts)::BIGINT, event_id)"
+
+ORACLE = {
+    "q_ts_gapfill": (
+        "WITH daily AS (" + _DAILY + "), "
+        "counts AS (SELECT event_type, day, count(*) AS n_raw "
+        "FROM daily GROUP BY event_type, day), "
+        "cal AS (" + _CAL + "), "
+        "grid AS (SELECT event_type, day FROM cal "
+        "CROSS JOIN (SELECT DISTINCT event_type FROM daily)) "
+        "SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day, "
+        "coalesce(c.n_raw, 0) AS n "
+        "FROM grid g LEFT JOIN counts c "
+        "ON g.event_type = c.event_type AND g.day = c.day"
+    ),
+    "q_ts_locf": (
+        "WITH daily AS (" + _DAILY + "), "
+        "obs AS (SELECT user_id, day, "
+        "round(arg_max(value, " + _KEY + "), 2) AS v_obs "
+        "FROM daily GROUP BY user_id, day), "
+        "cal AS (" + _CAL + "), "
+        "grid AS (SELECT user_id, day FROM cal "
+        "CROSS JOIN (SELECT DISTINCT user_id FROM daily)), "
+        "sparse AS (SELECT g.user_id, g.day, o.v_obs FROM grid g "
+        "LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day) "
+        "SELECT user_id, strftime(day, '%Y-%m-%d') AS day, "
+        "last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id "
+        "ORDER BY day ROWS UNBOUNDED PRECEDING) AS value_filled, "
+        "(v_obs IS NOT NULL)::BIGINT AS is_observed FROM sparse"
+    ),
+    "q_ts_resample_ohlc": (
+        "WITH daily AS (" + _DAILY + ") "
+        "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, "
+        "round(arg_min(value, " + _KEY + "), 2) AS open, "
+        "round(max(value), 2) AS high, "
+        "round(min(value), 2) AS low, "
+        "round(arg_max(value, " + _KEY + "), 2) AS close, "
+        "count(*) AS n "
+        "FROM daily GROUP BY event_type, day"
+    ),
+}
