@@ -1,0 +1,119 @@
+"""Semantic + plan tests for the integrity and geo families."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_etl_spark.queries import geo, integrity
+from twitter_etl_spark.tables import table
+
+from conftest import SF_ORACLE, SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_snapshot_diff_counts_reconcile(spark):
+    o = table(spark, SF_ORACLE, "orders")
+    n1 = o.count()
+    out = {
+        r.change_type: r.n
+        for r in integrity.q_snapshot_diff(spark, SF_ORACLE).collect()
+    }
+    assert set(out) == {"added", "removed", "changed", "unchanged"}
+    # every v1 key is removed, changed, or unchanged
+    assert out["removed"] + out["changed"] + out["unchanged"] == n1
+    # derivation rules: inserts are key%200==0; removals key%97==0
+    assert out["added"] == o.where(F.col("o_orderkey") % 200 == 0).count()
+    assert out["removed"] == o.where(F.col("o_orderkey") % 97 == 0).count()
+
+
+def test_snapshot_diff_single_join(spark):
+    p = _plan(integrity.q_snapshot_diff(spark, SF_SMOKE))
+    # one full-outer join, not anti+anti+inner (three scans)
+    assert p.count("FullOuter") == 1
+
+
+def test_fingerprint_is_order_independent_and_sensitive(spark):
+    fp1 = {
+        r.table_name: r.fingerprint
+        for r in integrity.q_table_fingerprint(spark, SF_ORACLE).collect()
+    }
+    # recompute with the orders table reversed + repartitioned: the
+    # xor accumulator must not care
+    o = table(spark, SF_ORACLE, "orders").orderBy(
+        F.desc("o_orderkey")
+    ).repartition(7)
+    canon = F.concat_ws(
+        "|",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    again = o.select(h.alias("h")).agg(F.expr("bit_xor(h)")).first()[0]
+    assert again == fp1["orders"]
+    # and a single-row mutation flips it
+    mutated = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") == 1, F.col("o_custkey") + 1).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    h2 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    F.round(F.col("o_totalprice") * 100).cast("bigint"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    diff = mutated.select(h2.alias("h")).agg(F.expr("bit_xor(h)")).first()[0]
+    assert diff != fp1["orders"]
+
+
+def test_geo_join_is_grid_blocked(spark):
+    out = geo.q_geo_grid_join(spark, SF_SMOKE)
+    p = _plan(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    rows = out.collect()
+    assert all(r.dist_km <= geo.RADIUS_KM for r in rows)
+
+
+def test_geo_grid_never_misses_within_radius(spark):
+    # brute-force all pairs on the small fixture and compare to the
+    # blocked join: within ~111 km nothing may fall outside the 3x3
+    # neighborhood (1 degree >= 111 km of latitude everywhere)
+    st = geo._stores(spark, SF_ORACLE)
+    wh = geo._warehouses(spark, SF_ORACLE).select(
+        "wh_id", F.col("lat").alias("wlat"), F.col("lon").alias("wlon")
+    )
+    d = geo._haversine_km(
+        F.col("lat"), F.col("lon"), F.col("wlat"), F.col("wlon")
+    )
+    brute = (
+        st.crossJoin(wh)
+        .select("store_id", "wh_id", F.round(d, 4).alias("dist_km"))
+        .where(F.col("dist_km") <= geo.RADIUS_KM)
+    )
+    blocked = geo.q_geo_grid_join(spark, SF_ORACLE)
+    b = {(r.store_id, r.wh_id) for r in brute.collect()}
+    g = {(r.store_id, r.wh_id) for r in blocked.collect()}
+    assert b == g
+    assert g  # fixture produces at least one match
+
+
+def test_geo_density_topk_plan(spark):
+    p = _plan(geo.q_geo_cell_density(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p

@@ -25,7 +25,9 @@ from . import (
     dq,
     graph,
     extras,
+    geo,
     incremental,
+    integrity,
     joins,
     llmprep,
     multimodal_q,
@@ -74,6 +76,8 @@ _MODULES = (
     timeseries,
     graph,
     dq,
+    integrity,
+    geo,
 )
 
 ALL_QUERIES: dict = {}
