@@ -33,6 +33,7 @@ from . import (
     multimodal_q,
     pandas_udfs,
     ref_parity,
+    retrieval,
     sampling,
     scalar_fns,
     similarity,
@@ -78,6 +79,7 @@ _MODULES = (
     dq,
     integrity,
     geo,
+    retrieval,
 )
 
 ALL_QUERIES: dict = {}
