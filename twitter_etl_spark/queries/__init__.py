@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from . import (
     aggregates,
+    anomaly,
     behavior,
     corpus,
     decontam,
@@ -25,6 +26,7 @@ from . import (
     dq,
     graph,
     extras,
+    formats,
     geo,
     incremental,
     integrity,
@@ -80,6 +82,8 @@ _MODULES = (
     integrity,
     geo,
     retrieval,
+    anomaly,
+    formats,
 )
 
 ALL_QUERIES: dict = {}

@@ -1,0 +1,91 @@
+"""Robust outlier detection (SURVEY.md §2 [EXT]).
+
+``q_outliers_robust``: per-segment robust dispersion stats and
+outlier counts — median/MAD (the robust z-score) and Tukey IQR
+fences — over the event stream. Robust stats, unlike mean/stddev,
+don't let the outliers move the fence.
+
+Plan shape: exact percentiles per group (Spark ``percentile`` ≡
+DuckDB ``quantile_cont``, shared linear-interpolation definition —
+cf. ``extras.q_agg_percentile``), the tiny per-group stats row
+broadcast back, then one conditional re-aggregation. Two scans of
+the fact (medians cannot fold into one pass with MAD, which needs
+|x − median|); at 100 TB swap the exact percentile for
+``approx_percentile`` with the same plan — the stats row stays one
+row per group either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+#: robust z-score scale factor (MAD → σ under normality) and fence.
+MAD_SIGMA = 1.4826
+MAD_K = 3.0
+IQR_K = 1.5
+
+
+def q_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    stats = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    full = e.join(F.broadcast(stats), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    mad_out = (
+        F.abs(F.col("value") - F.col("med")) > MAD_K * MAD_SIGMA * F.col("mad")
+    ).cast("bigint")
+    iqr = F.col("q3") - F.col("q1")
+    iqr_out = (
+        (F.col("value") < F.col("q1") - IQR_K * iqr)
+        | (F.col("value") > F.col("q3") + IQR_K * iqr)
+    ).cast("bigint")
+    return full.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("med"), 4).alias("med"),
+        F.round(F.min("mad"), 4).alias("mad"),
+        F.round(F.min("q1"), 4).alias("q1"),
+        F.round(F.min("q3"), 4).alias("q3"),
+        F.sum(mad_out).alias("n_mad_outliers"),
+        F.sum(iqr_out).alias("n_iqr_outliers"),
+    )
+
+
+QUERIES = {"q_outliers_robust": q_outliers_robust}
+
+ORACLE = {
+    "q_outliers_robust": (
+        "WITH e AS (SELECT event_type, value FROM events), "
+        "stats AS (SELECT event_type, "
+        "quantile_cont(value, 0.5) AS med, "
+        "quantile_cont(value, 0.25) AS q1, "
+        "quantile_cont(value, 0.75) AS q3 "
+        "FROM e GROUP BY event_type), "
+        "madt AS (SELECT e.event_type, "
+        "quantile_cont(abs(e.value - s.med), 0.5) AS mad "
+        "FROM e JOIN stats s USING (event_type) GROUP BY e.event_type) "
+        "SELECT e.event_type, count(*) AS n, "
+        "round(min(s.med), 4) AS med, round(min(m.mad), 4) AS mad, "
+        "round(min(s.q1), 4) AS q1, round(min(s.q3), 4) AS q3, "
+        f"sum((abs(e.value - s.med) > {MAD_K} * {MAD_SIGMA} * m.mad)"
+        "::BIGINT) AS n_mad_outliers, "
+        f"sum((e.value < s.q1 - {IQR_K} * (s.q3 - s.q1) "
+        f"OR e.value > s.q3 + {IQR_K} * (s.q3 - s.q1))::BIGINT) "
+        "AS n_iqr_outliers "
+        "FROM e JOIN stats s USING (event_type) "
+        "JOIN madt m ON m.event_type = e.event_type "
+        "GROUP BY e.event_type"
+    ),
+}
