@@ -187,3 +187,69 @@ def test_skew_report_shape(spark):
 def test_skew_topk_is_take_ordered(spark):
     p = _plan(llmprep.q_skew_diagnose(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in p
+
+
+# -- run-length squeeze --------------------------------------------------------
+
+
+def test_squeeze_runs_semantics(spark):
+    rows = llmprep.q_text_squeeze_runs(spark, SF_ORACLE).collect()
+    assert all(r.n_after <= r.n_before for r in rows)
+    assert any(r.n_after < r.n_before for r in rows)  # fixture has runs
+    import tempfile
+
+    df = spark.createDataFrame(
+        [(1, "a a b b b c a")], "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("s")
+        ).withColumn("n_chars", F.length("text")).write.parquet(
+            f"{tmp}/documents.parquet"
+        )
+        r = llmprep.q_text_squeeze_runs(spark, tmp).first()
+    assert (r.n_before, r.n_after) == (7, 4)  # a b c a
+
+
+# -- FFD packing ---------------------------------------------------------------
+
+
+def test_pack_bestfit_matches_reference_ffd(spark):
+    from twitter_etl_spark.tables import table as _table
+
+    docs = (
+        _table(spark, SF_ORACLE, "documents")
+        .select(
+            "source",
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        )
+        .collect()
+    )
+    by_source = {}
+    for r in docs:
+        by_source.setdefault(r.source, []).append((r.n_tok, r.doc_id))
+    expect = {}
+    for src, items in by_source.items():
+        items.sort(key=lambda p: (-p[0], p[1]))
+        bins = []
+        for tok, _ in items:
+            for b in bins:
+                if b[0] >= tok:
+                    b[0] -= tok
+                    b[1] += 1
+                    b[2] += tok
+                    break
+            else:
+                bins.append([llmprep.PACK_CTX - tok, 1, tok])
+        expect[src] = [(b[1], b[2]) for b in bins]
+
+    got = {}
+    for r in llmprep.q_pack_bestfit(spark, SF_ORACLE).collect():
+        got.setdefault(r.source, {})[r.pack_id] = (r.n_docs, r.n_tokens)
+    for src, bins in expect.items():
+        assert [got[src][i] for i in range(len(bins))] == bins
+    # capacity invariant: multi-doc packs never exceed the window
+    for src, packs in got.items():
+        for n_docs, n_tokens in packs.values():
+            assert n_docs == 1 or n_tokens <= llmprep.PACK_CTX

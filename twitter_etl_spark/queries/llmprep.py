@@ -294,8 +294,88 @@ def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_squeeze_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length token squeeze: collapse consecutive repeated
+    tokens per document (the cheap stutter/boilerplate repair that
+    precedes repetition-ratio filtering). Pure per-row projection —
+    an indexed ``filter`` HOF keeps a token iff it differs from its
+    predecessor (out-of-bounds ``get`` → NULL → keep, identically
+    on both engines: Spark ``get`` is 0-based/NULL-safe, DuckDB
+    ``l[0]`` is NULL). Zero shuffle."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("t")
+    )
+    squeezed = F.filter(
+        "t",
+        lambda x, i: F.coalesce(x != F.get("t", i - 1), F.lit(True)),
+    )
+    return d.select(
+        "doc_id",
+        F.size("t").alias("n_before"),
+        F.size(squeezed).alias("n_after"),
+        F.md5(F.coalesce(F.array_join(squeezed, " "), F.lit(""))).alias(
+            "squeezed_md5"
+        ),
+    )
+
+
+#: context window for the best-fit packer (same as PACK_CTX).
+def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing per shard (rows-only: FFD is
+    an inherently sequential greedy loop — no SQL twin; the pytest
+    suite verifies against an independent Python reimplementation
+    and the capacity invariant).
+
+    Contrast with ``q_pack_sequences``: concat-and-chunk splits
+    documents across pack boundaries; FFD keeps every document
+    whole and minimizes padding waste instead. The greedy loop runs
+    INSIDE each shard via Arrow-batched ``applyInPandas`` — shards
+    pack in parallel, the sequential part is per-shard only (the
+    same parallelism structure a 100 TB packer uses: the driver
+    never sees a document)."""
+    import pandas as pd
+
+    from ..session import ship_package_to_executors
+
+    ship_package_to_executors(spark)
+    d = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(_tokens()).alias("n_tok")
+    )
+    ctx = PACK_CTX  # bind locally: the closure must not need the package
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        )
+        bins: list[list[int]] = []  # [remaining, n_docs, n_tokens]
+        for tok in pdf["n_tok"]:
+            t = int(tok)
+            for b in bins:
+                if b[0] >= t:
+                    b[0] -= t
+                    b[1] += 1
+                    b[2] += t
+                    break
+            else:
+                bins.append([ctx - t, 1, t])
+        return pd.DataFrame(
+            {
+                "source": pdf["source"].iloc[0],
+                "pack_id": range(len(bins)),
+                "n_docs": [b[1] for b in bins],
+                "n_tokens": [b[2] for b in bins],
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(
+        ffd, "source string, pack_id long, n_docs long, n_tokens long"
+    )
+
+
 QUERIES = {
     "q_pack_sequences": q_pack_sequences,
+    "q_text_squeeze_runs": q_text_squeeze_runs,
+    "q_pack_bestfit": q_pack_bestfit,
     "q_text_chunk_overlap": q_text_chunk_overlap,
     "q_text_bm25": q_text_bm25,
     "q_quality_gopher": q_quality_gopher,
@@ -322,6 +402,17 @@ _BM25_SCORE = " + ".join(
 )
 
 ORACLE = {
+    "q_text_squeeze_runs": (
+        "WITH t AS (SELECT doc_id, " + _SQL_TOKENS + " AS l "
+        "FROM documents), "
+        # DuckDB lambda index is 1-based; l[0] is NULL -> coalesce
+        # keeps the first token, mirroring Spark's 0-based get()
+        "s AS (SELECT doc_id, l, list_filter(l, "
+        "(x, i) -> coalesce(x <> l[i - 1], true)) AS sq FROM t) "
+        "SELECT doc_id, len(l) AS n_before, len(sq) AS n_after, "
+        "md5(coalesce(array_to_string(sq, ' '), '')) AS squeezed_md5 "
+        "FROM s"
+    ),
     "q_pack_sequences": (
         "WITH toks AS (SELECT source, doc_id, "
         "len(" + _SQL_TOKENS + ") AS n_tok FROM documents), "
