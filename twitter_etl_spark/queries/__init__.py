@@ -45,6 +45,7 @@ from . import (
     text,
     timeseries,
     tpch,
+    udtf_ops,
     windows,
 )
 
@@ -84,6 +85,7 @@ _MODULES = (
     retrieval,
     anomaly,
     formats,
+    udtf_ops,
 )
 
 ALL_QUERIES: dict = {}
