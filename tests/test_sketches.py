@@ -60,3 +60,42 @@ def test_heavy_hitters_exact_on_skewed_fixture(spark):
     for j in range(7):
         expected = sum(1 for i in range(300) if i % 7 == j)
         assert out[f"hotend{j}"] == expected
+
+
+def test_bitmap_distinct_partials_merge(spark):
+    """The bitmap partial state must merge associatively: computing
+    per-bucket bitmaps over two disjoint halves and OR-merging gives
+    the same distinct count as one pass (the incremental-view
+    property that count(DISTINCT) lacks)."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.sketches import q_agg_bitmap_distinct
+    from twitter_etl_spark.tables import table
+
+    from conftest import SF_ORACLE
+
+    one_pass = {
+        r.l_returnflag: r.n_distinct_supp
+        for r in q_agg_bitmap_distinct(spark, SF_ORACLE).collect()
+    }
+    li = table(spark, SF_ORACLE, "lineitem")
+    halves = [
+        li.where(F.col("l_orderkey") % 2 == i).groupBy(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_suppkey)").alias("bucket"),
+        ).agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(l_suppkey))"
+            ).alias("bm")
+        )
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0]
+        .unionByName(halves[1])
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n"))
+    )
+    assert {r.l_returnflag: r.n for r in merged.collect()} == one_pass

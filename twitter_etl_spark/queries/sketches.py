@@ -114,9 +114,36 @@ def q_text_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts via mergeable bitmaps: per (group,
+    bucket) a ``bitmap_construct_agg`` of bit positions, then
+    ``bitmap_count`` summed per group. Same answer as
+    ``count(DISTINCT ...)`` — the oracle IS count(distinct) — but
+    the partial state is a 4 KB bitmap that merges with OR, so at
+    100 TB the distinct count is: (a) pre-aggregatable map-side,
+    (b) incrementally maintainable (store per-bucket bitmaps in the
+    summary table, OR in each new batch — the `q_merge_upsert`
+    pattern carries distinct counts without re-scanning history),
+    unlike the non-mergeable two-shuffle expand of count(distinct).
+    Spark ≥ 3.5 built-ins; bucket = key div 32768."""
+    li = table(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_suppkey)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(l_suppkey))"
+        ).alias("bm")
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.expr("sum(bitmap_count(bm))").alias("n_distinct_supp")
+    )
+
+
 QUERIES = {
     "q_agg_mergeable": q_agg_mergeable,
     "q_text_heavyhitters": q_text_heavyhitters,
+    "q_agg_bitmap_distinct": q_agg_bitmap_distinct,
 }
 
 ORACLE = {
@@ -135,5 +162,10 @@ ORACLE = {
         "n AS (SELECT count(*) AS n_total FROM toks) "
         "SELECT token, count(*)::BIGINT AS n FROM toks, n "
         "GROUP BY token, n_total HAVING count(*) * 100 > n_total"
+    ),
+    # the bitmap algebra is exact: plain count(distinct) oracle
+    "q_agg_bitmap_distinct": (
+        "SELECT l_returnflag, count(DISTINCT l_suppkey)::BIGINT "
+        "AS n_distinct_supp FROM lineitem GROUP BY l_returnflag"
     ),
 }
