@@ -19,6 +19,7 @@ from __future__ import annotations
 from . import (
     aggregates,
     anomaly,
+    ansi_safety,
     behavior,
     corpus,
     decontam,
@@ -86,6 +87,7 @@ _MODULES = (
     anomaly,
     formats,
     udtf_ops,
+    ansi_safety,
 )
 
 ALL_QUERIES: dict = {}
