@@ -132,3 +132,22 @@ def test_fuzzy_match_blocked_and_bounded(spark):
     p = _plan(out)
     # equi-anchored on the block key — never a nested-loop all-pairs
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_sorted_neighborhood_subset_of_blocked(spark):
+    """SN pairs are a subset of the full blocked comparison (the
+    recall trade-off is one-directional), and the windows stay
+    partitioned by the block key."""
+    sn = {
+        (r.custkey_a, r.custkey_b)
+        for r in dq.q_er_sorted_neighborhood(spark, SF_ORACLE).collect()
+    }
+    full = {
+        (r.custkey_a, r.custkey_b)
+        for r in dq.q_er_fuzzy_blocked(spark, SF_ORACLE).collect()
+    }
+    assert sn  # finds real near-pairs
+    assert sn <= full
+    p = _plan(dq.q_er_sorted_neighborhood(spark, SF_SMOKE))
+    assert "hashpartitioning(c_nationkey" in p
+    assert "SinglePartition" not in p

@@ -116,9 +116,63 @@ def q_er_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sorted-neighborhood window width (each record compares with its
+#: next W sort-neighbors only).
+SN_WINDOW = 5
+
+
+def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution — the linear-cost
+    alternative to in-block quadratic comparison promised in
+    :func:`q_er_fuzzy_blocked`'s scale notes: within each nation
+    block, records sort by name and each compares against only its
+    next ``SN_WINDOW`` neighbors (``lead(k)`` columns — cost is
+    O(n·W), never O(n²)). The window stays PARTITIONED by the block
+    key, so the plan shuffles once on nation and sorts per block; a
+    global (un-blocked) sorted neighborhood would range-partition
+    the sort key the same way Spark's distributed orderBy does.
+
+    Recall note (shared by the oracle, which states the identical
+    neighborhood semantics): near-duplicates more than W positions
+    apart in sort order are not compared — the standard SN
+    trade-off; multi-pass SN with a second sort key recovers them.
+    """
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
+    cols = [
+        F.struct(
+            F.lead("c_custkey", k).over(w).alias("custkey_b"),
+            F.lead("c_name", k).over(w).alias("name_b"),
+        ).alias(f"nb{k}")
+        for k in range(1, SN_WINDOW + 1)
+    ]
+    exploded = (
+        c.select("c_custkey", "c_name", *cols)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.explode(F.array(*[F.col(f"nb{k}") for k in range(1, SN_WINDOW + 1)])).alias(
+                "nb"
+            ),
+        )
+        .where(F.col("nb.custkey_b").isNotNull())
+    )
+    lev = F.levenshtein(F.col("c_name"), F.col("nb.name_b"))
+    return exploded.where(lev <= 2).select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("nb.custkey_b").alias("custkey_b"),
+        lev.alias("lev_dist"),
+    )
+
+
 QUERIES = {
     "q_dq_checks": q_dq_checks,
     "q_er_fuzzy_blocked": q_er_fuzzy_blocked,
+    "q_er_sorted_neighborhood": q_er_sorted_neighborhood,
 }
 
 ORACLE = {
@@ -156,6 +210,16 @@ ORACLE = {
         "FROM customer a JOIN customer b "
         "ON a.c_nationkey = b.c_nationkey "
         "AND a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 2"
+    ),
+    "q_er_sorted_neighborhood": (
+        "WITH r AS (SELECT c_custkey, c_name, c_nationkey, "
+        "row_number() OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_name, c_custkey) AS rn FROM customer) "
+        "SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b, "
+        "levenshtein(a.c_name, b.c_name)::INT AS lev_dist "
+        "FROM r a JOIN r b ON a.c_nationkey = b.c_nationkey "
+        f"AND b.rn - a.rn BETWEEN 1 AND {SN_WINDOW} "
         "WHERE levenshtein(a.c_name, b.c_name) <= 2"
     ),
 }
