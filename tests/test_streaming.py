@@ -523,3 +523,82 @@ def test_transform_with_state_processor_across_batches(spark):
     # 3 -> lexicographic tie-break picks 'click'
     assert (latest["n_events"], latest["total_value"]) == (5, 21.0)
     assert (latest["n_types"], latest["top_type"]) == (2, "click")
+
+
+def test_socket_source_live_stream(spark):
+    """Live socket ingest (main.R:60-66's blocking HTTP-stream role):
+    a real TCP server feeds NDJSON lines; the socket source consumes
+    >= 2 processingTime micro-batches, parsing with the explicit
+    documents schema and quarantining a malformed line (_raw kept,
+    fields NULL) — the streaming twin of read_ndjson_robust."""
+    import socket as socketlib
+    import threading
+    import time
+
+    from twitter_etl_spark.sources import read_socket_stream
+
+    srv = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
+    srv.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    stop = threading.Event()
+
+    def _serve():
+        try:
+            conn, _ = srv.accept()
+        except OSError:
+            return
+        i = 0
+        try:
+            while not stop.is_set():
+                lines = []
+                for _ in range(20):
+                    lines.append(json.dumps({
+                        "doc_id": i,
+                        "text": "hola mundo numero %d" % i,
+                        "lang": "es",
+                        "source": "src%d" % (i % 3),
+                        "n_chars": 18,
+                    }))
+                    i += 1
+                lines.append("{ this is not json")  # -> quarantine
+                conn.sendall(("\n".join(lines) + "\n").encode())
+                time.sleep(0.4)
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    threading.Thread(target=_serve, daemon=True).start()
+
+    batches: list[int] = []
+    rows: list = []
+
+    def _sink(bdf, bid):
+        got = bdf.collect()
+        if got:
+            batches.append(bid)
+            rows.extend(got)
+
+    q = (
+        read_socket_stream(spark, "127.0.0.1", port)
+        .writeStream.foreachBatch(_sink)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 90
+    try:
+        while len(set(batches)) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        stop.set()
+        srv.close()
+
+    assert len(set(batches)) >= 2  # two live micro-batches consumed
+    good = [r for r in rows if r["doc_id"] is not None]
+    bad = [r for r in rows if r["doc_id"] is None]
+    assert good and good[0]["text"].startswith("hola mundo")
+    assert good[0]["_raw"].startswith("{")  # raw line always kept
+    assert bad and bad[0]["_raw"].startswith("{ this is not json")

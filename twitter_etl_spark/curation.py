@@ -67,14 +67,17 @@ def curate(docs: DataFrame) -> DataFrame:
 
 def curate_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8) -> dict:
     """Run the full pipeline and export per-split shard directories.
-    Returns per-split row counts (one action per split write)."""
+    Returns per-split row counts (one write action per split, ONE
+    count job for all splits — not one count per split)."""
     from .sinks import export_training_shards
 
     curated = curate(docs).cache()
-    counts = {}
     for split in ("train", "val", "test"):
         part = curated.filter(F.col("split") == split)
         export_training_shards(part, f"{out_dir}/{split}", "norm_digest", n_shards)
-        counts[split] = part.count()
+    counted = {
+        r["split"]: r["n"]
+        for r in curated.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     curated.unpersist()
-    return counts
+    return {s: counted.get(s, 0) for s in ("train", "val", "test")}

@@ -14,51 +14,86 @@ Usage::
 from __future__ import annotations
 
 import datetime as _dt
+import decimal
 import math
 import sys
 from collections import Counter
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from .tables import TABLES
 
 
 def _norm(v):
-    """Normalize a cell for cross-engine comparison."""
-    if v is None:
+    """Canonicalize a pandas cell for cross-engine comparison.
+
+    Mirrors the driver's canonicalization, which materializes BOTH
+    sides as pandas frames before hashing. Two consequences we must
+    reproduce (learned the hard way in CORRECTNESS_r03):
+
+    - **dtype-sensitive**: a DuckDB window ``sum(INTEGER)`` returns
+      HUGEINT, which pandas stores as float64 — so the driver hashes
+      ``3.0`` against Spark's bigint ``3`` and mismatches. Values are
+      therefore type-tagged here: int 3 != float 3.0.
+    - **unhashable cells crash**: list/dict/ndarray cells raise in
+      the driver's hash even on the rows-only path, so they raise
+      here too (complex output columns must be projected to scalars
+      or JSON strings before registration).
+    """
+    if v is None or v is pd.NaT:
         return None
-    if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # round to 6 significant-ish decimals; queries pre-round aggregates
-        return round(v, 6)
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        # pandas stores SQL NULL as NaN in float columns, so NULL and
+        # NaN are indistinguishable on the driver's path — conflate.
+        return None if math.isnan(f) else ("f", round(f, 6))
+    if isinstance(v, (np.bool_, bool)):
+        return ("b", bool(v))
+    if isinstance(v, (np.integer, int)):
+        return ("i", int(v))
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return ("t", v.isoformat())
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return ("t", v.isoformat())
     if isinstance(v, _dt.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+        return ("d", v.isoformat())
+    if isinstance(v, str):
+        return ("s", v)
     if isinstance(v, bytes):
-        return v
-    if isinstance(v, _dt.timedelta):
-        return v.total_seconds()
-    try:  # decimal.Decimal and numpy scalars
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 6)
-    except Exception:
-        pass
-    return v
+        return ("y", v)
+    if isinstance(v, decimal.Decimal):
+        return ("f", round(float(v), 6))
+    if isinstance(v, (_dt.timedelta, np.timedelta64)):
+        td = pd.Timedelta(v)
+        return ("f", round(td.total_seconds(), 6))
+    # list / dict / ndarray / anything exotic: the driver's pandas
+    # hash would crash on these — fail loudly instead of papering over
+    raise TypeError(f"driver-unhashable cell type {type(v).__name__}: {v!r}")
 
 
-def _rows_to_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+def _frame_to_multiset(pdf: pd.DataFrame) -> Counter:
+    cols = sorted(pdf.columns, key=lambda c: c.lower())
+    arr = pdf[cols].to_numpy(dtype=object)
+    return Counter(tuple(_norm(x) for x in row) for row in arr)
+
+
+def _unhashable_columns(sdf) -> list[str]:
+    """Column names whose Spark type the driver's pandas canonicalizer
+    cannot hash (array/map/struct) — checked even for rows-only
+    queries, because the driver canonicalizes those too."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -72,18 +107,23 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def compare_query(spark, con, name: str, fn, sql: str, sf_dir: str):
     sdf = fn(spark, sf_dir)
-    srows = sdf.collect()
-    scols = [f.lower() for f in sdf.columns]
-    res = con.execute(sql)
-    dcols = [d[0].lower() for d in res.description]
-    drows = res.fetchall()
     problems = []
-    if len(srows) != len(drows):
-        problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-    if sorted(scols) != sorted(dcols):
-        problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+    bad_cols = _unhashable_columns(sdf)
+    if bad_cols:
+        problems.append(f"driver-unhashable output columns {bad_cols}")
+        return problems
+    spdf = sdf.toPandas()
+    spdf.columns = [c.lower() for c in spdf.columns]
+    dpdf = con.execute(sql).df()
+    dpdf.columns = [c.lower() for c in dpdf.columns]
+    if len(spdf) != len(dpdf):
+        problems.append(f"rowcount spark={len(spdf)} duckdb={len(dpdf)}")
+    if sorted(spdf.columns) != sorted(dpdf.columns):
+        problems.append(
+            f"columns spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}"
+        )
     if not problems:
-        ms, md = _rows_to_multiset(scols, srows), _rows_to_multiset(dcols, drows)
+        ms, md = _frame_to_multiset(spdf), _frame_to_multiset(dpdf)
         if ms != md:
             only_s = list((ms - md).items())[:3]
             only_d = list((md - ms).items())[:3]
@@ -110,9 +150,14 @@ def main(argv: list[str]) -> int:
     failed = []
     for name in todo:
         if name not in ALL_ORACLES:
-            print(f"{name}: SKIP (rows-only)")
-            rows = ALL_QUERIES[name](spark, sf_dir).count()
-            print(f"{name}: rows={rows}")
+            sdf = ALL_QUERIES[name](spark, sf_dir)
+            bad = _unhashable_columns(sdf)
+            if bad:
+                failed.append(name)
+                print(f"{name}: FAIL  rows-only but driver-unhashable columns {bad}")
+                continue
+            rows = sdf.count()
+            print(f"{name}: rows-only OK rows={rows}")
             continue
         try:
             problems = compare_query(

@@ -79,10 +79,12 @@ ORACLE = {
         "SELECT e.event_type, count(*) AS n, "
         "round(min(s.med), 4) AS med, round(min(m.mad), 4) AS mad, "
         "round(min(s.q1), 4) AS q1, round(min(s.q3), 4) AS q3, "
+        # sum(BIGINT) -> HUGEINT -> pandas float64; outer ::BIGINT
+        # keeps the driver's dtype-sensitive hash aligned with Spark
         f"sum((abs(e.value - s.med) > {MAD_K} * {MAD_SIGMA} * m.mad)"
-        "::BIGINT) AS n_mad_outliers, "
+        "::BIGINT)::BIGINT AS n_mad_outliers, "
         f"sum((e.value < s.q1 - {IQR_K} * (s.q3 - s.q1) "
-        f"OR e.value > s.q3 + {IQR_K} * (s.q3 - s.q1))::BIGINT) "
+        f"OR e.value > s.q3 + {IQR_K} * (s.q3 - s.q1))::BIGINT)::BIGINT "
         "AS n_iqr_outliers "
         "FROM e JOIN stats s USING (event_type) "
         "JOIN madt m ON m.event_type = e.event_type "

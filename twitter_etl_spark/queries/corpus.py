@@ -76,7 +76,8 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
+    cached = labels  # the persisted frame backing `labels`
     for _ in range(_MAX_CC_ROUNDS):
         # min label among each node's neighborhood
         neigh_min = (
@@ -91,19 +92,36 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce("neigh_label", "label")
                 ).alias("label"),
+                (F.coalesce("neigh_label", "label") < F.col("label")).alias(
+                    "changed"
+                ),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        # convergence probe: sum(label) is monotone non-increasing
-        # under min-propagation and strictly decreases while any
-        # label changes — one cheap scalar action per round
-        cur_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
+        # convergence probe: count of strictly-lowered labels this
+        # round — a COUNT, not a sum of ids, so it cannot overflow
+        # no matter how large the id space — one cheap scalar action
+        # per round riding the frame we persist anyway
+        n_changed = new_labels.agg(F.count_if("changed")).first()[0]
+        cached.unpersist()
+        cached = new_labels
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"q_dedup_cluster: min-label propagation hit the "
+            f"{_MAX_CC_ROUNDS}-round cap before converging; a component "
+            f"with diameter > {_MAX_CC_ROUNDS} exists and its cluster_id "
+            f"is NOT the component min. Raise _MAX_CC_ROUNDS or switch "
+            f"to large-star/small-star (O(log n) rounds).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -162,9 +162,12 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nb.custkey_b").isNotNull())
     )
     lev = F.levenshtein(F.col("c_name"), F.col("nb.name_b"))
+    # canonical pair orientation: custkey_a < custkey_b regardless of
+    # name-sort order, so the subset relation vs q_er_fuzzy_blocked
+    # holds on any data, not just data where names sort like keys
     return exploded.where(lev <= 2).select(
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("nb.custkey_b").alias("custkey_b"),
+        F.least(F.col("c_custkey"), F.col("nb.custkey_b")).alias("custkey_a"),
+        F.greatest(F.col("c_custkey"), F.col("nb.custkey_b")).alias("custkey_b"),
         lev.alias("lev_dist"),
     )
 
@@ -216,7 +219,10 @@ ORACLE = {
         "WITH r AS (SELECT c_custkey, c_name, c_nationkey, "
         "row_number() OVER (PARTITION BY c_nationkey "
         "ORDER BY c_name, c_custkey) AS rn FROM customer) "
-        "SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b, "
+        # least/greatest: canonical custkey_a < custkey_b orientation,
+        # matching the Spark side
+        "SELECT least(a.c_custkey, b.c_custkey) AS custkey_a, "
+        "greatest(a.c_custkey, b.c_custkey) AS custkey_b, "
         "levenshtein(a.c_name, b.c_name)::INT AS lev_dist "
         "FROM r a JOIN r b ON a.c_nationkey = b.c_nationkey "
         f"AND b.rn - a.rn BETWEEN 1 AND {SN_WINDOW} "

@@ -13,13 +13,15 @@ magnitudes).
   is EQUI on the cell id, and the exact haversine predicate runs
   only on co-celled candidates. At 100 TB this is the same plan —
   comparisons scale with local density, never |A|×|B| (a theta-join
-  on raw distance is a cartesian product). Caveat, shared by the
-  oracle (both engines define the SAME blocked semantics): 1° of
-  longitude is narrower than 111 km at high latitude, so east-west
-  neighbors beyond the ±1-cell band are not candidates; production
-  grids widen the lon neighborhood by ``ceil(1/cos(lat))`` cells
-  (the brute-force-equality test shows the fixture has no such
-  pair). Distances rounded at 4
+  on raw distance is a cartesian product). The lon neighborhood
+  wraps across the ±180° antimeridian (cell −181 ≡ 179) on both
+  engines, so straddling pairs are candidates. Remaining caveat,
+  shared by the oracle (both engines define the SAME blocked
+  semantics): 1° of longitude is narrower than 111 km at high
+  latitude, so east-west neighbors beyond the ±1-cell band are not
+  candidates; production grids widen the lon neighborhood by
+  ``ceil(1/cos(lat))`` cells (the brute-force-equality test shows
+  the fixture has no such pair). Distances rounded at 4
   (`transcendental maths: sin/cos/asin differ in the last ulp
   across libm implementations; 1e-4 km = 10 cm absorbs that).
 - **cell density** (``q_geo_cell_density``): top-20 densest cells —
@@ -105,10 +107,17 @@ def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lat",
         "lon",
         "cx",
+        # wrap the lon neighborhood across the antimeridian: cell
+        # -181 is cell 179 (and 180 is -180), so ±180°-straddling
+        # pairs are join candidates; sin²(Δlon/2) is 360°-periodic,
+        # so the haversine below needs no companion fix
         F.explode(
-            F.sequence(
-                F.floor("lon").cast("int") - 1,
-                F.floor("lon").cast("int") + 1,
+            F.transform(
+                F.sequence(
+                    F.floor("lon").cast("int") - 1,
+                    F.floor("lon").cast("int") + 1,
+                ),
+                lambda c: F.pmod(c + 180, 360) - 180,
             )
         ).alias("cy"),
     )
@@ -176,7 +185,9 @@ ORACLE = {
         "SELECT store_id, wh_id, round(" + _HAV + ", 4) AS dist_km "
         "FROM st JOIN wh ON floor(wlat) BETWEEN floor(lat) - 1 "
         "AND floor(lat) + 1 "
-        "AND floor(wlon) BETWEEN floor(lon) - 1 AND floor(lon) + 1 "
+        # modular cell difference: 0/1/359 = same/east/west neighbor,
+        # wrapping across the antimeridian like the Spark pmod cell
+        "AND (floor(wlon)::INT - floor(lon)::INT + 720) % 360 IN (0, 1, 359) "
         "WHERE round(" + _HAV + ", 4) <= %s" % RADIUS_KM
     ),
     "q_geo_cell_density": (

@@ -420,8 +420,10 @@ ORACLE = {
         "floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id "
         "ROWS UNBOUNDED PRECEDING) - n_tok) / %d)::BIGINT AS pack_id "
         "FROM toks) "
+        # sum(BIGINT) -> HUGEINT -> pandas float64; cast for the
+        # driver's dtype-sensitive hash
         "SELECT source, pack_id, count(*) AS n_docs, "
-        "sum(n_tok) AS n_tokens FROM packed GROUP BY source, pack_id"
+        "sum(n_tok)::BIGINT AS n_tokens FROM packed GROUP BY source, pack_id"
         % PACK_CTX
     ),
     "q_text_chunk_overlap": (
@@ -460,11 +462,15 @@ ORACLE = {
         "(len(list_filter(" + _SQL_TOKENS + ", x -> x IN "
         "('the', 'a', 'of', 'and', 'is', 'in', 'to'))) >= 2)::BIGINT "
         "AS r_stop FROM documents) "
-        "SELECT source, count(*) AS n_docs, sum(r_words) AS n_words_ok, "
-        "sum(r_wordlen) AS n_wordlen_ok, sum(r_symbol) AS n_symbol_ok, "
-        "sum(r_stop) AS n_stop_ok, "
+        # sum(BIGINT) -> HUGEINT -> pandas float64; cast each for the
+        # driver's dtype-sensitive hash
+        "SELECT source, count(*) AS n_docs, "
+        "sum(r_words)::BIGINT AS n_words_ok, "
+        "sum(r_wordlen)::BIGINT AS n_wordlen_ok, "
+        "sum(r_symbol)::BIGINT AS n_symbol_ok, "
+        "sum(r_stop)::BIGINT AS n_stop_ok, "
         "sum((r_words = 1 AND r_wordlen = 1 AND r_symbol = 1 "
-        "AND r_stop = 1)::BIGINT) AS n_pass_all "
+        "AND r_stop = 1)::BIGINT)::BIGINT AS n_pass_all "
         "FROM flags GROUP BY source"
     ),
     "q_scd2_history": (

@@ -17,12 +17,29 @@ from ..tables import table
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct -> Arrow-batched feature
-    extraction (stubbed codec; real mapInPandas plumbing)."""
+    extraction (stubbed codec; real mapInPandas plumbing).
+
+    The feature vector is projected to scalar columns ``f0..f3``
+    (fixed-width here; real codecs would keep the array internally
+    and surface whatever fixed heads the downstream needs) — scalar
+    output keeps the result hashable for any pandas-side comparator,
+    and lets the stub's byte math be oracle-checked in pure SQL.
+    """
     from ..session import ship_package_to_executors
 
     ship_package_to_executors(spark)
     d = table(spark, sf_dir, "documents")
-    return decode_features(attach_binary_payload(d))
+    feats = decode_features(attach_binary_payload(d))
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "digest",
+        F.col("features")[0].alias("f0"),
+        F.col("features")[1].alias("f1"),
+        F.col("features")[2].alias("f2"),
+        F.col("features")[3].alias("f3"),
+    )
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,12 +81,30 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "q_multimodal_decode": q_multimodal_decode,  # rows-only
+    "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_framesample": q_multimodal_framesample,
 }
 
 ORACLE = {
+    # The stub codec's byte math reproduced in SQL: f0 = byte length,
+    # f1/f2 = first/last byte, f3 = sum(first 16 bytes) % 997 (all
+    # exact integer-valued doubles, so cross-engine hashing is safe).
+    "q_multimodal_decode": (
+        "WITH b AS ("
+        "  SELECT doc_id, text, hex(encode(text)) AS h, "
+        "         octet_length(encode(text))::INT AS n FROM documents) "
+        "SELECT doc_id, 'text-as-bytes' AS modality, n AS n_bytes, "
+        "md5(text) AS digest, n::DOUBLE AS f0, "
+        "CASE WHEN n = 0 THEN 0.0 "
+        "     ELSE ('0x' || substring(h, 1, 2))::INT::DOUBLE END AS f1, "
+        "CASE WHEN n = 0 THEN 0.0 "
+        "     ELSE ('0x' || substring(h, 2*n - 1, 2))::INT::DOUBLE END AS f2, "
+        "CASE WHEN n = 0 THEN 0.0 ELSE (list_sum(list_transform("
+        "  range(0, least(16, n)), "
+        "  i -> ('0x' || substring(h, i*2 + 1, 2))::INT))::BIGINT % 997)::DOUBLE "
+        "END AS f3 FROM b"
+    ),
     "q_multimodal_meta": (
         "SELECT doc_id, 'text-as-bytes' AS modality, "
         "length(text)::INT AS n_bytes, md5(text) AS digest FROM documents"

@@ -104,8 +104,11 @@ ORACLE = {
         "  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 "
         "                 THEN 1 ELSE 0 END AS is_new FROM gaps), "
         "sessions AS ("
-        "  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+        # DuckDB window sum(INTEGER) yields HUGEINT, which pandas
+        # materializes as float64 — cast to BIGINT so the driver's
+        # pandas-path hash matches Spark's bigint (VERDICT r03 #1).
+        "  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id "
         "  FROM tagged) "
         "SELECT user_id, session_id, count(*)::BIGINT AS n_events, "
         "epoch_us(min(ts))::BIGINT AS start_us, epoch_us(max(ts))::BIGINT AS end_us, "

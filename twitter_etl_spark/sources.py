@@ -168,6 +168,38 @@ def read_rate_stream(
     )
 
 
+def read_socket_stream(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 9999,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+) -> DataFrame:
+    """Live TCP socket source parsed as NDJSON — the Spark-native
+    stand-in for the reference's blocking live HTTP stream
+    (``main.R:60-66``): one JSON payload per line, unbounded, parsed
+    with the explicit schema via ``from_json`` (inference is
+    unavailable in ``readStream``). Lines that fail to parse yield
+    NULL fields but keep the raw line under ``_raw`` — the streaming
+    twin of :func:`read_ndjson_robust`'s quarantine.
+
+    The ``socket`` source is a dev/test source (no replay, no
+    offsets, single reader); production swaps ``format("socket")``
+    for ``format("kafka")`` and the downstream parse is UNCHANGED —
+    both present a string ``value`` column per record."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("_raw"),
+        F.from_json("value", schema).alias("j"),
+    ).select("_raw", "j.*")
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Multimodal ingestion: opaque binary payloads + typed metadata
     via Spark's ``binaryFile`` source -> columns
