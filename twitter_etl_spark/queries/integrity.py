@@ -90,9 +90,18 @@ def _md5_60(col) -> F.Column:
 
 def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent content checksum of three tables."""
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    c = table(spark, sf_dir, "customer")
+    return fingerprint_tables(
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "customer"),
+    )
+
+
+def fingerprint_tables(o: DataFrame, li: DataFrame, c: DataFrame) -> DataFrame:
+    """bit_xor-of-row-hash fingerprint over the given frames; the
+    xor aggregate is commutative/associative, so the result is
+    invariant under row order, partitioning, and shuffle — the
+    property the repartition test asserts directly."""
 
     def fp(df: DataFrame, name: str, canon) -> DataFrame:
         return df.select(_md5_60(canon).alias("h")).agg(

@@ -98,16 +98,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "source", "doc_id", F.size(_tokens()).alias("n_tok")
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    cum = F.sum("n_tok").over(w)
-    packed = d.select(
-        "source",
-        "n_tok",
-        F.floor((cum - F.col("n_tok")) / PACK_CTX).alias("pack_id"),
-    )
-    return packed.groupBy("source", "pack_id").agg(
+    return pack_docs(d).groupBy("source", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+def pack_docs(d: DataFrame, ctx: int = PACK_CTX) -> DataFrame:
+    """Assign each (source, doc_id, n_tok) row to a pack: documents
+    are laid end-to-end per source shard in doc_id order and a doc
+    belongs to the pack where its FIRST token lands — a document is
+    never split across packs. Separated from the query for direct
+    property-testing against a sequential reference."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tok").over(w)
+    return d.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / ctx).alias("pack_id"),
     )
 
 
