@@ -47,6 +47,7 @@ from . import (
     timeseries,
     tpch,
     udtf_ops,
+    webcorpus,
     windows,
 )
 
@@ -84,6 +85,7 @@ _MODULES = (
     formats,
     udtf_ops,
     ansi_safety,
+    webcorpus,
 )
 
 # Registration order is a contract: the driver's correctness gate

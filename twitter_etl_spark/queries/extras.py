@@ -310,3 +310,93 @@ ORACLE.update(
         ),
     }
 )
+
+
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row median of daily per-type revenue — a robust
+    rolling statistic (the moving-average twin that outliers can't
+    drag). Daily totals are decimal-exact before the window; the
+    median interpolates between two 2-decimal values, rounded at 4."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("total", 2).alias("total"),
+        F.round(F.percentile("total", F.lit(0.5)).over(w), 4).alias(
+            "rolling_median_7d"
+        ),
+    )
+
+
+#: histogram bin count for q_agg_histogram.
+N_BINS = 20
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values: pass 1 computes global
+    min/max (1-row frame, broadcast), pass 2 bins every row with
+    pure arithmetic — the standard distributed histogram plan (no
+    shuffle beyond the two tiny aggs). Top edge folds into the last
+    bin (least), as numpy.histogram does."""
+    e = table(spark, sf_dir, "events").select("value")
+    bounds = e.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    step = (F.col("hi") - F.col("lo")) / N_BINS
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("lo")) / step), F.lit(N_BINS - 1)
+    ).cast("bigint")
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            bin_.alias("bin"),
+            F.round(F.col("lo") + bin_ * step, 4).alias("bin_lo"),
+            F.round(F.col("lo") + (bin_ + 1) * step, 4).alias("bin_hi"),
+        )
+        .groupBy("bin", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+QUERIES.update(
+    {
+        "q_win_rolling_median": q_win_rolling_median,
+        "q_agg_histogram": q_agg_histogram,
+    }
+)
+
+ORACLE.update(
+    {
+        "q_win_rolling_median": (
+            "WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day, "
+            "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total "
+            "FROM events GROUP BY event_type, date_trunc('day', ts)) "
+            "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, "
+            "round(total, 2) AS total, "
+            "round(quantile_cont(total, 0.5) OVER (PARTITION BY event_type "
+            "ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) "
+            "AS rolling_median_7d FROM daily"
+        ),
+        "q_agg_histogram": (
+            "WITH b AS (SELECT min(value) AS lo, max(value) AS hi, "
+            "(max(value) - min(value)) / 20 AS step FROM events), "
+            "binned AS (SELECT least(floor((value - lo) / step), 19)::BIGINT "
+            "AS bin, lo, step FROM events CROSS JOIN b) "
+            "SELECT bin, round(lo + bin * step, 4) AS bin_lo, "
+            "round(lo + (bin + 1) * step, 4) AS bin_hi, "
+            "count(*)::BIGINT AS n FROM binned GROUP BY bin, lo, step"
+        ),
+    }
+)

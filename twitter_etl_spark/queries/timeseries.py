@@ -174,3 +174,40 @@ ORACLE = {
         "FROM daily GROUP BY event_type, day"
     ),
 }
+
+
+def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: per-user gaps
+    (lag over the user timeline — one shuffle on user_id) rolled up
+    into mean / median / p95 seconds. The percentile here is exact
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, shared linear
+    interpolation); at 100 TB swap in ``approx_percentile`` on the
+    same plan."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts")), 1).over(w)
+    ) / 1e6
+    gaps = e.select("event_type", gap_s.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("median_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.95)), 4).alias("p95_gap_s"),
+    )
+
+
+QUERIES["q_ts_interarrival"] = q_ts_interarrival
+
+ORACLE["q_ts_interarrival"] = (
+    "WITH gaps AS (SELECT event_type, "
+    "(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id)) / 1e6 AS gap_s FROM events) "
+    "SELECT event_type, count(*)::BIGINT AS n_gaps, "
+    "round(avg(gap_s), 4) AS mean_gap_s, "
+    "round(quantile_cont(gap_s, 0.5), 4) AS median_gap_s, "
+    "round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s "
+    "FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type"
+)

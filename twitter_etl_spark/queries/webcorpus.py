@@ -1,0 +1,211 @@
+"""Web-corpus curation operators (SURVEY.md §2 [EXT]): PII
+scrubbing, per-domain corpus accounting, unigram-LM scoring, and
+Zipf frequency profiling — the C4/RefinedWeb-style cleaning stages a
+training-data pipeline runs between raw crawl and tokenizer.
+
+The fixture's ``documents.text`` is a synthetic bag of words with no
+URLs/emails/digits, so the PII and domain operators first ANNOTATE
+each document with a deterministic contact block derived from
+``doc_id`` (same technique as :mod:`geo`'s synthetic coordinates:
+pure string arithmetic, bit-identical on both engines). The regex
+scrub/extract logic — the part that matters — then runs on realistic
+patterns and is fully oracle-certified.
+
+Scale notes: every operator here is explode → broadcast-joined
+lookup → hash agg, or pure per-row projection. The unigram model
+broadcasts the vocabulary (bounded by distinct-word count, not
+corpus size); per-token scores are summed as FIXED-POINT BIGINTs so
+no float-sum-order nondeterminism exists anywhere
+(cf. graph.q_graph_pagerank). The Zipf window ranks the
+already-aggregated vocabulary frame (tiny), never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+#: PII patterns — ASCII classes only (Java regex \b/\d Unicode
+#: semantics vs RE2 differ; explicit classes are identical).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1 555-[0-9]{4}"
+HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+#: Zipf profile depth.
+ZIPF_TOP = 30
+
+
+def _annotated(d: DataFrame) -> DataFrame:
+    """text + deterministic contact block: one email, one phone, one
+    primary URL, and (for every third doc) a mirror URL."""
+    i = F.col("doc_id")
+    email = F.concat(
+        F.lit("user"), i.cast("string"),
+        F.lit("@example"), (i % 7).cast("string"), F.lit(".org"),
+    )
+    phone = F.concat(F.lit("+1 555-"), (1000 + i % 9000).cast("string"))
+    url1 = F.concat(
+        F.lit("https://site"), (i % 13).cast("string"),
+        F.lit(".example.org/p/"), i.cast("string"),
+    )
+    url2 = F.when(
+        i % 3 == 0,
+        F.concat(
+            F.lit(" http://mirror"), (i % 5).cast("string"),
+            F.lit(".example.net/x"),
+        ),
+    ).otherwise(F.lit(""))
+    ann = F.concat(
+        F.col("text"), F.lit(" contact "), email, F.lit(" or "), phone,
+        F.lit(" see "), url1, url2,
+    )
+    return d.select("doc_id", ann.alias("ann"))
+
+
+_SQL_ANNOTATED = (
+    "SELECT doc_id, text || ' contact user' || doc_id || '@example' "
+    "|| (doc_id % 7) || '.org or +1 555-' || (1000 + doc_id % 9000) "
+    "|| ' see https://site' || (doc_id % 13) || '.example.org/p/' || doc_id "
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' http://mirror' || (doc_id % 5) "
+    "|| '.example.net/x' ELSE '' END AS ann FROM documents"
+)
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact emails/phones per document. Pure per-row
+    projection — embarrassingly parallel, zero shuffle; the scrubbed
+    text is returned as md5 to keep the certified output skinny."""
+    a = _annotated(table(spark, sf_dir, "documents"))
+    ann = F.col("ann")
+    scrub = F.regexp_replace(
+        F.regexp_replace(ann, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return a.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(ann, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(ann, F.lit(PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(scrub).alias("scrubbed_md5"),
+    )
+
+
+def q_text_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus accounting (the C4 domain-mix report): URL
+    hosts extracted per doc, exploded, hash-aggregated. One shuffle
+    on the domain key."""
+    a = _annotated(table(spark, sf_dir, "documents"))
+    hosts = F.regexp_extract_all(F.col("ann"), F.lit(HOST_RE), F.lit(1))
+    return (
+        a.select("doc_id", F.explode(hosts).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        )
+    )
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document: p(w) from the corpus
+    itself, score = mean −ln p(w) over the doc's tokens — the
+    classic cheap quality/outlier signal (gibberish and boilerplate
+    both stand out).
+
+    Per-token scores are FIXED-POINT (round 6, ×1e6, BIGINT floor)
+    before the per-doc sum, so the reduction is exact integer math —
+    no float-sum-order nondeterminism; only the final mean is float.
+    The vocabulary (distinct words) is broadcast to the token scan.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    total = vocab.agg(F.sum("wc").alias("total"))
+    fp = F.floor(
+        F.round(-F.log(F.col("wc") / F.col("total")), 6) * 1e6 + F.lit(0.5)
+    ).cast("bigint")
+    probs = vocab.crossJoin(F.broadcast(total)).select("w", fp.alias("fp"))
+    scored = toks.join(F.broadcast(probs), "w")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(F.sum("fp") / F.count(F.lit(1)) / 1e6, 4).alias("avg_neglogp"),
+    )
+
+
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf profile: top-30 words by corpus frequency with rank and
+    per-10k-token rate. The global rank window runs on the
+    aggregated vocabulary (|distinct words| rows), never the corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    total = vocab.agg(F.sum("wc").alias("total"))
+    ranked = (
+        vocab.crossJoin(F.broadcast(total))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("wc"), F.asc("w"))),
+        )
+        .filter(F.col("rank") <= ZIPF_TOP)
+    )
+    return ranked.select(
+        "rank",
+        "w",
+        "wc",
+        F.round(F.col("wc") * 10000.0 / F.col("total"), 4).alias("per_10k"),
+    )
+
+
+QUERIES = {
+    "q_text_pii_scrub": q_text_pii_scrub,
+    "q_text_domain_stats": q_text_domain_stats,
+    "q_text_unigram_logprob": q_text_unigram_logprob,
+    "q_text_zipf": q_text_zipf,
+}
+
+ORACLE = {
+    "q_text_pii_scrub": (
+        "WITH a AS (" + _SQL_ANNOTATED + ") "
+        "SELECT doc_id, "
+        "len(regexp_extract_all(ann, '" + EMAIL_RE + "'))::INT AS n_emails, "
+        "len(regexp_extract_all(ann, '" + PHONE_RE + "'))::INT AS n_phones, "
+        "md5(regexp_replace(regexp_replace(ann, '" + EMAIL_RE + "', "
+        "'<EMAIL>', 'g'), '" + PHONE_RE + "', '<PHONE>', 'g')) "
+        "AS scrubbed_md5 FROM a"
+    ),
+    "q_text_domain_stats": (
+        "WITH a AS (" + _SQL_ANNOTATED + "), "
+        "h AS (SELECT doc_id, unnest(regexp_extract_all(ann, "
+        "'" + HOST_RE + "', 1)) AS domain FROM a) "
+        "SELECT domain, count(*)::BIGINT AS n_urls, "
+        "count(DISTINCT doc_id)::BIGINT AS n_docs FROM h GROUP BY domain"
+    ),
+    "q_text_unigram_logprob": (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents), "
+        "vocab AS (SELECT w, count(*)::BIGINT AS wc FROM toks GROUP BY w), "
+        "tot AS (SELECT sum(wc)::BIGINT AS total FROM vocab), "
+        "probs AS (SELECT w, floor(round(-ln(wc::DOUBLE / total), 6) * 1e6 "
+        "+ 0.5)::BIGINT AS fp FROM vocab CROSS JOIN tot), "
+        "scored AS (SELECT doc_id, fp FROM toks JOIN probs USING (w)) "
+        "SELECT doc_id, count(*)::BIGINT AS n_tok, "
+        "round(sum(fp)::BIGINT / count(*) / 1e6, 4) AS avg_neglogp "
+        "FROM scored GROUP BY doc_id"
+    ),
+    "q_text_zipf": (
+        "WITH toks AS (SELECT unnest(string_split_regex(trim(text), "
+        "'\\s+')) AS w FROM documents), "
+        "vocab AS (SELECT w, count(*)::BIGINT AS wc FROM toks GROUP BY w), "
+        "tot AS (SELECT sum(wc)::BIGINT AS total FROM vocab) "
+        "SELECT row_number() OVER (ORDER BY wc DESC, w) AS rank, w, wc, "
+        "round(wc * 10000.0 / total, 4) AS per_10k "
+        "FROM vocab CROSS JOIN tot "
+        f"ORDER BY rank LIMIT {ZIPF_TOP}"
+    ),
+}
