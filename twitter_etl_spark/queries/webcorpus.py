@@ -209,3 +209,48 @@ ORACLE = {
         f"ORDER BY rank LIMIT {ZIPF_TOP}"
     ),
 }
+
+
+#: temperature for mixture reweighting and the token budget used to
+#: express weights as per-source epoch counts.
+MIX_TAU = 0.7
+MIX_BUDGET = 1_000_000
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source token counts →
+    temperature-flattened sampling weights w_s ∝ n_s^τ (τ=0.7, the
+    multilingual-LM standard for up-weighting small sources) and the
+    implied epochs over each source at a fixed token budget.
+
+    Plan: one hash agg over documents, then a 1-row Σ n^τ broadcast —
+    the weight math is O(|sources|), independent of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n_tok")
+    )
+    powed = counts.select(
+        "source", "n_tok", F.pow("n_tok", F.lit(MIX_TAU)).alias("p")
+    )
+    denom = powed.agg(F.sum("p").alias("z"))
+    w = F.col("p") / F.col("z")
+    return powed.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_tok",
+        F.round(w, 6).alias("weight"),
+        F.round(w * MIX_BUDGET / F.col("n_tok"), 4).alias("epochs"),
+    )
+
+
+QUERIES["q_mix_weights"] = q_mix_weights
+
+ORACLE["q_mix_weights"] = (
+    "WITH counts AS (SELECT source, "
+    "sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tok "
+    "FROM documents GROUP BY source), "
+    f"powed AS (SELECT source, n_tok, pow(n_tok, {MIX_TAU}) AS p FROM counts), "
+    "z AS (SELECT sum(p) AS z FROM powed) "
+    "SELECT source, n_tok, round(p / z, 6) AS weight, "
+    f"round(p / z * {MIX_BUDGET} / n_tok, 4) AS epochs "
+    "FROM powed CROSS JOIN z"
+)
