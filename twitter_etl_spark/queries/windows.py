@@ -222,3 +222,32 @@ ORACLE["q_win_pctrank"] = (
     "round(cume_dist() OVER w, 6) AS cume "
     "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)"
 )
+
+
+def q_win_ntile_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance quartiles WITHIN each market segment — the sharded
+    ntile that :func:`q_win_ntile`'s docstring promises for scale.
+    The window partitions on ``c_mktsegment``, so the sort is one
+    hash-partitioned exchange with per-shard parallel sorts — no
+    SinglePartition exchange anywhere in the plan
+    (tests/test_plans.py pins this). Use this form whenever a
+    business shard key exists; reserve the global form for frames
+    already reduced to driver-scale."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+QUERIES["q_win_ntile_sharded"] = q_win_ntile_sharded
+ORACLE["q_win_ntile_sharded"] = (
+    "SELECT c_custkey, c_mktsegment, "
+    "ntile(4) OVER (PARTITION BY c_mktsegment "
+    "ORDER BY c_acctbal DESC, c_custkey) AS quartile "
+    "FROM customer"
+)
