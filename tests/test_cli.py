@@ -55,3 +55,23 @@ def test_setup_plus_force_does_both_with_keys_filter(spark):
     assert os.path.exists(os.path.join(base, "sink.schema"))
     out = spark.read.parquet(os.path.join(base, "sink"))
     assert out.count() == 1  # only the doc containing a tracked term
+
+
+def test_doc_counts_match_registry():
+    """README.md and COVERAGE.md advertise the registry size; pin them
+    so the docs can't drift when queries are added (r5 verdict #4)."""
+    import re
+
+    from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    nq, no = len(ALL_QUERIES), len(ALL_ORACLES)
+    root = os.path.join(os.path.dirname(__file__), "..")
+    readme = open(os.path.join(root, "README.md")).read()
+    cov = open(os.path.join(root, "COVERAGE.md")).read()
+    assert f"{nq} queries, {no} with DuckDB oracles" in readme
+    assert f"**{nq} queries; {no} oracle-checked.**" in cov
+    # every registry entry has a COVERAGE row
+    rows = set(re.findall(r"\| `(q_\w+)` \|", cov))
+    assert rows == set(ALL_QUERIES), sorted(
+        set(ALL_QUERIES) ^ rows
+    )

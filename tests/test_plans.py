@@ -172,6 +172,70 @@ def test_ivf_centroids_broadcast(spark):
     assert "CartesianProduct" not in p
 
 
+def test_zipf_topk_uses_take_ordered(spark):
+    """q_text_zipf's rank assignment must be a TakeOrderedAndProject
+    top-k, never a single-partition global-sort window (the r4
+    regression class)."""
+    p = _plan(spark, "q_text_zipf")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_ntile_sharded_no_single_partition(spark):
+    """The sharded ntile twin exists precisely to avoid the global
+    sort — its plan must contain no SinglePartition exchange."""
+    p = _plan(spark, "q_win_ntile_sharded")
+    assert "SinglePartition" not in p
+
+
+def _plan_no_autobc(spark, name: str) -> str:
+    """Physical plan with auto-broadcast disabled, so every
+    BroadcastExchange left in the plan comes from an explicit
+    F.broadcast hint — the thing that would OOM executors at 100 TB
+    if applied to a big frame."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return _plan(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partsupp_never_broadcast_unfiltered(spark):
+    """The derived partsupp is 4x|part| — billions of rows at scale.
+    No consumer may hint-broadcast it raw: under each
+    BroadcastExchange the immediate child must not be the partsupp
+    generator projection (identified by its `% s_cnt#` supplier
+    stride), i.e. any broadcast of partsupp data must sit behind a
+    semi-filter or an aggregate."""
+    for name in (
+        "q_tpch_q2",
+        "q_tpch_q9",
+        "q_tpch_q11",
+        "q_tpch_q16",
+        "q_tpch_q17",
+        "q_tpch_q20",
+    ):
+        lines = _plan_no_autobc(spark, name).splitlines()
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" in ln and i + 1 < len(lines):
+                assert "% s_cnt#" not in lines[i + 1], (name, lines[i + 1])
+
+
+def test_tpch_q9_partsupp_on_shuffle_path(spark):
+    """With auto-broadcast off, q9's lineitem<->partsupp pair join
+    must be a shuffle join on (partkey, suppkey) — a hinted broadcast
+    of partsupp would survive the disabled threshold and fail this."""
+    import re
+
+    p = _plan_no_autobc(spark, "q_tpch_q9")
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[l_partkey#\d+L?, l_suppkey", p
+    ), p
+    for ln in p.splitlines():
+        if "BroadcastHashJoin" in ln and "ps_suppkey" in ln:
+            assert "LeftSemi" in ln, ln  # only the part-key semi filter
+
+
 def test_heavyhitters_candidates_broadcast_and_arrow(spark):
     """Pass 2 must broadcast the candidate set (the corpus is never
     shuffled for the recount), and pass 1 must be the Arrow-batched

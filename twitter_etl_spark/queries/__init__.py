@@ -95,62 +95,70 @@ _MODULES = (
 #   r01-r02: ref-parity + relational core (joins/aggs/windows/sortset)
 #   r03:     ref-parity + scalar fns + streaming-batch + §2.6
 #            text/dedup/similarity/multimodal/sampling
-#   r04 (this list): the oracle-backed names with no driver row in any
-#            prior round — the two r03-red rows (now fixed) first,
-#            then incremental/behavior/corpus/llmprep/timeseries/
-#            graph/dq/integrity/geo/retrieval/anomaly families.
+#   r04-r05: incremental/behavior/corpus/llmprep/timeseries/graph/
+#            dq/integrity/geo/retrieval/anomaly families.
+#   r06 (this list): the 46 oracle-backed names with no driver row in
+#            any prior round (all 21 remaining TPC-H, pandas-UDF/UDTF,
+#            webcorpus, window/agg/join extras), computed as
+#            ALL_ORACLES minus union(CORRECTNESS_r01..r05 keys), plus
+#            4 re-cert slots for queries touched this round.
 # Names NOT in the prefix keep their module-order position after it.
 _CERT_PREFIX = (
-    "q_sessionize_batch",      # r03 FAIL: oracle HUGEINT cast — fixed
-    "q_multimodal_decode",     # r03 ERR: ArrayType column — now scalar + oracled
-    "q_merge_upsert",
-    "q_agg_mergeable",
-    "q_fn_unpivot",
-    "q_join_nullsafe",
-    "q_source_csv",
-    "q_sample_split",
-    "q_sample_stratified",
-    "q_sim_centroid",
-    "q_funnel_conversion",
-    "q_cohort_retention",
-    "q_attribution_batch",
-    "q_behavior_transitions",
-    "q_text_contamination",
-    "q_dedup_cluster",
-    "q_dedup_cluster_stats",
-    "q_text_corpus_stopwords",
-    "q_dedup_minhash_banded",
-    "q_sim_quantize",
-    "q_sim_ann_ivf",
-    "q_sample_leakage_safe",
-    "q_dedup_simhash_md5",
+    # -- TPC-H (q15 was certified r5 via local run; these 21 never were)
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",      # oracle GROUP BY + partsupp-broadcast fixed this round
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # -- pandas UDF / UDTF surface (§2.7)
+    "q_pandas_zscore",
+    "q_pandas_asof_cogroup",
+    "q_pandas_gmean",
+    "q_udtf_runlength",
+    # -- webcorpus / text extras
+    "q_text_pii_scrub",
+    "q_text_domain_stats",
+    "q_text_unigram_logprob",
+    "q_text_zipf",
+    "q_mix_weights",
+    # -- window / agg / join / misc extras
+    "q_win_ntile_sharded",
+    "q_win_firstlast",
+    "q_win_rolling_median",
+    "q_ts_interarrival",
+    "q_agg_histogram",
+    "q_agg_argmax",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_agg_salted_sum",
+    "q_agg_stats",
+    "q_fn_posexplode",
+    "q_fn_try_arith",
+    "q_join_rangedate",
+    "q_join_salted",
+    "q_session_window_batch",
+    "q_subquery_correlated",
+    # -- re-cert slots: queries touched in round 6
     "q_llm_curation",
-    "q_text_heavyhitters",
-    "q_agg_bitmap_distinct",
-    "q_pack_sequences",
-    "q_text_squeeze_runs",
-    "q_text_chunk_overlap",
-    "q_text_bm25",
-    "q_quality_gopher",
-    "q_scd2_history",
-    "q_skew_diagnose",
-    "q_ts_gapfill",
-    "q_ts_locf",
-    "q_ts_resample_ohlc",
-    "q_graph_degree",
-    "q_graph_triangles",
-    "q_graph_pagerank",
+    "q_dedup_minhash_banded",
+    "q_dedup_ngram_jaccard",
     "q_dq_checks",
-    "q_er_fuzzy_blocked",
-    "q_er_sorted_neighborhood",
-    "q_snapshot_diff",
-    "q_table_fingerprint",
-    "q_geo_grid_join",
-    "q_geo_cell_density",
-    "q_sim_maxsim",
-    "q_fn_regression",
-    "q_outliers_robust",
-    "q_source_orc",
 )
 
 _BY_MODULE: dict = {}

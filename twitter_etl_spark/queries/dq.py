@@ -80,7 +80,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphans = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
         .agg(F.count(F.lit(1)).alias("n_violations"))
-        .crossJoin(li.agg(F.count(F.lit(1)).alias("n_rows")))
+        .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("n_rows"))))
         .select(
             "n_rows",
             F.lit("ref_lineitem_orderkey").alias("check_name"),

@@ -469,15 +469,18 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(sn.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
         ps.ps_suppkey == F.col("s_suppkey"),
     )
-    minc = cost.groupBy("ps_partkey").agg(
+    # Alias the aggregate's key so the self-join predicate references
+    # distinct attributes (avoids Spark's "trivially true equals
+    # predicate" dataset-id disambiguation, fragile across versions).
+    minc = cost.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
         F.min("ps_supplycost").alias("min_cost")
     )
     return (
         cost.join(F.broadcast(p), cost.ps_partkey == p.p_partkey)
         .join(
             minc,
-            (cost.ps_partkey == minc.ps_partkey)
-            & (cost.ps_supplycost == minc.min_cost),
+            (cost.ps_partkey == F.col("m_partkey"))
+            & (cost.ps_supplycost == F.col("min_cost")),
         )
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
@@ -566,22 +569,28 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 (product-type profit), adapted: p_name LIKE 'red%' (the
     fixture's names are '<color> <noun>'; no 'green'). Profit uses
-    the derived partsupp's supplycost. Part/supplier/nation/partsupp
-    all broadcast (partsupp is 4x|part|); only the fact tables
-    shuffle, on their join keys."""
+    the derived partsupp's supplycost. Scale shape: partsupp is
+    4x|part| — far too big to broadcast at 100 TB — so it is
+    semi-filtered by the broadcast 'red%' part keys (~1/10 of part)
+    and then SHUFFLE-joined with lineitem on (partkey, suppkey).
+    Only part keys and the tiny supplier/nation dims broadcast."""
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     ps = _partsupp(spark, sf_dir)
+    p_keys = p.select("p_partkey")
+    ps_red = ps.join(
+        F.broadcast(p_keys), ps.ps_partkey == F.col("p_partkey"), "left_semi"
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost")
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "ps_supplycost"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(F.broadcast(p_keys), li.l_partkey == F.col("p_partkey"))
         .join(
-            F.broadcast(ps.select("ps_partkey", "ps_suppkey", "ps_supplycost")),
+            ps_red,
             (li.l_partkey == F.col("ps_partkey"))
             & (li.l_suppkey == F.col("ps_suppkey")),
         )
@@ -882,7 +891,7 @@ ORACLE.update(
             "JOIN nation ON s_nationkey = n_nationkey "
             "JOIN orders ON l_orderkey = o_orderkey "
             "WHERE p_name LIKE 'red%' "
-            "GROUP BY nation, o_year"
+            "GROUP BY n_name, year(o_orderdate)"
         ),
         "q_tpch_q11": (
             "WITH " + _SQL_PARTSUPP + ", "
