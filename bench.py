@@ -42,6 +42,10 @@ HEADLINE = [
     "q_sim_cosine_topk",
     "q_stream_tumbling_batch",
     "q_sessionize_batch",
+    # LLM-pipeline north-star surface (r5 verdict #8): track the
+    # end-to-end curation pipeline and the banded-MinHash dedup
+    "q_llm_curation",
+    "q_dedup_minhash_banded",
 ]
 
 

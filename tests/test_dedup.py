@@ -156,3 +156,17 @@ def test_approx_distinct_within_tolerance(spark):
     assert set(exact) == set(approx)
     for k in exact:
         assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k]), (k, exact[k], approx[k])
+
+
+def test_ngram_jaccard_digest_keys_identical(spark):
+    """The xxhash64 shuffle-key variant (cluster path: ~4x fewer
+    shuffle bytes) must produce the exact pair set of the string-key
+    default at fixture scale (no 64-bit collisions there)."""
+    from twitter_etl_spark.queries.dedup import q_dedup_ngram_jaccard
+
+    d = "/root/testdata/sf0.01"
+    a = sorted(map(tuple, q_dedup_ngram_jaccard(spark, d).collect()))
+    b = sorted(
+        map(tuple, q_dedup_ngram_jaccard(spark, d, digest_keys=True).collect())
+    )
+    assert a == b and len(a) > 0

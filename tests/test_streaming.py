@@ -525,6 +525,83 @@ def test_transform_with_state_processor_across_batches(spark):
     assert (latest["n_types"], latest["top_type"]) == (2, "click")
 
 
+def test_tws_processor_logic_with_fake_state():
+    """Executes UserActivityProcessor's init/handleInputRows for real
+    against in-memory ValueState/MapState fakes, with the same data
+    and assertions as the protobuf-gated end-to-end test above. The
+    TWS state-server protocol needs google.protobuf, absent from this
+    container (and installs are off-limits), so Spark's wire layer
+    can't run here — but our processor logic can and must."""
+    import pandas as pd
+
+    from twitter_etl_spark.streaming.tws import UserActivityProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, k):
+            return k in self._m
+
+        def getValue(self, k):
+            return self._m[k]
+
+        def updateValue(self, k, v):
+            self._m[k] = v
+
+        def iterator(self):
+            return iter(self._m.items())
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+        def getMapState(self, name, kschema, vschema):
+            return self.states.setdefault(name, FakeMapState())
+
+    # one handle per key, persisted across batches = the state store
+    handles = {}
+
+    def run_batch(key, pdf):
+        proc = UserActivityProcessor()
+        proc.init(handles.setdefault(key, FakeHandle()))
+        out = pd.concat(list(proc.handleInputRows((key,), iter([pdf]), None)))
+        proc.close()
+        return out.iloc[0]
+
+    b1_u1 = pd.DataFrame(
+        {"event_type": ["view", "view", "click"], "value": [10.0, 5.0, 1.0]}
+    )
+    b1_u2 = pd.DataFrame({"event_type": ["view"], "value": [2.0]})
+    r1, r2 = run_batch(1, b1_u1), run_batch(2, b1_u2)
+    assert (r1["n_events"], r1["total_value"]) == (3, 16.0)
+    assert (r1["n_types"], r1["top_type"]) == (2, "view")
+    assert r2["n_events"] == 1
+
+    # batch 2 for user 1: state carries; click ties view at 3 ->
+    # lexicographic tie-break picks 'click'
+    b2_u1 = pd.DataFrame({"event_type": ["click", "click"], "value": [2.0, 3.0]})
+    r1b = run_batch(1, b2_u1)
+    assert (r1b["n_events"], r1b["total_value"]) == (5, 21.0)
+    assert (r1b["n_types"], r1b["top_type"]) == (2, "click")
+
+
 def test_socket_source_live_stream(spark):
     """Live socket ingest (main.R:60-66's blocking HTTP-stream role):
     a real TCP server feeds NDJSON lines; the socket source consumes
