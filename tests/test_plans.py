@@ -155,11 +155,12 @@ def test_leakage_safe_split_is_shuffle_free(spark):
     assert "Exchange" not in p
 
 
-def test_minhash_banded_bucket_cap_broadcasts(spark):
-    """The signature-bucket keep-set is tiny — it must broadcast,
-    never reshuffle the signatures."""
+def test_minhash_banded_single_signature_shuffle(spark):
+    """Candidate generation is in-bucket collect_list: the (band,
+    sig) signatures shuffle exactly ONCE (no keep-set join, no
+    self-join re-shuffle), and nothing goes cartesian."""
     p = _plan(spark, "q_dedup_minhash_banded")
-    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning(band") == 1, p
     assert "CartesianProduct" not in p
 
 
