@@ -75,3 +75,14 @@ def test_doc_counts_match_registry():
     assert rows == set(ALL_QUERIES), sorted(
         set(ALL_QUERIES) ^ rows
     )
+
+
+def test_cert_prefix_all_oracle_backed():
+    """The first 50 registry entries are what the driver certifies
+    each round — a rows-only name there would waste a cert slot on
+    the weaker check. Every prefix name must have an oracle."""
+    from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    prefix = list(ALL_QUERIES)[:50]
+    missing = [n for n in prefix if n not in ALL_ORACLES]
+    assert not missing, missing
