@@ -78,3 +78,25 @@ def test_multimodal_pipeline_schema(spark):
     assert row["n_bytes"] == 11
     assert len(row["features"]) == 4
     assert row["features"][0] == 11.0
+
+
+def test_semantic_dedup_consistent_with_neardup_pairs(spark):
+    """q_dedup_semantic's drop-set must be exactly the distinct
+    higher-id side of the near-dup pair list, every vector must
+    appear exactly once, and the rule is greedy-by-id: dropped iff
+    similar to ANY lower id (not only to surviving ones)."""
+    from twitter_etl_spark.queries.similarity import (
+        q_dedup_semantic,
+        q_sim_embedding_neardup,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    out = q_dedup_semantic(spark, sf).collect()
+    n_vecs = table(spark, sf, "embeddings").count()
+    assert len(out) == n_vecs
+    dropped = {r["vec_id"] for r in out if r["kept"] == 0}
+    pair_bs = {
+        r["vec_b"] for r in q_sim_embedding_neardup(spark, sf).collect()
+    }
+    assert dropped == pair_bs

@@ -182,10 +182,40 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup survivor resolution (Abbas et
+    al. 2023, arXiv:2303.09540 — public): a vector is DROPPED iff
+    some lower-id vector in its coarse cell is cosine-similar
+    (>= 0.35); everything else survives. This is the greedy
+    keep-first policy of the reference's text dedup (main.R:105)
+    lifted to embedding space — single pass, deterministic, no
+    iterative clustering. Candidate pairs reuse the blocked scan of
+    :func:`q_sim_embedding_neardup` (within-cell joins only, hot
+    cells capped — never all-pairs); vectors in over-cap cells pass
+    through as kept, same recall hand-off posture as the shingle df
+    cap. The dropped set joins back on vec_id WITHOUT a broadcast
+    hint — it can approach corpus size at 100 TB.
+
+    Output: every vector with ``kept`` 1/0 (int for cross-engine
+    hash stability) — the keep-list a curation job would apply."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    dropped = (
+        q_sim_embedding_neardup(spark, sf_dir)
+        .select(F.col("vec_b").alias("d_id"))
+        .distinct()
+    )
+    return e.join(dropped, e.vec_id == F.col("d_id"), "left").select(
+        "vec_id",
+        "label",
+        F.when(F.col("d_id").isNull(), 1).otherwise(0).alias("kept"),
+    )
+
+
 QUERIES = {
     "q_sim_cosine_topk": q_sim_cosine_topk,
     "q_sim_embedding_neardup": q_sim_embedding_neardup,
     "q_sim_ann_lsh": q_sim_ann_lsh,  # rows-only
+    "q_dedup_semantic": q_dedup_semantic,
 }
 
 _V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -220,5 +250,19 @@ ORACLE = {
         "WHERE round(list_dot_product(a.v, b.v) / "
         "      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) "
         "  >= 0.35"
+    ),
+    "q_dedup_semantic": (
+        "WITH e0 AS (SELECT vec_id, label, " + _V + " AS v FROM embeddings), "
+        "keep AS (SELECT label FROM e0 GROUP BY label "
+        "         HAVING count(*) <= 4096), "
+        "e AS (SELECT e0.* FROM e0 JOIN keep USING (label)), "
+        "dropped AS (SELECT DISTINCT b.vec_id AS d_id "
+        "  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+        "  WHERE round(list_dot_product(a.v, b.v) / "
+        "        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) "
+        "    >= 0.35) "
+        "SELECT e0.vec_id, e0.label, "
+        "  CASE WHEN d.d_id IS NULL THEN 1 ELSE 0 END AS kept "
+        "FROM e0 LEFT JOIN dropped d ON e0.vec_id = d.d_id"
     ),
 }
