@@ -65,6 +65,59 @@ def test_no_cartesian_anywhere_unexpected(spark):
         assert "CartesianProduct" not in p, name
 
 
+# Queries whose plans legitimately contain an Exchange SinglePartition
+# today. Every entry is a 1-row/tiny-result global aggregate (scalar
+# agg, corpus stats broadcast, fingerprint, calendar min/max bounds) —
+# partial aggregation runs map-side and only tiny partials cross the
+# exchange — except q_win_ntile, whose global sort is
+# documented-deliberate with the sharded twin (windows.py). A NEW name
+# appearing here means a global sort / single-partition window crept
+# into a data path: fix the plan, don't extend the list casually.
+_SINGLE_PARTITION_OK = {
+    "q_agg_global",
+    "q_agg_histogram",
+    "q_dq_checks",
+    "q_funnel_conversion",
+    "q_graph_triangles",
+    "q_mix_weights",
+    "q_skew_diagnose",
+    "q_table_fingerprint",
+    "q_text_bm25",
+    "q_text_corpus_stopwords",
+    "q_text_heavyhitters",
+    "q_text_tfidf",
+    "q_text_unigram_logprob",
+    "q_text_zipf",
+    "q_tpch_q2",
+    "q_tpch_q6",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q14",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q22",
+    "q_ts_gapfill",
+    "q_ts_locf",
+    "q_win_ntile",
+}
+
+
+def test_no_new_single_partition_exchanges(spark):
+    """Sweep every registered query plan: an Exchange SinglePartition
+    outside the audited allowlist is the zipf-class scale regression
+    (a data path collapsing to one task at 100 TB)."""
+    unexpected = []
+    for name in sorted(ALL_QUERIES):
+        if name in ("q_dedup_minhash", "q_sim_ann_lsh"):  # MLlib fit()
+            continue
+        p = _plan(spark, name)
+        if "Exchange SinglePartition" in p and name not in _SINGLE_PARTITION_OK:
+            unexpected.append(name)
+    assert not unexpected, unexpected
+
+
 def test_projection_ops_are_shuffle_free(spark):
     """Hash sampling and frame sampling are per-row projections —
     their plans must contain NO Exchange at any scale."""
