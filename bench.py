@@ -87,6 +87,10 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # the first 18 entries are the r2-r5 headline set; their subtotal
+    # keeps cross-round suite comparisons apples-to-apples after the
+    # r6 additions (q_llm_curation, q_dedup_minhash_banded)
+    legacy = round(sum(timings[n] for n in HEADLINE[:18]), 3)
     print(
         json.dumps(
             {
@@ -95,6 +99,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "legacy18_seconds": legacy,
             }
         )
     )

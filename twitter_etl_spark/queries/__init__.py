@@ -154,11 +154,11 @@ _CERT_PREFIX = (
     "q_join_salted",
     "q_session_window_batch",
     "q_subquery_correlated",
-    # -- re-cert slots: queries touched in round 6
-    "q_llm_curation",
-    "q_dedup_minhash_banded",
-    "q_dedup_ngram_jaccard",
-    "q_dq_checks",
+    # -- queries new or touched in round 6
+    "q_dedup_semantic",        # new r6 (SemDeDup survivor resolution)
+    "q_dedup_minhash_banded",  # r6: sliced-digest bands + single shuffle
+    "q_dedup_ngram_jaccard",   # r6: digest_keys flag
+    "q_dq_checks",             # r6: broadcast-hinted rowcount join
 )
 
 _BY_MODULE: dict = {}
