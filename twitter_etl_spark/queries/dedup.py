@@ -287,6 +287,9 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") <= max_bucket)
         .select("band", "band_val")
     )
+    # the keep-set is bounded by the key space, not the corpus:
+    # 4 bands x 2^16 band values = at most 262k rows (~5 MB), so the
+    # hint is safe at any SF (SCALE.md cap table)
     bands = bands.join(F.broadcast(keep), ["band", "band_val"])
     a = bands.select(
         "band", "band_val",

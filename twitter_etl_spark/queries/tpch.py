@@ -243,7 +243,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias("promo_revenue_pct"),
         F.round(F.sum(rev), 2).alias("total_revenue"),
     )
@@ -278,7 +278,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(rev), 2).alias("revenue"),
@@ -466,7 +466,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
     )
     cost = ps.join(
-        F.broadcast(sn.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+        sn.select("s_suppkey", "s_name", "s_acctbal", "n_name"),
         ps.ps_suppkey == F.col("s_suppkey"),
     )
     # Alias the aggregate's key so the self-join predicate references
@@ -519,7 +519,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
@@ -555,7 +555,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1.select("n_nationkey", "n_regionkey")),
               c.c_nationkey == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -594,7 +594,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_partkey == F.col("ps_partkey"))
             & (li.l_suppkey == F.col("ps_suppkey")),
         )
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
@@ -617,7 +617,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _partsupp(spark, sf_dir)
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
     val = F.col("ps_supplycost") * F.col("ps_availqty")
-    nat = ps.join(F.broadcast(sn), ps.ps_suppkey == F.col("s_suppkey"))
+    nat = ps.join(sn, ps.ps_suppkey == F.col("s_suppkey"))
     by_part = nat.groupBy("ps_partkey").agg(F.sum(val).alias("part_value"))
     thresh = by_part.agg((F.sum("part_value") * 0.001).alias("threshold"))
     return (
@@ -664,8 +664,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     ps = _partsupp(spark, sf_dir)
     return (
-        ps.join(F.broadcast(bad_s), ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(bad_s, ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, ps.ps_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -751,7 +751,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
         .filter(late)
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
         .select("l_orderkey", "l_suppkey", "s_name")
     )
     all_lines = li.select(

@@ -131,7 +131,9 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.log(F.col("wc") / F.col("total")), 6) * 1e6 + F.lit(0.5)
     ).cast("bigint")
     probs = vocab.crossJoin(F.broadcast(total)).select("w", fp.alias("fp"))
-    scored = toks.join(F.broadcast(probs), "w")
+    # the vocab->logprob map grows with the corpus (Heaps' law) —
+    # un-hinted so AQE only broadcasts it while it is genuinely small
+    scored = toks.join(probs, "w")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"),
         F.round(F.sum("fp") / F.count(F.lit(1)) / 1e6, 4).alias("avg_neglogp"),
