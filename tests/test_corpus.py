@@ -287,3 +287,63 @@ def test_curate_and_shard_end_to_end(spark):
         back = spark.read.parquet(os.path.join(out, split))
         assert back.count() == c
         assert back.select("shard").distinct().count() <= 2
+
+
+def test_minhash_band_signatures_match_python_reference(spark):
+    """Pin the band-hash construction against an independent
+    pure-Python computation: 8 DISTINCT 32-bit slices of
+    md5('0|'||x)||md5('1|'||x), min over each doc's shingles. This
+    is the guard for the r6 closure bug, where a PySpark
+    two-arg-lambda misbinding silently collapsed all 8 bands to one
+    position-dependent hash."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.corpus import _MINHASH_BANDS
+    from twitter_etl_spark.queries import corpus as C
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "one two three four five six seven"),
+    ]
+
+    def shingles(text):
+        t = text.split()
+        return sorted({" ".join(t[i : i + 3]) for i in range(len(t) - 2)})
+
+    def digest(x):
+        return (
+            hashlib.md5(("0|" + x).encode()).hexdigest()
+            + hashlib.md5(("1|" + x).encode()).hexdigest()
+        )
+
+    expected = {
+        (doc_id, b): min(digest(s)[b * 8 : b * 8 + 8] for s in shingles(text))
+        for doc_id, text in docs
+        for b in range(_MINHASH_BANDS)
+    }
+
+    import tempfile, os
+
+    base = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(base, "documents.parquet"))
+
+    # run the PRODUCTION signature helper on the same docs
+    from twitter_etl_spark.queries.corpus import minhash_band_sigs
+    from twitter_etl_spark.queries.dedup import _shingles, _tokens
+    from twitter_etl_spark.tables import table
+
+    d = table(spark, base, "documents").select("doc_id", _tokens().alias("toks"))
+    sh = d.select("doc_id", _shingles().alias("s")).filter(F.size("s") > 0)
+    rows = minhash_band_sigs(sh).collect()
+    got = {(r["doc_id"], r["band"]): r["sig"] for r in rows}
+    assert got == expected
+    # and the bands really are distinct hash functions per doc
+    for doc_id, _ in docs:
+        sigs = {expected[(doc_id, b)] for b in range(_MINHASH_BANDS)}
+        assert len(sigs) > 1

@@ -187,6 +187,44 @@ _MINHASH_BANDS = 8
 _MINHASH_MAX_BUCKET = 1024
 
 
+def minhash_band_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) band signatures for a (doc_id, s:
+    array<string>) shingle frame: each shingle digested once as
+    ``md5('0|'||x) || md5('1|'||x)`` (64 hex chars), band b's hash =
+    the 8-hex slice at b*8, sig = min over the doc's shingles.
+    Shared by :func:`q_dedup_minhash_banded` and the pure-Python
+    cross-check in ``tests/test_corpus.py``."""
+    digests = F.transform(
+        F.col("s"),
+        lambda x: F.concat(
+            F.md5(F.concat(F.lit("0|"), x)), F.md5(F.concat(F.lit("1|"), x))
+        ),
+    )
+
+    def _band_slice(b: int):
+        # single-arg lambda factory: a `lambda t, _b=b:` default param
+        # would be inspected by PySpark as the (element, index) binary
+        # form, silently binding _b to the array index instead of b
+        return lambda t: F.substring(t, b * 8 + 1, 8)
+
+    return sh.select("doc_id", digests.alias("dg")).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_min(
+                            F.transform(F.col("dg"), _band_slice(b))
+                        ).alias("sig"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+
 def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-certified MinHash LSH near-dup: per band b, a doc's
     signature is min(md5('b|' || shingle)) over its distinct 3-gram
@@ -212,35 +250,7 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
     )
     sh = d.select("doc_id", _shingles().alias("s")).filter(F.size("s") > 0)
-    digests = F.transform(
-        F.col("s"),
-        lambda x: F.concat(
-            F.md5(F.concat(F.lit("0|"), x)), F.md5(F.concat(F.lit("1|"), x))
-        ),
-    )
-
-    def _band_slice(b: int):
-        # single-arg lambda factory: a `lambda t, _b=b:` default param
-        # would be inspected by PySpark as the (element, index) binary
-        # form, silently binding _b to the array index instead of b
-        return lambda t: F.substring(t, b * 8 + 1, 8)
-
-    sigs = sh.select("doc_id", digests.alias("dg")).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.array_min(
-                            F.transform(F.col("dg"), _band_slice(b))
-                        ).alias("sig"),
-                    )
-                    for b in range(_MINHASH_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    sigs = minhash_band_sigs(sh)
     # in-bucket pair generation (one shuffle; the df/bucket cap drops
     # degenerate buckets before the quadratic step, as in
     # q_dedup_ngram_jaccard)
