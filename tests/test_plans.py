@@ -104,17 +104,29 @@ _SINGLE_PARTITION_OK = {
 }
 
 
+# Queries whose final output is a global sort (Exchange
+# rangepartitioning) over a provably small aggregated frame:
+# q_sim_maxsim sorts per-label scores (O(#cells)), q_tpch_q13 sorts
+# the order-count distribution (O(distinct counts)). A NEW name here
+# means an un-aggregated data path is being globally sorted.
+_RANGE_SORT_OK = {"q_sim_maxsim", "q_tpch_q13"}
+
+
 def test_no_new_single_partition_exchanges(spark):
-    """Sweep every registered query plan: an Exchange SinglePartition
-    outside the audited allowlist is the zipf-class scale regression
-    (a data path collapsing to one task at 100 TB)."""
+    """Sweep every registered query plan in one pass: an Exchange
+    SinglePartition outside the audited allowlist is the zipf-class
+    scale regression (a data path collapsing to one task at 100 TB);
+    an unlisted rangepartitioning exchange is a global sort on a
+    frame that may not be aggregate-small."""
     unexpected = []
     for name in sorted(ALL_QUERIES):
         if name in ("q_dedup_minhash", "q_sim_ann_lsh"):  # MLlib fit()
             continue
         p = _plan(spark, name)
         if "Exchange SinglePartition" in p and name not in _SINGLE_PARTITION_OK:
-            unexpected.append(name)
+            unexpected.append(("single-partition", name))
+        if "rangepartitioning" in p and name not in _RANGE_SORT_OK:
+            unexpected.append(("range-sort", name))
     assert not unexpected, unexpected
 
 
