@@ -158,7 +158,7 @@ _CERT_PREFIX = (
     "q_dedup_semantic",        # new r6 (SemDeDup survivor resolution)
     "q_dedup_minhash_banded",  # r6: sliced-digest bands + single shuffle
     "q_dedup_ngram_jaccard",   # r6: digest_keys flag
-    "q_dq_checks",             # r6: broadcast-hinted rowcount join
+    "q_text_tfidf",            # r6: df via count window (plan rewrite)
 )
 
 _BY_MODULE: dict = {}
