@@ -199,6 +199,21 @@ def test_ivf_ann_consistent_with_exact(spark):
         assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
         sims = [r["cos_sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
+    # recall floor. The fixture embeddings are RANDOM (measured:
+    # same-label avg cosine 0.005 vs cross-label -0.001 — no cluster
+    # structure), so probing 2 of 10 cells can only reach ~20-40%
+    # recall BY CONSTRUCTION; measured 0.1-0.3 per query at sf0.001.
+    # The floor here exists to catch probe-selection breakage (wrong
+    # cells / empty probes => recall ~0), not to certify ANN quality
+    # — on clustered real data the same nprobe recalls 90%+.
+    exact_ids = {}
+    for r in exact:
+        exact_ids.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [
+        len(exact_ids[q] & {r["cand_id"] for r in rows}) / len(exact_ids[q])
+        for q, rows in per_query.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
 
 
 def test_leakage_safe_split_co_travels_duplicates(spark):
