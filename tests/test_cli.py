@@ -79,10 +79,22 @@ def test_doc_counts_match_registry():
 
 def test_cert_prefix_all_oracle_backed():
     """The first 50 registry entries are what the driver certifies
-    each round — a rows-only name there would waste a cert slot on
-    the weaker check. Every prefix name must have an oracle."""
+    each round — a rows-only name there normally wastes a cert slot
+    on the weaker check, so every prefix name must have an oracle
+    UNLESS it is in the deliberate allowlist: the r7 prefix spends 4
+    slots on the rows-only queries that had never appeared in any
+    CORRECTNESS file, so the driver's rows>0 check finally sees them
+    (r6 verdict #2)."""
     from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
 
+    deliberate_rows_only = {
+        "q_agg_approx_percentile",
+        "q_dedup_simhash_pairs",
+        "q_pack_bestfit",
+        "q_text_tfidf_mllib",
+    }
     prefix = list(ALL_QUERIES)[:50]
-    missing = [n for n in prefix if n not in ALL_ORACLES]
+    missing = [
+        n for n in prefix if n not in ALL_ORACLES and n not in deliberate_rows_only
+    ]
     assert not missing, missing

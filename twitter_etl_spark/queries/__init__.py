@@ -97,68 +97,77 @@ _MODULES = (
 #            text/dedup/similarity/multimodal/sampling
 #   r04-r05: incremental/behavior/corpus/llmprep/timeseries/graph/
 #            dq/integrity/geo/retrieval/anomaly families.
-#   r06 (this list): the 46 oracle-backed names with no driver row in
-#            any prior round (all 21 remaining TPC-H, pandas-UDF/UDTF,
-#            webcorpus, window/agg/join extras), computed as
-#            ALL_ORACLES minus union(CORRECTNESS_r01..r05 keys), plus
-#            4 re-cert slots for queries touched this round.
+#   r06:     the 46 oracle-backed names with no driver row in any
+#            prior round (all 21 remaining TPC-H, pandas-UDF/UDTF,
+#            webcorpus, window/agg/join extras) + 4 re-cert slots.
+#   r07 (this list): slots 1-5 = q_agg_stats (r6's one red, fixed:
+#            corr/covar moved off the near-zero pair) + the 4
+#            rows-only queries that have never appeared in any
+#            CORRECTNESS file (driver's rows>0 check closes the
+#            loop); slots 6-40 = the 35 queries whose latest green
+#            row is r2 (relational core: joins/aggs/windows/sortset
+#            — 4 rounds stale, drift insurance); slots 41-50 = 10
+#            r3-stale reference-parity core queries (main.R
+#            flagship behaviors).
 # Names NOT in the prefix keep their module-order position after it.
 _CERT_PREFIX = (
-    # -- TPC-H (q15 was certified r5 via local run; these 21 never were)
-    "q_tpch_q1",
-    "q_tpch_q2",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",      # oracle GROUP BY + partsupp-broadcast fixed this round
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # -- pandas UDF / UDTF surface (§2.7)
-    "q_pandas_zscore",
-    "q_pandas_asof_cogroup",
-    "q_pandas_gmean",
-    "q_udtf_runlength",
-    # -- webcorpus / text extras
-    "q_text_pii_scrub",
-    "q_text_domain_stats",
-    "q_text_unigram_logprob",
-    "q_text_zipf",
-    "q_mix_weights",
-    # -- window / agg / join / misc extras
-    "q_win_ntile_sharded",
-    "q_win_firstlast",
-    "q_win_rolling_median",
-    "q_ts_interarrival",
-    "q_agg_histogram",
-    "q_agg_argmax",
-    "q_agg_percentile",
-    "q_agg_pivot",
-    "q_agg_salted_sum",
+    # -- slot 1: the r6 red, fixed this round (extras.py q_agg_stats)
     "q_agg_stats",
-    "q_fn_posexplode",
-    "q_fn_try_arith",
-    "q_join_rangedate",
-    "q_join_salted",
-    "q_session_window_batch",
-    "q_subquery_correlated",
-    # -- queries new or touched in round 6
-    "q_dedup_semantic",        # new r6 (SemDeDup survivor resolution)
-    "q_dedup_minhash_banded",  # r6: sliced-digest bands + single shuffle
-    "q_dedup_ngram_jaccard",   # r6: digest_keys flag
-    "q_text_tfidf",            # r6: df via count window (plan rewrite)
+    # -- slots 2-5: rows-only queries never seen by the driver
+    "q_agg_approx_percentile",
+    "q_dedup_simhash_pairs",
+    "q_pack_bestfit",
+    "q_text_tfidf_mllib",
+    # -- slots 6-40: r2-stale relational core (joins)
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_theta",
+    "q_join_selfasof",
+    "q_join_cross",
+    # -- (aggregates)
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_distinct",
+    "q_agg_multi_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_groupingsets",
+    "q_agg_having",
+    "q_agg_collect",
+    # -- (windows)
+    "q_win_rownumber",
+    "q_win_rank",
+    "q_win_ntile",
+    "q_win_pctrank",
+    "q_win_lag_lead",
+    "q_win_running",
+    "q_win_moving",
+    "q_win_range_frame",
+    "q_topk_pergroup",
+    # -- (sort / set ops)
+    "q_sort_multi",
+    "q_limit_topk",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    # -- slots 41-50: r3-stale reference-parity core (main.R behaviors)
+    "q_scan_parquet",
+    "q_source_ndjson",
+    "q_sink_append",
+    "q_filter_conj",
+    "q_project_rename",
+    "q_mutate_multi",
+    "q_dedup_keyed",
+    "q_clean_pipeline",
+    "q_flagship_transform",
+    "q_dedup_exact_global",
 )
 
 _BY_MODULE: dict = {}
