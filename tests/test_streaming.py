@@ -478,8 +478,9 @@ def test_transform_with_state_processor_across_batches(spark):
     keep accumulating, on the RocksDB state store."""
     pytest.importorskip("pyspark.sql.streaming.stateful_processor")
     # the TWS state-server protocol speaks protobuf from a separate
-    # python worker; without a working protobuf install the worker
-    # crashes at init (verified: ImportError google.protobuf.descriptor)
+    # python worker; conftest's tws_shim vendors the container's
+    # bundled pure-Python protobuf into PYTHONPATH so that worker can
+    # start. Skip only where the shim found no working protobuf.
     pytest.importorskip("google.protobuf.descriptor")
     from twitter_etl_spark.streaming.tws import running_user_activity
 
@@ -528,10 +529,10 @@ def test_transform_with_state_processor_across_batches(spark):
 def test_tws_processor_logic_with_fake_state():
     """Executes UserActivityProcessor's init/handleInputRows for real
     against in-memory ValueState/MapState fakes, with the same data
-    and assertions as the protobuf-gated end-to-end test above. The
-    TWS state-server protocol needs google.protobuf, absent from this
-    container (and installs are off-limits), so Spark's wire layer
-    can't run here — but our processor logic can and must."""
+    and assertions as the end-to-end test above. Complements it:
+    this one isolates processor logic from the TWS wire layer, so a
+    failure here means OUR code, not the protobuf shim or Spark's
+    state server."""
     import pandas as pd
 
     from twitter_etl_spark.streaming.tws import UserActivityProcessor

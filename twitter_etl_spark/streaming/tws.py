@@ -12,12 +12,14 @@ heap-bound), and per-key state size stays O(#distinct event types).
 
 The demonstrator keeps per-user running totals AND the per-type
 breakdown, emitting one row per user per batch. Restart recovery is
-tested with two bounded runs over one checkpoint
-(``tests/test_streaming.py``) — the test self-skips where the TWS
-state-server protocol's ``google.protobuf`` dependency is absent
-(this container ships a broken protobuf; the worker crashes at
-init). The ``applyInPandasWithState`` twin (``stateful.py``)
-carries the always-runnable stateful coverage.
+tested end-to-end with two bounded runs over one checkpoint
+(``tests/test_streaming.py``). The TWS state-server protocol needs
+``google.protobuf`` in every Spark-spawned python process; this
+container ships none, so the test env vendors the cloud-sdk's
+bundled pure-Python protobuf via ``tests/tws_shim/sitecustomize.py``
+(the test still self-skips in a container where that shim can't
+resolve a working protobuf). The ``applyInPandasWithState`` twin
+(``stateful.py``) carries shim-independent stateful coverage.
 """
 
 from __future__ import annotations
