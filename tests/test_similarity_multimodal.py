@@ -67,6 +67,56 @@ def test_decode_one_deterministic_and_guarded():
     assert _decode_one(b"abcd") == f
 
 
+def test_decode_one_uses_real_codec_when_present(monkeypatch):
+    """With a (fake) PIL importable, _decode_one must take the
+    real-codec path — decode, no raise (the r6 guard raised
+    NotImplementedError in exactly this case) — and must fall back
+    to the byte stub when that codec rejects the payload."""
+    import sys
+    import types
+
+    class FakeImg:
+        size = (64, 32)
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            return self
+
+        def getdata(self):
+            return [10] * 63 + [20]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    calls = {}
+
+    def fake_open(buf):
+        calls["opened"] = True
+        if buf.getvalue() == b"not-an-image":
+            raise OSError("cannot identify image file")
+        return FakeImg()
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = fake_open
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    feats = _decode_one(b"\x89PNG-ish")
+    assert calls["opened"]
+    # width, height, mean of 8x8 gray, spread
+    assert feats == [64.0, 32.0, (10 * 63 + 20) / 64.0, 10.0]
+    # codec present but payload undecodable -> byte-stub fallback, no raise
+    stub = _decode_one(b"not-an-image")
+    assert stub[0] == float(len(b"not-an-image"))
+
+
 def test_multimodal_pipeline_schema(spark):
     df = spark.createDataFrame(
         [(1, "hello world", "en", "s", 11)],

@@ -53,24 +53,43 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _decode_one(payload: bytes) -> list[float]:
-    """STUB decode: deterministic byte-level 'features'.
-
-    Real deployments replace this body with e.g. PIL/torchvision
-    decode + model features; the import guard keeps the pipeline
-    runnable in minimal containers.
+def _decode_real(payload: bytes) -> list[float] | None:
+    """Real-codec extension point: decode ``payload`` as an image via
+    PIL when it is importable, returning 4 features (width, height,
+    mean, spread of an 8x8 grayscale thumbnail). Returns ``None`` —
+    never raises — when PIL is absent OR the payload isn't decodable
+    as an image, so the caller can fall back to the byte-level stub.
+    Swap/extend this function for other codecs (audio, video frames).
     """
-    try:  # pragma: no cover - real codec path, absent in container
-        import PIL.Image  # noqa: F401
+    try:
+        import io
 
-        raise NotImplementedError(
-            "real image decode not wired in this build; deterministic "
-            "fake features are used instead"
-        )
+        import PIL.Image
     except ImportError:
-        pass
+        return None
+    try:  # pragma: no cover - exercised via fake-PIL monkeypatch test
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            w, h = img.size
+            px = list(img.convert("L").resize((8, 8)).getdata())
+        mean = sum(px) / len(px)
+        spread = max(px) - min(px)
+        return [float(w), float(h), float(mean), float(spread)]
+    except Exception:
+        # present codec but non-image payload: stub fallback, not a crash
+        return None
+
+
+def _decode_one(payload: bytes) -> list[float]:
+    """Decode one payload: real codec when available (see
+    ``_decode_real``), else a deterministic byte-level STUB — same
+    4-feature shape either way, so the pipeline schema is identical
+    in minimal and codec-equipped containers.
+    """
     if payload is None or len(payload) == 0:
         return [0.0, 0.0, 0.0, 0.0]
+    real = _decode_real(payload)
+    if real is not None:
+        return real
     return [
         float(len(payload)),
         float(payload[0]),
