@@ -46,6 +46,8 @@ HEADLINE = [
     # end-to-end curation pipeline and the banded-MinHash dedup
     "q_llm_curation",
     "q_dedup_minhash_banded",
+    # r6 verdict #5: SemDeDup (embedding-space semantic dedup)
+    "q_dedup_semantic",
 ]
 
 
