@@ -216,6 +216,52 @@ def test_ivf_ann_consistent_with_exact(spark):
     assert sum(recalls) / len(recalls) >= 0.15, recalls
 
 
+def test_ivf_ann_recall_on_clustered_data(spark, tmp_path):
+    """ANN QUALITY assertion (r6 verdict #7): on data with real
+    cluster structure — the case IVF exists for — nprobe=2 of 10
+    cells must recall >= 90% of the exact top-10. The driver fixture
+    is random (no structure; the floor test above only guards probe
+    breakage), so this builds a deterministic clustered twin:
+    10 well-separated unit centers, sigma=0.05 noise, label = true
+    cluster, same schema as the fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from twitter_etl_spark.queries.corpus import q_sim_ann_ivf
+    from twitter_etl_spark.queries.similarity import q_sim_cosine_topk
+
+    rng = np.random.default_rng(7)
+    dim, k, per = 64, 10, 120
+    centers = rng.standard_normal((k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.repeat(np.arange(k), per)
+    vecs = centers[labels] + 0.05 * rng.standard_normal((k * per, dim))
+    # vec_id order is cluster-major, so queries (vec_id < 5) all sit
+    # in cluster 0 — their exact neighbors share that cell
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(k * per, dtype=np.int64),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+            "label": labels.astype(np.int32),
+        }
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    exact_ids: dict = {}
+    for r in q_sim_cosine_topk(spark, sf_dir).collect():
+        exact_ids.setdefault(r["query_id"], set()).add(r["cand_id"])
+    got: dict = {}
+    for r in q_sim_ann_ivf(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert set(got) == set(exact_ids)
+    recalls = {
+        q: len(exact_ids[q] & got.get(q, set())) / len(exact_ids[q])
+        for q in exact_ids
+    }
+    assert sum(recalls.values()) / len(recalls) >= 0.9, recalls
+
+
 def test_leakage_safe_split_co_travels_duplicates(spark):
     """Documents that normalize to the same text (near-identical
     copies) must land in the SAME split — per-doc hashing would let
