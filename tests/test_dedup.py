@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from twitter_etl_spark.pipeline import transform_documents
 
+from conftest import SF_ORACLE
+
 
 def test_keep_first_dedup_deterministic(spark):
     rows = [
@@ -123,7 +125,7 @@ def test_approx_percentile_within_tolerance(spark):
     from twitter_etl_spark.queries.aggregates import q_agg_approx_percentile
     from twitter_etl_spark.queries.extras import q_agg_percentile
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF_ORACLE
     exact = {r["c_mktsegment"]: r for r in q_agg_percentile(spark, sf).collect()}
     approx = {
         r["c_mktsegment"]: r for r in q_agg_approx_percentile(spark, sf).collect()
@@ -147,7 +149,7 @@ def test_approx_distinct_within_tolerance(spark):
         q_agg_distinct,
     )
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF_ORACLE
     exact = {r["event_type"]: r["n_users"] for r in q_agg_distinct(spark, sf).collect()}
     approx = {
         r["event_type"]: r["n_users_approx"]
@@ -164,7 +166,7 @@ def test_ngram_jaccard_digest_keys_identical(spark):
     default at fixture scale (no 64-bit collisions there)."""
     from twitter_etl_spark.queries.dedup import q_dedup_ngram_jaccard
 
-    d = "/root/testdata/sf0.01"
+    d = SF_ORACLE
     a = sorted(map(tuple, q_dedup_ngram_jaccard(spark, d).collect()))
     b = sorted(
         map(tuple, q_dedup_ngram_jaccard(spark, d, digest_keys=True).collect())

@@ -226,11 +226,14 @@ def minhash_band_sigs(sh: DataFrame) -> DataFrame:
 
 
 def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-certified MinHash LSH near-dup: per band b, a doc's
-    signature is min(md5('b|' || shingle)) over its distinct 3-gram
-    shingles; docs agreeing on ANY band signature are candidates
-    (bucket join, never all-pairs); candidates are then verified
-    with exact shingle Jaccard >= 0.3.
+    """Oracle-certified MinHash LSH near-dup: each distinct 3-gram
+    shingle is digested once as ``md5('0|'||x) || md5('1|'||x)``; band
+    b's hash is the 8-hex (32-bit) slice of that digest at offset
+    b*8, and a doc's band-b signature is the min slice over its
+    shingles (see Hash budget below and :func:`minhash_band_sigs`).
+    Docs agreeing on ANY band signature are candidates (bucket join,
+    never all-pairs); candidates are then verified with exact shingle
+    Jaccard >= 0.3.
 
     This is the same banded shape as the MLlib twin
     (``q_dedup_minhash``) but with an engine-independent hash, so
@@ -256,23 +259,27 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_dedup_ngram_jaccard)
     buckets = (
         sigs.groupBy("band", "sig")
-        .agg(F.collect_list("doc_id").alias("docs"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs").between(2, _MINHASH_MAX_BUCKET))
     )
+    # upper-triangle pair generation: element i pairs with the sorted
+    # tail slice(i+2..) only, so the intermediate array is n(n-1)/2
+    # structs — not n^2 with half filtered away after materializing
+    # (at the 1024 bucket cap that halves worst-case per-row memory
+    # and skips the wasted struct builds). The two-arg lambda is the
+    # deliberate (element, index) transform form; docs is pre-sorted
+    # so positional pairs are already (a < b) ordered.
     cand = (
         buckets.select(
             F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("docs"),
-                            lambda x: F.transform(
-                                F.col("docs"),
-                                lambda y: F.struct(x.alias("a"), y.alias("b")),
-                            ),
-                        )
-                    ),
-                    lambda p: p["a"] < p["b"],
+                F.flatten(
+                    F.transform(
+                        F.col("docs"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
                 )
             ).alias("p")
         )

@@ -216,10 +216,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup survivor resolution (Abbas et
     al. 2023, arXiv:2303.09540 — public): a vector is DROPPED iff
     some lower-id vector in its coarse cell is cosine-similar
-    (>= 0.35); everything else survives. This is the greedy
-    keep-first policy of the reference's text dedup (main.R:105)
-    lifted to embedding space — single pass, deterministic, no
-    iterative clustering. Candidate pairs reuse the blocked scan of
+    (>= 0.35) — including already-dropped ones, so the drop set is a
+    SUPERSET of true greedy keep-first's (which scans survivors
+    only; on a non-transitive chain A~B, B~C, !A~C greedy keeps C,
+    this drops C). Single pass, deterministic, no iterative
+    clustering; the id-ordered keep-first spirit of the reference's
+    text dedup (main.R:105) lifted to embedding space. Candidate pairs reuse the blocked scan of
     :func:`q_sim_embedding_neardup` (within-cell joins only, hot
     cells capped — never all-pairs); vectors in over-cap cells pass
     through as kept, same recall hand-off posture as the shingle df
