@@ -158,22 +158,23 @@ def q_dedup_ngram_jaccard(
     # transform/flatten/explode machinery for most of the index
     buckets = (
         sh.groupBy("sh_key")
-        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs"))
         .filter(F.size("docs").between(2, max_df))
     )
+    # upper-triangle pair generation (struct sort is doc_id-major, so
+    # positional pairs are already doc_a < doc_b): n(n-1)/2 structs
+    # built per bucket instead of n^2 with half filtered away — same
+    # rewrite as q_dedup_minhash_banded's bucket stage
     pairs = buckets.select(
         F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("docs"),
-                        lambda x: F.transform(
-                            F.col("docs"),
-                            lambda y: F.struct(x.alias("a"), y.alias("b")),
-                        ),
-                    )
-                ),
-                lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
             )
         ).alias("p")
     )
