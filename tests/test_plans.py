@@ -154,6 +154,30 @@ def test_neardup_block_filter_broadcasts(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_neardup_pair_join_salted_and_uncoalesced(spark):
+    """The within-cell pair join must stay salted at explicit-N:
+    both sides repartition on (label, salt) with REPARTITION_BY_NUM
+    (the origin AQE never coalesces), keeping the quadratic
+    dot-product stage at full parallelism — the r7 fix for AQE
+    serializing it onto one post-shuffle partition (the shuffle
+    INPUT is tiny, the pair OUTPUT is not)."""
+    import re
+
+    p = _plan(spark, "q_sim_embedding_neardup")
+    assert p.count("REPARTITION_BY_NUM") >= 2, p
+    assert "hashpartitioning(label" in p and "salt" in p
+    assert "CartesianProduct" not in p
+    # the salt equality must be a JOIN KEY (equi-join), not a
+    # post-join filter: a residual-only salt would re-cartesian the
+    # cell. At smoke scale AQE may broadcast the replicated a-side —
+    # fine, the streaming side keeps the explicit-N partitioning —
+    # so accept any equi-join whose key list includes the salt.
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[label[^\]]*salt[^\]]*\]",
+        p,
+    ), p
+
+
 def test_contamination_broadcasts_eval_set(spark):
     """Decontamination must broadcast the (tiny) eval shingle set —
     the corpus side is never shuffled."""
