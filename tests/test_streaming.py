@@ -680,3 +680,60 @@ def test_socket_source_live_stream(spark):
     assert good and good[0]["text"].startswith("hola mundo")
     assert good[0]["_raw"].startswith("{")  # raw line always kept
     assert bad and bad[0]["_raw"].startswith("{ this is not json")
+
+
+def test_tws_inactivity_timer_flushes_quiet_user(spark):
+    """Processing-time timers + ListState (transformWithStateInPandas):
+    user 1's buffered values flush on the run AFTER their inactivity
+    timeout passes, triggered purely by the timer — the second batch
+    contains no user-1 input."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    pytest.importorskip("google.protobuf.descriptor")
+    import time as _time
+
+    from twitter_etl_spark.streaming.tws import inactivity_flush
+
+    base = tempfile.mkdtemp()
+    d, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    os.makedirs(d)
+
+    def ev(i, user, v):
+        return {"event_id": i, "ts": "2024-01-01T00:00:0%d" % (i % 10),
+                "user_id": user, "event_type": "view", "value": v}
+
+    def run():
+        q = (
+            inactivity_flush(_events_stream(spark, d), timeout_ms=1500)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(os.path.join(d, "f1.json"), "w") as f:
+        for r in [ev(1, 1, 10.0), ev(2, 1, 5.0), ev(3, 1, 1.5)]:
+            f.write(json.dumps(r) + "\n")
+    run()  # buffers user 1, arms their timer; no flush yet
+
+    _time.sleep(2.5)  # let user 1's 1.5 s inactivity timeout expire
+    with open(os.path.join(d, "f2.json"), "w") as f:
+        f.write(json.dumps(ev(4, 2, 7.0)) + "\n")  # batch driver only
+    run()  # user 1's expired timer fires during this batch
+
+    rows = spark.read.parquet(sink).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1 flushed exactly once, by the timer: the flushing batch
+    # (f2.json) contained no user-1 input
+    assert len(by_user[1]) == 1
+    assert (by_user[1][0]["n_flushed"], by_user[1][0]["total_value"]) == (3, 16.5)
+    # user 2's flush timing is environment-dependent (a slow
+    # availableNow run can outlive their 1.5 s timer inside run 2) —
+    # but IF they flushed, the buffer math must hold
+    for r in by_user.get(2, []):
+        assert (r["n_flushed"], r["total_value"]) == (1, 7.0)

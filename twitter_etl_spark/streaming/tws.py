@@ -107,3 +107,88 @@ def running_user_activity(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+FLUSH_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_flushed", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+class InactivityFlushProcessor(StatefulProcessor):
+    """Buffer per-user event values in a ListState and flush them
+    when the user goes quiet: every input batch (re)arms a
+    processing-time timer ``timeout_ms`` ahead; when it expires with
+    no newer activity, ``handleExpiredTimer`` emits one summary row
+    and clears the buffer. Demonstrates the three TWS primitives the
+    always-runnable ``applyInPandasWithState`` twin cannot express
+    separately: ListState, per-key timers, and state TTL (the seen
+    ValueState carries ``ttlDurationMs`` — RocksDB drops it without
+    a tombstone pass; the buffer itself must NOT have a TTL or a
+    flush could lose late buffers).
+
+    At scale this is the write-behind pattern for sessionized
+    feature stores: state is per-key bounded (buffer resets on
+    flush), timers live in the RocksDB timer column family, and no
+    global watermark stalls an idle key's flush."""
+
+    def __init__(self, timeout_ms: int = 1500) -> None:
+        self._timeout_ms = timeout_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._buf = handle.getListState("buf", "v DOUBLE")
+        # TTL'd marker state: proves the ttlDurationMs path end to
+        # end (1 h — semantics-neutral for the flush logic)
+        self._seen = handle.getValueState(
+            "seen", "n BIGINT", ttlDurationMs=3_600_000
+        )
+        self._handle = handle
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        vals = []
+        for pdf in rows:
+            vals.extend(float(v) for v in pdf["value"])
+        if vals:
+            self._buf.appendList([(v,) for v in vals])
+        n = (self._seen.get()[0] if self._seen.exists() else 0) + len(vals)
+        self._seen.update((n,))
+        # re-arm: drop any older timer so exactly one is pending
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self._timeout_ms
+        )
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        vals = [row[0] for row in self._buf.get()]
+        self._buf.clear()
+        if vals:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_flushed": [len(vals)],
+                    "total_value": [round(sum(vals), 2)],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def inactivity_flush(stream: DataFrame, timeout_ms: int = 1500) -> DataFrame:
+    """Per-user buffered values flushed by processing-time
+    inactivity timers (see :class:`InactivityFlushProcessor`)."""
+    from ..session import ship_package_to_executors
+
+    spark = stream.sparkSession
+    ship_package_to_executors(spark)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=InactivityFlushProcessor(timeout_ms),
+        outputStructType=FLUSH_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime",
+    )
