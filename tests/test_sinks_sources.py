@@ -101,6 +101,33 @@ def test_compaction_preserves_rows(spark):
     assert spark.read.parquet(d).count() == 200
 
 
+def test_size_targeted_compaction(spark):
+    """compact_to_file_size derives the file count from measured
+    on-disk bytes: a fragmented table compacts to ~total/target
+    files; a healthy table (files within 2x of target) is left
+    untouched — the maintenance-job contract."""
+    import glob
+    import tempfile
+
+    from twitter_etl_spark.sinks import append_table, compact_to_file_size
+
+    d = os.path.join(tempfile.mkdtemp(), "t")
+    df = spark.range(20_000).selectExpr("id", "repeat(uuid(), 8) AS pad")
+    for _ in range(4):  # fragment: 4 appends x 8 files
+        append_table(df.repartition(8), d)
+    files = glob.glob(os.path.join(d, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    target = -(-total // 3)  # aim for ~3 output files
+    got = compact_to_file_size(spark, d, target_file_bytes=int(target))
+    assert got == 3
+    assert len(glob.glob(os.path.join(d, "*.parquet"))) == 3
+    assert spark.read.parquet(d).count() == 80_000
+    # second call: avg file size is now within 2x of target -> no-op
+    again = compact_to_file_size(spark, d, target_file_bytes=int(target))
+    assert again == 3
+    assert len(glob.glob(os.path.join(d, "*.parquet"))) == 3
+
+
 def test_jdbc_sink_roundtrip(spark):
     """JDBC write-through (the reference's DBI/RSQLite append,
     main.R:117): append twice into an embedded Derby database (the

@@ -150,6 +150,37 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 1) -> int:
     return n
 
 
+def compact_to_file_size(
+    spark: SparkSession, path: str, target_file_bytes: int = 512 * 1024 * 1024
+) -> int:
+    """Size-targeted compaction: measure the table's on-disk parquet
+    bytes, derive the file count that lands each output near
+    ``target_file_bytes`` (the real knob at 100 TB — a fixed file
+    COUNT goes stale as the table grows), and rewrite via
+    :func:`compact_table`'s atomic swap. Returns the file count
+    written. Compressed on-disk bytes are the right basis: the
+    rewrite preserves encoding, so output files land near target
+    regardless of the in-memory row width. No-op (returns current
+    count) when every file is already within 2x of target — calling
+    this from a scheduled maintenance job must not rewrite a healthy
+    table."""
+    total = 0
+    n_files = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+                n_files += 1
+    if n_files == 0:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    want = max(1, -(-total // target_file_bytes))  # ceil
+    avg = total / n_files
+    if want == n_files or target_file_bytes / 2 <= avg <= target_file_bytes * 2:
+        return n_files
+    compact_table(spark, path, target_files=int(want))
+    return int(want)
+
+
 def drop_partitions_older_than(
     path: str, cutoff_date: str, partition_col: str = "ingest_date"
 ) -> list[str]:
