@@ -100,6 +100,12 @@ _MODULES = (
 #   r06:     the 46 oracle-backed names with no driver row in any
 #            prior round (all 21 remaining TPC-H, pandas-UDF/UDTF,
 #            webcorpus, window/agg/join extras) + 4 re-cert slots.
+#   r08 (suggested): the 33 remaining r3-stale certifications
+#            (scalar fns, streaming-batch, text/dedup/similarity/
+#            multimodal/sampling families — compute as names whose
+#            latest green row is CORRECTNESS_r03) + re-cert slots for
+#            anything r7 touched (neardup salt, minhash/ngram
+#            triangle, q_agg_stats if its r7 row flaked).
 #   r07 (this list): slots 1-5 = q_agg_stats (r6's one red, fixed:
 #            corr/covar moved off the near-zero pair) + the 4
 #            rows-only queries that have never appeared in any
