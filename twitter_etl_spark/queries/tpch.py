@@ -648,6 +648,44 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 (top supplier): the revenue view over one ship-quarter,
+    then the supplier(s) sitting at the view's max revenue. Output
+    keeps (s_suppkey, s_name, total_revenue); the fixture has no
+    s_address/s_phone.
+
+    Float-equality note: Q15 is notorious for comparing a float sum
+    for equality. Both engines round ``total_revenue`` to 2 decimals
+    INSIDE the view, before the max and the equality, so the compare
+    is between engine-independent values (SURVEY §5.3) — cross-engine
+    accumulation noise (~1e-9 at this magnitude) sits ~6 orders below
+    the half-cent rounding boundary.
+
+    Plan: the view is ONE hash aggregate on l_suppkey (map-side
+    partial combine — bounded by #suppliers, not #lines); the max is
+    a 1-row broadcast joined back onto the *view* (never a second
+    lineitem scan); the supplier dim is broadcast. The lineitem scan
+    carries the shipdate pushdown."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 (parts/supplier relationship), adapted: brand <>
     'Brand#5', p_type <> 'PROMO' (vs NOT LIKE 'MEDIUM POLISHED%'),
@@ -818,6 +856,7 @@ QUERIES.update(
         "q_tpch_q9": q_tpch_q9,
         "q_tpch_q11": q_tpch_q11,
         "q_tpch_q13": q_tpch_q13,
+        "q_tpch_q15": q_tpch_q15,
         "q_tpch_q16": q_tpch_q16,
         "q_tpch_q17": q_tpch_q17,
         "q_tpch_q20": q_tpch_q20,
@@ -912,6 +951,19 @@ ORACLE.update(
             "GROUP BY c_custkey) "
             "SELECT c_count, count(*)::BIGINT AS custdist FROM per_cust "
             "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "q_tpch_q15": (
+            "WITH revenue0 AS ("
+            "  SELECT l_suppkey AS supplier_no, "
+            "  round(sum(" + _REV + "), 2) AS total_revenue "
+            "  FROM lineitem "
+            "  WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "  AND l_shipdate < TIMESTAMP '1997-04-01' "
+            "  GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue "
+            "FROM supplier JOIN revenue0 ON s_suppkey = supplier_no "
+            "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0) "
+            "ORDER BY s_suppkey"
         ),
         "q_tpch_q16": (
             "WITH " + _SQL_PARTSUPP + " "
