@@ -92,6 +92,9 @@ def test_cert_prefix_all_oracle_backed():
         "q_dedup_simhash_pairs",
         "q_pack_bestfit",
         "q_text_tfidf_mllib",
+        # r7: k-means is iterative (Lloyd rounds) — rows-only by design,
+        # certified via the NumPy step-replica test instead
+        "q_sim_kmeans",
     }
     prefix = list(ALL_QUERIES)[:50]
     missing = [

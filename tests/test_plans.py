@@ -93,6 +93,7 @@ _SINGLE_PARTITION_OK = {
     "q_tpch_q9",
     "q_tpch_q11",
     "q_tpch_q14",
+    "q_tpch_q15",  # 1-row max-revenue agg broadcast back onto the view
     "q_tpch_q16",
     "q_tpch_q17",
     "q_tpch_q19",

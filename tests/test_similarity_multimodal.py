@@ -150,3 +150,58 @@ def test_semantic_dedup_consistent_with_neardup_pairs(spark):
         r["vec_b"] for r in q_sim_embedding_neardup(spark, sf).collect()
     }
     assert dropped == pair_bs
+
+
+def test_kmeans_matches_numpy_replica(spark):
+    """q_sim_kmeans vs a step-for-step NumPy Lloyd replica (same
+    deterministic init, same tie-break, same empty-cluster rule):
+    cluster sizes must match exactly, mean-d2 and centroid norms to
+    the rounding the query emits, and total SSE must be monotonely
+    non-increasing across the Spark-side rounds."""
+    from twitter_etl_spark.queries.similarity import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
+        _kmeans_assign,
+        q_sim_kmeans,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        table(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = sorted((r["vec_id"], np.array(r["embedding"], dtype=np.float64)) for r in rows)
+    X = np.stack([v for _, v in by_id])
+    cents = X[: _KMEANS_K].copy()
+
+    def assign(C):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1), d2.min(axis=1)  # argmin -> lowest cid on ties
+
+    sses = []
+    for _ in range(_KMEANS_ITERS):
+        lab, d2 = assign(cents)
+        sses.append(d2.sum())
+        for c in range(_KMEANS_K):
+            if (lab == c).any():
+                cents[c] = X[lab == c].mean(axis=0)
+    lab, d2 = assign(cents)
+    sses.append(d2.sum())
+    assert all(b <= a + 1e-9 for a, b in zip(sses, sses[1:]))
+
+    got = {r["cluster"]: r for r in q_sim_kmeans(spark, sf).collect()}
+    import collections
+
+    want_sizes = collections.Counter(lab.tolist())
+    assert {c: r["n_vecs"] for c, r in got.items()} == dict(want_sizes)
+    for c, r in got.items():
+        assert math.isclose(
+            r["mean_d2"], round(float(d2[lab == c].mean()), 4), abs_tol=2e-4
+        )
+        assert math.isclose(
+            r["centroid_norm"],
+            round(float(np.linalg.norm(cents[c])), 4),
+            abs_tol=2e-4,
+        )

@@ -103,18 +103,23 @@ _MODULES = (
 #   r08 (suggested): the 33 remaining r3-stale certifications
 #            (scalar fns, streaming-batch, text/dedup/similarity/
 #            multimodal/sampling families — compute as names whose
-#            latest green row is CORRECTNESS_r03) + re-cert slots for
-#            anything r7 touched (neardup salt, minhash/ngram
-#            triangle, q_agg_stats if its r7 row flaked).
+#            latest green row is CORRECTNESS_r03) + the 5 r2-stale
+#            set-op re-certs displaced from r7 by the new queries
+#            (q_limit_topk, q_union_all, q_union_distinct,
+#            q_intersect, q_except) + re-cert slots for anything r7
+#            touched (neardup salt, minhash/ngram triangle,
+#            q_agg_stats if its r7 row flaked).
 #   r07 (this list): slots 1-5 = q_agg_stats (r6's one red, fixed:
 #            corr/covar moved off the near-zero pair) + the 4
 #            rows-only queries that have never appeared in any
 #            CORRECTNESS file (driver's rows>0 check closes the
-#            loop); slots 6-40 = the 35 queries whose latest green
-#            row is r2 (relational core: joins/aggs/windows/sortset
-#            — 4 rounds stale, drift insurance); slots 41-50 = 10
-#            r3-stale reference-parity core queries (main.R
-#            flagship behaviors).
+#            loop); slots 6-35 = r2-stale relational core
+#            (joins/aggs/windows/sort — drift insurance); slots
+#            36-40 = the 5 queries NEW in r7 (q_tpch_q15,
+#            q_dedup_paragraph, q_join_interval, q_ts_ewma,
+#            q_sim_kmeans rows-only); slots 41-50 = 10 r3-stale
+#            reference-parity core queries (main.R flagship
+#            behaviors).
 # Names NOT in the prefix keep their module-order position after it.
 _CERT_PREFIX = (
     # -- slot 1: the r6 red, fixed this round (extras.py q_agg_stats)
@@ -158,11 +163,16 @@ _CERT_PREFIX = (
     "q_topk_pergroup",
     # -- (sort / set ops)
     "q_sort_multi",
-    "q_limit_topk",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
+    # -- slots 36-40: NEW in r7 — certify this round (displacing the
+    #    limit/union/intersect/except re-certs into the r8 batch): the
+    #    missing TPC-H query, span-level corpus dedup, the bin-
+    #    bucketed interval join, bounded EWMA, and k-means training
+    #    (rows-only: iterative, gets the driver's rows>0 check)
+    "q_tpch_q15",
+    "q_dedup_paragraph",
+    "q_join_interval",
+    "q_ts_ewma",
+    "q_sim_kmeans",
     # -- slots 41-50: r3-stale reference-parity core (main.R behaviors)
     "q_scan_parquet",
     "q_source_ndjson",

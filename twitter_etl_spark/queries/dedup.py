@@ -314,10 +314,76 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN = 4  # tokens per span; a "paragraph" analogue for the
+# newline-free fixture text. Production web corpora would split on
+# '\n\n' instead — the pipeline below is span-definition agnostic.
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide span-level exact dedup with document reassembly
+    (the C4/RefinedWeb "remove duplicated paragraphs" operation;
+    reference scope: main.R:105 dedups whole tweets — this is the
+    finer-grained corpus analogue training pipelines need).
+
+    Each document is cut into consecutive ``_SPAN``-token spans; a
+    span survives iff it is the globally-FIRST occurrence of its
+    content (order = (doc_id, span_idx)); each document is then
+    reassembled from its surviving spans in order. Output keeps the
+    per-doc kept/total span counts, so the dedup rate is auditable.
+
+    Scale: the only corpus-wide exchange is ONE hash-agg shuffle
+    keyed on the 32-byte span md5 (never the span text), and the
+    survivor check joins span rows back on that digest — the same
+    digest-keyed pattern as q_dedup_normalized. Reassembly is a
+    per-doc hash agg (collect_list + array_sort, bounded by spans
+    per document). A viral boilerplate span is one hot digest key:
+    its group collapses map-side to one winner row and AQE splits
+    any residual skew. No sort, no window over the corpus."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(toks) / {_SPAN}.0)) - 1), "
+                f"i -> concat_ws(' ', slice(toks, i * {_SPAN} + 1, {_SPAN})))"
+            )
+        ).alias("span_idx", "span"),
+    ).withColumn("digest", F.md5("span"))
+    firsts = spans.groupBy("digest").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("first_at")
+    )
+    survivors = spans.join(firsts, "digest").filter(
+        (F.col("doc_id") == F.col("first_at.doc_id"))
+        & (F.col("span_idx") == F.col("first_at.span_idx"))
+    )
+    totals = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_spans")
+    )
+    kept = survivors.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_spans"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(span_idx, span))), "
+                "x -> x.span)"
+            ),
+        ).alias("text_dedup"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        F.coalesce("kept_spans", F.lit(0)).alias("kept_spans"),
+        "total_spans",
+    )
+
+
 QUERIES = {
     "q_dedup_exact_global": q_dedup_exact_global,
     "q_dedup_normalized": q_dedup_normalized,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_paragraph": q_dedup_paragraph,
     "q_dedup_minhash": q_dedup_minhash,  # rows-only
     "q_dedup_simhash": q_dedup_simhash,  # rows-only
     # q_dedup_simhash_pairs registers in extras: rows-only, so it
@@ -334,6 +400,24 @@ ORACLE = {
         f"SELECT md5({sql_clean_chain('text')}) AS norm_digest, "
         "min(doc_id) AS keeper_doc_id, count(*)::BIGINT AS n_copies "
         "FROM documents GROUP BY 1"
+    ),
+    "q_dedup_paragraph": (
+        "WITH t AS (SELECT doc_id, " + _SQL_TOKENS + " AS toks FROM documents), "
+        "idx AS (SELECT doc_id, toks, unnest(range(CAST(ceil(len(toks) / "
+        f"{_SPAN}.0) AS BIGINT))) AS span_idx FROM t), "
+        "spans AS (SELECT doc_id, span_idx, array_to_string("
+        f"  toks[span_idx * {_SPAN} + 1 : span_idx * {_SPAN} + {_SPAN}], ' ') "
+        "  AS span FROM idx), "
+        "ranked AS (SELECT doc_id, span_idx, span, row_number() OVER ("
+        "  PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn FROM spans), "
+        "totals AS (SELECT doc_id, count(*)::BIGINT AS total_spans "
+        "  FROM spans GROUP BY doc_id), "
+        "kept AS (SELECT doc_id, count(*)::BIGINT AS kept_spans, "
+        "  string_agg(span, ' ' ORDER BY span_idx) AS text_dedup "
+        "  FROM ranked WHERE rn = 1 GROUP BY doc_id) "
+        "SELECT t.doc_id, coalesce(k.text_dedup, '') AS text_dedup, "
+        "coalesce(k.kept_spans, 0)::BIGINT AS kept_spans, t.total_spans "
+        "FROM totals t LEFT JOIN kept k USING (doc_id)"
     ),
     "q_dedup_ngram_jaccard": (
         "WITH t AS (SELECT doc_id, " + _SQL_TOKENS + " AS toks FROM documents), "

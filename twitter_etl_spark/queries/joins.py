@@ -171,6 +171,50 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNANCHORED interval-overlap join, made scale-safe by bin
+    bucketing. High-value events (value > 300) open a 1-hour "alert
+    window" [ts, ts+1h); every event from ANY user falling inside
+    any window is matched to it — there is no equi key between the
+    two sides, the textbook case where a naive range join degrades
+    to BroadcastNestedLoop at scale.
+
+    The bin trick: both sides map time to 1-hour bins. An interval
+    exactly one bin wide touches at most 2 bins, so the alert side
+    explodes to ≤2 rows and the join becomes an EQUI join on the bin
+    id followed by the exact overlap filter. Each event lives in
+    exactly ONE bin, so a (event, alert) pair can match only once —
+    no post-join dedup. Shuffle volume is |events| + 2|alerts| rows
+    hashed on the bin key; bin width should match the interval scale
+    (wider intervals -> explode to ceil(len/width)+1 bins). Alert
+    count scales with SF, so neither side is broadcast-hinted — AQE
+    decides (SCALE.md hint policy)."""
+    e = table(spark, sf_dir, "events")
+    hour_bin = (F.unix_timestamp("ts") / 3600).cast("long")
+    alerts = e.filter(F.col("value") > 300.0).select(
+        F.col("event_id").alias("alert_id"),
+        F.col("ts").alias("a_ts"),
+        hour_bin.alias("bin0"),
+    )
+    a_bins = alerts.select(
+        "alert_id",
+        "a_ts",
+        F.explode(F.array(F.col("bin0"), F.col("bin0") + 1)).alias("bin"),
+    )
+    e_bins = e.select(
+        "event_id", "ts", "user_id", hour_bin.alias("bin")
+    )
+    joined = e_bins.join(a_bins, "bin").filter(
+        (F.col("ts") >= F.col("a_ts"))
+        & (F.col("ts") < F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("event_id") != F.col("alert_id"))
+    )
+    return joined.groupBy("alert_id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 QUERIES = {
     "q_join_inner": q_join_inner,
     "q_join_left": q_join_left,
@@ -183,6 +227,7 @@ QUERIES = {
     "q_join_theta": q_join_theta,
     "q_join_selfasof": q_join_selfasof,
     "q_join_cross": q_join_cross,
+    "q_join_interval": q_join_interval,
 }
 
 ORACLE = {
@@ -246,4 +291,17 @@ ORACLE = {
         "ON p.user_id = c.user_id AND p.ts >= c.ts"
     ),
     "q_join_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    # the oracle states the overlap predicate directly (DuckDB's
+    # IEJoin handles it at fixture scale); the Spark side's bin-
+    # bucketed equi-join must produce the identical match set
+    "q_join_interval": (
+        "WITH a AS (SELECT event_id AS alert_id, ts AS a_ts "
+        "  FROM events WHERE value > 300.0) "
+        "SELECT alert_id, count(*)::BIGINT AS n_overlap, "
+        "count(DISTINCT user_id)::BIGINT AS n_users "
+        "FROM a JOIN events e ON e.ts >= a.a_ts "
+        "AND e.ts < a.a_ts + INTERVAL 1 HOUR "
+        "AND e.event_id <> a.alert_id "
+        "GROUP BY alert_id"
+    ),
 }

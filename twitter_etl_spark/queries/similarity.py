@@ -243,10 +243,103 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _kmeans_assign(e: DataFrame, centroids: list) -> DataFrame:
+    """Nearest-centroid assignment as pure expressions: the K
+    centroids are inlined as array literals (K x dim doubles — the
+    broadcast-a-tiny-side pattern without even a join), squared
+    distance per centroid via zip_with fold, argmin via array_min
+    over (d2, cid) structs (struct compare: distance first, then
+    lower cid wins ties — deterministic)."""
+    structs = []
+    for cid, vec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in vec])
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d2.alias("d2"), F.lit(cid).alias("cid")))
+    best = F.array_min(F.array(*structs))
+    return e.withColumn("cluster", best["cid"]).withColumn("d2", best["d2"])
+
+
+def q_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (K=8, 3 iterations,
+    deterministic init = the K lowest-vec_id vectors) — the
+    coarse-quantizer TRAINING step whose output feeds the IVF index
+    (`q_sim_ann_ivf` assumes trained centroids; this trains them).
+
+    Per round: (1) assignment is a single scan with the centroids
+    inlined as literals — no join, no shuffle; (2) the update is one
+    posexplode + hash-agg keyed on (cluster, pos) — K x dim groups,
+    map-side partial sums absorb any cluster-size skew; (3) the new
+    centroids (K x dim doubles, ~4 KB) sync through the driver —
+    the same barrier MLlib's KMeans performs via treeAggregate.
+    Clusters that lose all members keep their previous centroid.
+    Rows-only (an oracle would need every round unrolled into SQL);
+    exactness is pinned by a NumPy step-for-step replica in
+    tests/test_similarity_multimodal.py.
+
+    Output: one row per cluster — member count, centroid L2 norm,
+    and mean squared distance (rounded; cluster sizes and the SSE
+    trend are what a curation job consumes)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    init = e.orderBy("vec_id").limit(_KMEANS_K).collect()
+    centroids = [(i, list(r.v)) for i, r in enumerate(init)]
+    for _ in range(_KMEANS_ITERS):
+        assigned = _kmeans_assign(e, centroids)
+        upd = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("c"))
+            .collect()
+        )
+        by_cluster: dict = {}
+        for row in upd:
+            by_cluster.setdefault(row.cluster, {})[row.pos] = row.c
+        centroids = [
+            (
+                cid,
+                [by_cluster[cid][p] for p in range(len(old))]
+                if cid in by_cluster
+                else old,
+            )
+            for cid, old in centroids
+        ]
+    final = _kmeans_assign(e, centroids)
+    norms = {
+        cid: sum(x * x for x in vec) ** 0.5 for cid, vec in centroids
+    }
+    norm_expr = F.element_at(
+        F.array(*[F.lit(float(norms[c])) for c, _ in centroids]),
+        F.col("cluster") + 1,
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("d2"), 4).alias("mean_d2"),
+        )
+        .select(
+            "cluster",
+            "n_vecs",
+            "mean_d2",
+            F.round(norm_expr, 4).alias("centroid_norm"),
+        )
+    )
+
+
 QUERIES = {
     "q_sim_cosine_topk": q_sim_cosine_topk,
     "q_sim_embedding_neardup": q_sim_embedding_neardup,
     "q_sim_ann_lsh": q_sim_ann_lsh,  # rows-only
+    "q_sim_kmeans": q_sim_kmeans,  # rows-only (iterative)
     "q_dedup_semantic": q_dedup_semantic,
 }
 

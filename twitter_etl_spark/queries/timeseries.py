@@ -199,7 +199,78 @@ def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_ALPHA = 0.25
+_EWMA_SPAN = 12  # bounded lookback: rows beyond this contribute
+# (1-a)^12 ~ 3% weight and are cut so the operator is a fixed-size
+# window, not an unbounded running recurrence
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per user
+    (alpha 0.25, lookback capped at 12 rows — the pandas
+    ``ewm(adjust=True)`` normalized form over a finite window).
+
+    Formulated as a FIXED set of 12 lag terms over one per-user
+    window (single shuffle on user_id) rather than the textbook
+    recurrence: a recurrence needs stateful iteration, while the
+    windowed form is pure expressions — and the naive alternative
+    (sum of value*(1-a)^(-rn) rescaled by (1-a)^rn) overflows double
+    past ~2.5k rows per key. Both engines evaluate the identical
+    term order, so the float result is bit-identical before
+    rounding."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    decay = 1.0 - _EWMA_ALPHA
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(_EWMA_SPAN):
+        lagged = F.lag("value", j).over(w) if j else F.col("value")
+        weight = float(decay**j)
+        num = num + F.coalesce(lagged, F.lit(0.0)) * F.lit(weight)
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(
+            F.lit(0.0)
+        )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value"), 2).alias("value"),
+        (num / den).alias("_ewma"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.round(F.col("_ewma"), 4).alias("ewma"),
+    )
+
+
+def _ewma_sql() -> str:
+    decay = 1.0 - _EWMA_ALPHA
+    num_terms = []
+    den_terms = []
+    for j in range(_EWMA_SPAN):
+        lag = f"lag(value, {j}) OVER w" if j else "value"
+        weight = repr(float(decay**j))
+        num_terms.append(f"coalesce({lag}, 0.0) * {weight}")
+        den_terms.append(
+            f"(CASE WHEN {lag} IS NOT NULL THEN {weight} ELSE 0.0 END)"
+        )
+    # parenthesize left-to-right exactly like the Spark fold above so
+    # float addition order (and thus the pre-round bits) match
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return (
+        "SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us, "
+        "round(value, 2) AS value, "
+        f"round((0.0 + {num}) / (0.0 + {den}), 4) AS ewma "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+
+
 QUERIES["q_ts_interarrival"] = q_ts_interarrival
+QUERIES["q_ts_ewma"] = q_ts_ewma
+ORACLE["q_ts_ewma"] = _ewma_sql()
 
 ORACLE["q_ts_interarrival"] = (
     "WITH gaps AS (SELECT event_type, "

