@@ -408,3 +408,33 @@ def test_minhash_band_signatures_match_python_reference(spark):
     for doc_id, _ in docs:
         sigs = {expected[(doc_id, b)] for b in range(_MINHASH_BANDS)}
         assert len(sigs) > 1
+
+
+def test_dsir_separates_target_language(spark):
+    """q_text_dsir's importance weight must actually discriminate:
+    target-language (en) documents average a strictly higher
+    log-weight than the rest of the corpus, and weights are finite.
+    (The hash-bucket models see real distribution differences even
+    on the synthetic fixture — vocabulary mix differs by lang.)"""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.webcorpus import (
+        DSIR_TARGET_LANG,
+        q_text_dsir,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    scored = q_text_dsir(spark, sf)
+    langs = table(spark, sf, "documents").select("doc_id", "lang")
+    rows = (
+        scored.join(langs, "doc_id")
+        .groupBy((F.col("lang") == DSIR_TARGET_LANG).alias("is_tgt"))
+        .agg(F.avg("dsir_logweight").alias("avg_w"))
+        .collect()
+    )
+    means = {r["is_tgt"]: r["avg_w"] for r in rows}
+    assert all(math.isfinite(v) for v in means.values())
+    assert means[True] > means[False]

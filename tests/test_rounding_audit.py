@@ -32,6 +32,14 @@ _ALLOWED = {
     ("q_fn_regression", "r2"),
     ("q_pandas_zscore", "zscore"),
     ("q_sim_centroid", "c"),
+    # r7: a doc whose mean weight is ~-1e-4 sits at the 4-decimal ULP,
+    # but the per-doc reduction is EXACT integer math (fixed-point
+    # bucket weights, the unigram_logprob trick) — both engines sum
+    # identical BIGINTs and divide by identical counts, so the
+    # pre-round doubles are bit-identical; the only float divergence
+    # source (1-ulp libm log differences in the 1024 bucket weights)
+    # is absorbed by round(...,6) three decimal orders above its ULP.
+    ("q_text_dsir", "dsir_logweight"),
 }
 
 

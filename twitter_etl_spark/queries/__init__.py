@@ -106,7 +106,7 @@ _MODULES = (
 #            latest green row is CORRECTNESS_r03) + the 5 r2-stale
 #            set-op re-certs displaced from r7 by the new queries
 #            (q_limit_topk, q_union_all, q_union_distinct,
-#            q_intersect, q_except) + re-cert slots for anything r7
+#            q_intersect, q_except, q_sort_multi, q_join_cross) + re-cert slots for anything r7
 #            touched (neardup salt, minhash/ngram triangle,
 #            q_agg_stats if its r7 row flaked).
 #   r07 (this list): slots 1-5 = q_agg_stats (r6's one red, fixed:
@@ -115,9 +115,9 @@ _MODULES = (
 #            CORRECTNESS file (driver's rows>0 check closes the
 #            loop); slots 6-35 = r2-stale relational core
 #            (joins/aggs/windows/sort — drift insurance); slots
-#            36-40 = the 5 queries NEW in r7 (q_tpch_q15,
+#            34-40 = the 7 queries NEW in r7 (q_tpch_q15,
 #            q_dedup_paragraph, q_join_interval, q_ts_ewma,
-#            q_sim_kmeans rows-only); slots 41-50 = 10 r3-stale
+#            q_sim_kmeans rows-only, q_text_dsir, q_retrieval_rrf); slots 41-50 = 10 r3-stale
 #            reference-parity core queries (main.R flagship
 #            behaviors).
 # Names NOT in the prefix keep their module-order position after it.
@@ -140,7 +140,6 @@ _CERT_PREFIX = (
     "q_join_multiway",
     "q_join_theta",
     "q_join_selfasof",
-    "q_join_cross",
     # -- (aggregates)
     "q_agg_global",
     "q_agg_groupby",
@@ -162,8 +161,9 @@ _CERT_PREFIX = (
     "q_win_range_frame",
     "q_topk_pergroup",
     # -- (sort / set ops)
-    "q_sort_multi",
-    # -- slots 36-40: NEW in r7 — certify this round (displacing the
+    # (q_sort_multi and q_join_cross displaced to the r8 re-cert
+    #  batch by the two late-r7 additions below)
+    # -- slots 34-40: NEW in r7 — certify this round (displacing the
     #    limit/union/intersect/except re-certs into the r8 batch): the
     #    missing TPC-H query, span-level corpus dedup, the bin-
     #    bucketed interval join, bounded EWMA, and k-means training
@@ -173,6 +173,8 @@ _CERT_PREFIX = (
     "q_join_interval",
     "q_ts_ewma",
     "q_sim_kmeans",
+    "q_text_dsir",
+    "q_retrieval_rrf",
     # -- slots 41-50: r3-stale reference-parity core (main.R behaviors)
     "q_scan_parquet",
     "q_source_ndjson",

@@ -83,14 +83,103 @@ def q_fn_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_TOPN = 20  # depth of each arm's candidate list
+
+
+def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al. 2009 — public) of the
+    two retrieval arms this engine already certifies: the LEXICAL
+    arm is `q_text_bm25`'s top-20 (BM25 over the fixed term query)
+    and the SEMANTIC arm is exact cosine of every embedding against
+    query vector vec_id=0 (vec_id stands for doc_id — the document
+    embedding), top-20. Fused score = Σ_arms 1/(K + rank), K=60;
+    ids present in only one arm contribute that arm's term alone
+    (standard RRF over the union).
+
+    This is the hybrid-search primitive: at 100 TB each arm is its
+    own candidate fetch (inverted index / ANN probe) returning a
+    k-row frame, so the fusion join is trivially small — the plan
+    here keeps both arms TakeOrderedAndProject (per-partition heaps)
+    and the only unpartitioned windows ride the already-LIMITed
+    ≤20-row frames (allowlisted in the plan sweep, zipf-style)."""
+    from pyspark.sql import Window
+
+    from .llmprep import q_text_bm25
+    from .similarity import cosine
+
+    lex = q_text_bm25(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sem_scored = (
+        e.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    sem = (
+        sem_scored.orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(RRF_TOPN)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos_sim"), "vec_id"))
+            .alias("sem_rank"),
+        )
+    )
+    fused = lex.join(sem, lex.doc_id == sem.vec_id, "full")
+    rrf = F.coalesce(
+        1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0))
+    return fused.select(
+        F.coalesce("doc_id", "vec_id").alias("doc_id"),
+        "lex_rank",
+        "sem_rank",
+        F.round(rrf, 6).alias("rrf"),
+    )
+
+
 QUERIES = {
     "q_sim_maxsim": q_sim_maxsim,
     "q_fn_regression": q_fn_regression,
+    "q_retrieval_rrf": q_retrieval_rrf,
 }
 
 _V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
+from .llmprep import ORACLE as _LLM_ORACLE  # noqa: E402 (bm25 arm reuse)
+
 ORACLE = {
+    "q_retrieval_rrf": (
+        # the lexical arm IS q_text_bm25's oracle, verbatim, as a CTE
+        "WITH bm_base AS (" + _LLM_ORACLE["q_text_bm25"] + "), "
+        "lex AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bm_base), "
+        "e AS (SELECT vec_id, " + _V + " AS v FROM embeddings), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        "sem_scored AS (SELECT vec_id, "
+        "round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * "
+        "sqrt(list_dot_product(qv, qv))), 6) AS cos_sim "
+        "FROM e CROSS JOIN q WHERE vec_id > 0), "
+        "sem AS (SELECT vec_id, row_number() OVER "
+        "(ORDER BY cos_sim DESC, vec_id) AS sem_rank FROM "
+        "(SELECT * FROM sem_scored ORDER BY cos_sim DESC, vec_id "
+        f"LIMIT {RRF_TOPN}) s) "
+        "SELECT coalesce(lex.doc_id, sem.vec_id) AS doc_id, "
+        "lex_rank, sem_rank, "
+        f"round(coalesce(1.0 / ({RRF_K} + lex_rank), 0.0) + "
+        f"coalesce(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf "
+        "FROM lex FULL JOIN sem ON lex.doc_id = sem.vec_id"
+    ),
     "q_sim_maxsim": (
         "WITH e AS (SELECT vec_id, label, " + _V + " AS v, "
         "sqrt(list_dot_product(" + _V + ", " + _V + ")) AS norm "

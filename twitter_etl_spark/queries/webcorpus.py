@@ -267,3 +267,106 @@ ORACLE["q_mix_weights"] = (
     f"round(p / z * {MIX_BUDGET} / n_tok, 4) AS epochs "
     "FROM powed CROSS JOIN z"
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling", arXiv:2302.03169 —
+# public). Hashed n-gram bag-of-words generative models for a TARGET
+# distribution (here: the English subcorpus) vs the RAW corpus; each
+# document scores its mean per-ngram log importance ratio. Documents
+# that "look like" the target distribution score high — the standard
+# cheap lever for steering a 100 TB crawl toward a target domain
+# without a neural scorer.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance log-weight.
+
+    Features are word bigrams WITH multiplicity, hashed into
+    ``DSIR_BUCKETS`` buckets via the engine-portable md5 bucket
+    (sampling.hash_bucket idiom). Bucket models: add-0.5 smoothed
+    counts from the target subcorpus (lang = 'en') and the raw
+    corpus; per-bucket weight = log p_target(b) − log p_raw(b),
+    fixed-pointed (round 6, ×1e6, BIGINT) before the per-doc sum so
+    the reduction is exact integer math (q_text_unigram_logprob's
+    no-float-sum-order trick). Docs shorter than 2 tokens have no
+    features and drop out.
+
+    Plan: ONE pass builds the bucket table (conditional counts in
+    the same hash agg — the target model costs no second scan); the
+    weight table is key-space-bounded (exactly ``DSIR_BUCKETS``
+    rows) so its broadcast hint is safe at any SF; per-doc scoring
+    is one hash agg on doc_id. Two shuffles total (bucket agg, doc
+    agg) regardless of corpus size."""
+    from .sampling import hash_bucket
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    count = F.greatest(F.size("t") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("t", 1, count),
+        F.slice("t", 2, count),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    ngb = d.select(
+        "doc_id",
+        "lang",
+        F.explode(bigrams).alias("ng"),
+    ).select(
+        "doc_id", "lang", hash_bucket(F.col("ng"), DSIR_BUCKETS).alias("b")
+    )
+    counts = ngb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("tgt_c"),
+    )
+    totals = counts.agg(
+        F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
+    )
+    half_b = DSIR_BUCKETS * 0.5
+    w = F.log(
+        (F.col("tgt_c") + 0.5) / (F.col("tgt_n") + F.lit(half_b))
+    ) - F.log((F.col("raw_c") + 0.5) / (F.col("raw_n") + F.lit(half_b)))
+    wfp = F.floor(F.round(w, 6) * 1e6 + F.lit(0.5)).cast("bigint")
+    wtab = counts.crossJoin(F.broadcast(totals)).select(
+        "b", wfp.alias("wfp")
+    )
+    scored = ngb.join(F.broadcast(wtab), "b")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.round(F.sum("wfp") / F.count(F.lit(1)) / 1e6, 4).alias(
+            "dsir_logweight"
+        ),
+    )
+
+
+QUERIES["q_text_dsir"] = q_text_dsir
+
+ORACLE["q_text_dsir"] = (
+    "WITH t AS (SELECT doc_id, lang, "
+    "string_split_regex(trim(text), '\\s+') AS toks FROM documents), "
+    "ng AS (SELECT doc_id, lang, unnest(list_transform("
+    "  range(1, greatest(len(toks) - 1, 0) + 1), "
+    "  i -> toks[i] || ' ' || toks[i+1])) AS ng FROM t), "
+    "ngb AS (SELECT doc_id, lang, "
+    f"(('0x' || substr(md5(ng), 1, 8))::UBIGINT % {DSIR_BUCKETS}) AS b "
+    "FROM ng), "
+    "counts AS (SELECT b, count(*)::BIGINT AS raw_c, "
+    f"sum((lang = '{DSIR_TARGET_LANG}')::BIGINT)::BIGINT AS tgt_c "
+    "FROM ngb GROUP BY b), "
+    "tot AS (SELECT sum(raw_c) AS raw_n, sum(tgt_c) AS tgt_n FROM counts), "
+    "w AS (SELECT b, floor(round("
+    f"  ln((tgt_c + 0.5) / (tgt_n + {DSIR_BUCKETS * 0.5})) - "
+    f"  ln((raw_c + 0.5) / (raw_n + {DSIR_BUCKETS * 0.5})), 6) * 1e6 "
+    "  + 0.5)::BIGINT AS wfp FROM counts CROSS JOIN tot) "
+    "SELECT doc_id, count(*)::BIGINT AS n_ngrams, "
+    "round(sum(wfp) / count(*) / 1e6, 4) AS dsir_logweight "
+    "FROM ngb JOIN w USING (b) GROUP BY doc_id"
+)
