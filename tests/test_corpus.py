@@ -438,3 +438,16 @@ def test_dsir_separates_target_language(spark):
     means = {r["is_tgt"]: r["avg_w"] for r in rows}
     assert all(math.isfinite(v) for v in means.values())
     assert means[True] > means[False]
+
+
+def test_cc_star_equals_label_propagation(spark):
+    """Large-star/small-star CC and min-label propagation are
+    different algorithms over the same pair graph — their outputs
+    must be row-identical (per-doc component-min label)."""
+    from twitter_etl_spark.queries.corpus import q_dedup_cluster
+    from twitter_etl_spark.queries.graph import q_graph_cc_star
+
+    sf = "/root/testdata/sf0.001"
+    a = {(r["doc_id"], r["cluster_id"]) for r in q_dedup_cluster(spark, sf).collect()}
+    b = {(r["doc_id"], r["cluster_id"]) for r in q_graph_cc_star(spark, sf).collect()}
+    assert a == b and len(a) > 0

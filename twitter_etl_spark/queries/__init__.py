@@ -106,7 +106,8 @@ _MODULES = (
 #            latest green row is CORRECTNESS_r03) + the 5 r2-stale
 #            set-op re-certs displaced from r7 by the new queries
 #            (q_limit_topk, q_union_all, q_union_distinct,
-#            q_intersect, q_except, q_sort_multi, q_join_cross) + re-cert slots for anything r7
+#            q_intersect, q_except, q_sort_multi, q_join_cross,
+#            q_join_right) + re-cert slots for anything r7
 #            touched (neardup salt, minhash/ngram triangle,
 #            q_agg_stats if its r7 row flaked).
 #   r07 (this list): slots 1-5 = q_agg_stats (r6's one red, fixed:
@@ -115,9 +116,10 @@ _MODULES = (
 #            CORRECTNESS file (driver's rows>0 check closes the
 #            loop); slots 6-35 = r2-stale relational core
 #            (joins/aggs/windows/sort — drift insurance); slots
-#            34-40 = the 7 queries NEW in r7 (q_tpch_q15,
+#            33-40 = the 8 queries NEW in r7 (q_tpch_q15,
 #            q_dedup_paragraph, q_join_interval, q_ts_ewma,
-#            q_sim_kmeans rows-only, q_text_dsir, q_retrieval_rrf); slots 41-50 = 10 r3-stale
+#            q_sim_kmeans rows-only, q_text_dsir, q_retrieval_rrf,
+#            q_graph_cc_star); slots 41-50 = 10 r3-stale
 #            reference-parity core queries (main.R flagship
 #            behaviors).
 # Names NOT in the prefix keep their module-order position after it.
@@ -132,7 +134,6 @@ _CERT_PREFIX = (
     # -- slots 6-40: r2-stale relational core (joins)
     "q_join_inner",
     "q_join_left",
-    "q_join_right",
     "q_join_full",
     "q_join_semi",
     "q_join_anti",
@@ -175,6 +176,7 @@ _CERT_PREFIX = (
     "q_sim_kmeans",
     "q_text_dsir",
     "q_retrieval_rrf",
+    "q_graph_cc_star",
     # -- slots 41-50: r3-stale reference-parity core (main.R behaviors)
     "q_scan_parquet",
     "q_source_ndjson",

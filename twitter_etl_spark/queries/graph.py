@@ -29,8 +29,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 
 from ..tables import table
+from .dedup import q_dedup_ngram_jaccard
 
 #: fixed-point scale for PageRank ranks (1.0 == 10**12).
 PR_SCALE = 10**12
@@ -140,10 +142,108 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("n_nationkey"), F.col("r").alias("rank_fp"))
 
 
+_CC_STAR_MAX_ROUNDS = 12
+
+
+def _large_star(E: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al. 2014, 'Connected Components in
+    MapReduce and Beyond' — public): every node links each STRICTLY
+    LARGER neighbor to the minimum of its closed neighborhood."""
+    sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("min_v"))
+        .select("u", F.least("min_v", "u").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """Small-star: orient every edge large→small; every node links
+    its smaller neighbors (and itself) to its minimum neighbor."""
+    oriented = E.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        oriented.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = mins.select("u", F.col("m").alias("v"))
+    return (
+        relink.union(self_link)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def q_graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al. 2014) over the SAME near-dup pair graph as
+    ``q_dedup_cluster`` — the O(log n)-round algorithm that replaces
+    min-label propagation when component diameters are adversarial
+    (label propagation needs diameter rounds; star contraction
+    collapses any path in logarithmically many).
+
+    Each phase is one hash-agg (per-node min) + one join-back —
+    identical dataflow blocks to propagation, but the edge set
+    CONTRACTS toward a star forest instead of carrying labels, so
+    convergence (edge set unchanged, checked with two anti-joins) is
+    reached in O(log n) rounds regardless of diameter. Output is
+    identical to ``q_dedup_cluster`` by construction — per-doc
+    component-min label — so it certifies against the same recursive
+    -CTE oracle, and the equality is additionally pinned in
+    tests/test_corpus.py."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    E = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(_CC_STAR_MAX_ROUNDS):
+        new_E = _small_star(_large_star(E)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        changed = (
+            new_E.join(E, ["u", "v"], "left_anti").limit(1).count()
+            + E.join(new_E, ["u", "v"], "left_anti").limit(1).count()
+        )
+        E.unpersist()
+        E = new_E
+        if changed == 0:
+            break
+    # star forest: every child edge points (child, root); roots have
+    # only larger neighbors, so min(closed neighborhood) = self
+    sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lab = sym.groupBy("u").agg(F.min("v").alias("min_v"))
+    out = nodes.join(lab, nodes["node"] == lab["u"], "left").select(
+        F.col("node").alias("doc_id"),
+        F.least(F.coalesce("min_v", "node"), "node").alias("cluster_id"),
+    )
+    E.unpersist()
+    nodes.unpersist()
+    return out
+
+
 QUERIES = {
     "q_graph_degree": q_graph_degree,
     "q_graph_triangles": q_graph_triangles,
     "q_graph_pagerank": q_graph_pagerank,
+    "q_graph_cc_star": q_graph_cc_star,
 }
 
 _EDGES = (
@@ -195,3 +295,12 @@ ORACLE = {
         "SELECT node AS n_nationkey, r::BIGINT AS rank_fp FROM it3"
     ),
 }
+
+# q_graph_cc_star computes the IDENTICAL relation to q_dedup_cluster
+# (per-doc component-min label over the same pair graph) by a
+# different algorithm — so it certifies against the same
+# recursive-CTE oracle; the two implementations cross-check each
+# other through it.
+from .corpus import _CC_SQL as _CC_STAR_SQL  # noqa: E402
+
+ORACLE["q_graph_cc_star"] = _CC_STAR_SQL
