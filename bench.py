@@ -48,6 +48,10 @@ HEADLINE = [
     "q_dedup_minhash_banded",
     # r6 verdict #5: SemDeDup (embedding-space semantic dedup)
     "q_dedup_semantic",
+    # r7: the two new corpus-wide curation ops (span-level dedup and
+    # DSIR importance weighting) join the tracked set
+    "q_dedup_paragraph",
+    "q_text_dsir",
 ]
 
 

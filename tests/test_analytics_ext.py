@@ -151,3 +151,56 @@ def test_sorted_neighborhood_subset_of_blocked(spark):
     p = _plan(dq.q_er_sorted_neighborhood(spark, SF_SMOKE))
     assert "hashpartitioning(c_nationkey" in p
     assert "SinglePartition" not in p
+
+
+def test_ewma_matches_pandas_for_short_series(spark, tmp_path):
+    """For series shorter than the lookback cap (12), the bounded
+    EWMA is definitionally identical to pandas
+    ``ewm(alpha=0.25, adjust=True).mean()`` — pin the semantics on a
+    synthetic events table with short per-user series."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.timeseries import (
+        _EWMA_ALPHA,
+        _EWMA_SPAN,
+        q_ts_ewma,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(1, 6):  # 5 users, series lengths 3..11 (< cap)
+        for i in range(2 * u + 1):
+            rows.append(
+                (eid, base + dt.timedelta(minutes=eid), u, "click",
+                 float((eid * 37) % 100) / 7.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    got = (
+        q_ts_ewma(spark, sf)
+        .orderBy("user_id", "ts_us", "event_id")
+        .toPandas()
+    )
+    raw = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "t", "value", "p"])
+    raw = raw.sort_values(["user_id", "ts", "event_id"])
+    assert raw.groupby("user_id").size().max() <= _EWMA_SPAN
+    want = (
+        raw.groupby("user_id")["value"]
+        .apply(lambda s: s.ewm(alpha=_EWMA_ALPHA, adjust=True).mean())
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["ewma"].reset_index(drop=True),
+        want.round(4),
+        check_names=False,
+        atol=2e-4,
+    )

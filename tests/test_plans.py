@@ -336,3 +336,17 @@ def test_heavyhitters_candidates_broadcast_and_arrow(spark):
     p = _plan(spark, "q_text_heavyhitters")
     assert "BroadcastHashJoin" in p
     assert "MapInPandas" in p or "ArrowEvalPython" in p or "PythonMapInArrow" in p
+
+
+def test_interval_join_is_equi_on_bins_not_bnlj(spark):
+    """q_join_interval's entire reason to exist: the unanchored
+    overlap predicate must plan as a HASH/SMJ equi-join on the bin
+    key with the range check as a post-join filter — never a
+    BroadcastNestedLoopJoin (which is what the raw theta predicate
+    would produce and what dies at 100 TB)."""
+    p = _plan(spark, "q_join_interval")
+    assert "BroadcastNestedLoop" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p  # AQE may broadcast the tiny fixture side
+    )

@@ -1,0 +1,114 @@
+"""Materialized IVF index: the 100 TB ANN serving path.
+
+``q_sim_ann_ivf`` (queries/corpus.py) computes IVF in one job —
+assignment, probe, and rank in a single plan — which is right for
+ad-hoc analysis but wrong for a serving corpus: at 100 TB the
+assignment scan must be paid ONCE at build time, and every probe
+afterwards should read only the nprobe/K slice of the bytes. This
+module materializes exactly that split (SCALE.md promises "on a
+materialized index the probe join is partition pruning" — this is
+the implementation, with the pruning asserted in
+tests/test_retrieval.py):
+
+- :func:`build_ivf_index` trains the coarse quantizer with the same
+  Lloyd machinery as ``q_sim_kmeans`` (one training job), assigns
+  every vector to its nearest centroid in one scan, and writes the
+  corpus parquet PARTITIONED BY the cell id — so each IVF cell is a
+  filesystem partition. The K×dim centroid table (a few KB) lands
+  next to it as JSON.
+- :func:`probe_ivf_index` picks the nprobe nearest cells DRIVER-side
+  (K centroids, a numpy-free pure-Python loop — no Spark job), then
+  reads the index with ``cell IN (...)``: Catalyst turns that into
+  PartitionFilters, so the scan lists and reads ONLY the probed
+  cells' files — nprobe/K of the corpus, the whole point of IVF.
+
+Reference scope: the reference engine (main.R) has no vector
+serving; this is [EXT] LLM-pipeline surface (SURVEY.md §2.6's ANN
+row, taken from one-job form to build/serve form).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries.similarity import _as_double, _kmeans_assign, cosine, train_kmeans
+from .tables import table
+
+_CENTROIDS_FILE = "_centroids.json"
+_DATA_DIR = "data"
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    k: int = 8,
+    iters: int = 3,
+) -> list:
+    """Train + assign + write. Returns the trained centroid list.
+
+    The write is one shuffle on the cell id (partitionBy) over rows
+    of (vec_id, embedding) — the embedding payload ships exactly
+    once. Cell skew (a dominant cluster) shows up as a big partition
+    directory, not a failed task: files within a partition still
+    split across scan tasks on read."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _as_double(F.col("embedding")).alias("v")
+    )
+    centroids = train_kmeans(
+        e.select("vec_id", "v"), k, iters
+    )
+    assigned = _kmeans_assign(e, centroids).select(
+        "vec_id", "embedding", F.col("cluster").alias("cell")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, _DATA_DIR)
+    )
+    with open(os.path.join(index_dir, _CENTROIDS_FILE), "w") as f:
+        json.dump({str(cid): vec for cid, vec in centroids}, f)
+    return centroids
+
+
+def _nearest_cells(centroids: dict, query_vec: list, nprobe: int) -> list:
+    """Driver-side nprobe selection: K squared-distance evaluations
+    over a few-KB table — never a Spark job."""
+    scored = []
+    for cid, vec in centroids.items():
+        d2 = sum((a - b) * (a - b) for a, b in zip(vec, query_vec))
+        scored.append((d2, int(cid)))
+    scored.sort()
+    return [cid for _, cid in scored[:nprobe]]
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k within the nprobe nearest cells.
+
+    The ``cell IN (...)`` filter is a PARTITION filter — the scan
+    never lists, opens, or decodes the other K−nprobe cells
+    (asserted on the physical plan in tests). Ranking is
+    TakeOrderedAndProject over the probed slice."""
+    with open(os.path.join(index_dir, _CENTROIDS_FILE)) as f:
+        centroids = json.load(f)
+    cells = _nearest_cells(centroids, query_vec, nprobe)
+    data = spark.read.parquet(os.path.join(index_dir, _DATA_DIR)).filter(
+        F.col("cell").isin(cells)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = data.select(
+        "vec_id",
+        "cell",
+        F.round(
+            cosine(_as_double(F.col("embedding")), qv), 6
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(topk)

@@ -267,6 +267,37 @@ def _kmeans_assign(e: DataFrame, centroids: list) -> DataFrame:
     return e.withColumn("cluster", best["cid"]).withColumn("d2", best["d2"])
 
 
+def train_kmeans(e: DataFrame, k: int, iters: int) -> list:
+    """Lloyd's k-means over ``e`` (columns vec_id, v: array<double>)
+    — deterministic init (the k lowest-vec_id vectors), per-round
+    dataflow documented at :func:`q_sim_kmeans`. Returns the trained
+    ``[(cid, vector), ...]`` list — consumed by the query below and
+    by the materialized IVF index builder (``index.build_ivf_index``)."""
+    init = e.orderBy("vec_id").limit(k).collect()
+    centroids = [(i, list(r.v)) for i, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = _kmeans_assign(e, centroids)
+        upd = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("c"))
+            .collect()
+        )
+        by_cluster: dict = {}
+        for row in upd:
+            by_cluster.setdefault(row.cluster, {})[row.pos] = row.c
+        centroids = [
+            (
+                cid,
+                [by_cluster[cid][p] for p in range(len(old))]
+                if cid in by_cluster
+                else old,
+            )
+            for cid, old in centroids
+        ]
+    return centroids
+
+
 def q_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding corpus (K=8, 3 iterations,
     deterministic init = the K lowest-vec_id vectors) — the
@@ -290,28 +321,7 @@ def q_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    init = e.orderBy("vec_id").limit(_KMEANS_K).collect()
-    centroids = [(i, list(r.v)) for i, r in enumerate(init)]
-    for _ in range(_KMEANS_ITERS):
-        assigned = _kmeans_assign(e, centroids)
-        upd = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("c"))
-            .collect()
-        )
-        by_cluster: dict = {}
-        for row in upd:
-            by_cluster.setdefault(row.cluster, {})[row.pos] = row.c
-        centroids = [
-            (
-                cid,
-                [by_cluster[cid][p] for p in range(len(old))]
-                if cid in by_cluster
-                else old,
-            )
-            for cid, old in centroids
-        ]
+    centroids = train_kmeans(e, _KMEANS_K, _KMEANS_ITERS)
     final = _kmeans_assign(e, centroids)
     norms = {
         cid: sum(x * x for x in vec) ** 0.5 for cid, vec in centroids
