@@ -77,6 +77,7 @@ _SINGLE_PARTITION_OK = {
     "q_agg_global",
     "q_agg_histogram",
     "q_dq_checks",
+    "q_dq_profile",  # 1-row whole-table profile agg, explode-pivoted
     "q_funnel_conversion",
     "q_graph_triangles",
     "q_mix_weights",

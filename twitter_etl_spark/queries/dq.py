@@ -172,13 +172,77 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of ``orders`` — null count and exact
+    distinct count per column plus the table rowcount: the
+    first-contact profiling report every ingestion pipeline runs
+    before writing expectations (``q_dq_checks`` encodes the rules
+    this report suggests).
+
+    ONE scan: every column's null/distinct aggregate lives in the
+    same hash-agg row (Spark plans multi-distinct as one expand, a
+    single pass); the wide 1-row result pivots to long form with an
+    explode over column structs — no second scan, no shuffle beyond
+    the scalar agg. At 100 TB swap exact distincts for
+    ``approx_count_distinct`` on the same plan (the
+    ``q_agg_approx_distinct`` twin)."""
+    o = table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.isnull(c).cast("bigint")).alias(f"null_{c}")
+            for c in _PROFILE_COLS
+        ],
+        *[
+            F.count_distinct(F.col(c)).alias(f"dist_{c}")
+            for c in _PROFILE_COLS
+        ],
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return agg.select("n_rows", F.explode(entries).alias("e")).select(
+        F.col("e.col_name").alias("col_name"),
+        F.col("e.n_null").alias("n_null"),
+        F.col("e.n_distinct").alias("n_distinct"),
+        "n_rows",
+    )
+
+
 QUERIES = {
     "q_dq_checks": q_dq_checks,
+    "q_dq_profile": q_dq_profile,
     "q_er_fuzzy_blocked": q_er_fuzzy_blocked,
     "q_er_sorted_neighborhood": q_er_sorted_neighborhood,
 }
 
+_PROFILE_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, "
+    f"(count(*) - count({c}))::BIGINT AS n_null, "
+    f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+    "count(*)::BIGINT AS n_rows FROM orders"
+    for c in _PROFILE_COLS
+)
+
 ORACLE = {
+    "q_dq_profile": _PROFILE_SQL,
     "q_dq_checks": (
         "WITH o_agg AS (SELECT count(*) AS n_rows, "
         "sum((o_custkey IS NULL)::BIGINT) AS not_null_o_custkey, "

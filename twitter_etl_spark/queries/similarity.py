@@ -311,7 +311,11 @@ def q_sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids (K x dim doubles, ~4 KB) sync through the driver —
     the same barrier MLlib's KMeans performs via treeAggregate.
     Clusters that lose all members keep their previous centroid.
-    Rows-only (an oracle would need every round unrolled into SQL);
+    Rows-only — not because SQL can't unroll 3 rounds, but because
+    cluster ASSIGNMENT is a discrete argmin over floats: a 1-ulp
+    cross-engine difference in a centroid mean can flip a boundary
+    point's cell and cascade, the exact flake class SURVEY §5.3
+    bans from oracles;
     exactness is pinned by a NumPy step-for-step replica in
     tests/test_similarity_multimodal.py.
 
