@@ -257,3 +257,71 @@ def test_versioned_publish_atomic_pointer(spark):
         F.col("lang") == "es"
     ).count()
     assert open(os.path.join(d, "_LATEST")).read() == "2"
+
+
+def test_vacuum_versions_keeps_latest_and_recent(spark, tmp_path):
+    """vacuum_versions drops old snapshots but never the pointer
+    target; reads of the latest keep working; dropped versions are
+    gone from disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.sinks import (
+        publish_version,
+        read_version,
+        vacuum_versions,
+    )
+    from twitter_etl_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    d = str(tmp_path / "pub")
+    for i in range(4):
+        publish_version(docs.limit(10 * (i + 1)), d)
+    dropped = vacuum_versions(d, keep=2)
+    assert dropped == [1, 2]
+    left = sorted(p for p in os.listdir(d) if p.startswith("v="))
+    assert left == ["v=3", "v=4"]
+    assert read_version(spark, d).count() == 40  # latest intact
+
+
+def test_incremental_rollup_equals_full_aggregate(spark, tmp_path):
+    """update_rollup applied over three disjoint increments must
+    equal the one-shot aggregate of the full table exactly, each
+    update is an atomic published version, and the pre-merge rollup
+    stays readable (time travel)."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.rollup import read_rollup, update_rollup
+    from twitter_etl_spark.sinks import read_version
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    d = str(tmp_path / "rollup")
+    v = None
+    for part in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == part)
+        v = update_rollup(spark, d, batch)
+    assert v == 3
+
+    got = {r["lang"]: r for r in read_rollup(spark, d).collect()}
+    want = {
+        r["lang"]: r
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for lang in want:
+        for c in ("n_docs", "sum_chars", "min_chars", "max_chars", "avg_chars"):
+            assert got[lang][c] == want[lang][c], (lang, c)
+    # time travel: version 1 holds only the first increment's docs
+    v1_n = sum(r["n"] for r in read_version(spark, d, 1).collect())
+    assert v1_n == docs.filter(F.col("doc_id") % 3 == 0).count()

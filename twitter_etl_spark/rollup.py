@@ -1,0 +1,78 @@
+"""Incremental rollup maintenance (materialized-view upkeep).
+
+``q_agg_mergeable`` (queries/sketches.py) PROVES the merge algebra —
+count/sum/min/max partials computed independently merge to the exact
+full-table answer. This module applies it operationally: a
+materialized per-lang stats rollup that ABSORBS each new document
+partition by merging partial-state rows, never re-reading history —
+the maintenance loop a 100 TB ingest needs (re-aggregating the
+corpus per batch is O(history); this is O(batch + |rollup|)).
+
+Storage is ``sinks.publish_version`` snapshots, so every update is
+an atomic pointer flip: readers see the pre- or post-merge rollup in
+full, and retained versions give rollup time travel for free. The
+state schema is the PARTIAL form (n, s, mn, mx) — finalized metrics
+like avg are derived at read time, because avg partials don't merge
+but (sum, count) do (the standard mergeable-state rule: store the
+monoid, not the quotient).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sinks import publish_version, read_version
+
+#: partial-state columns (the mergeable monoid) for the lang rollup.
+_STATE_COLS = ("lang", "n", "s", "mn", "mx")
+
+
+def _partial(batch: DataFrame) -> DataFrame:
+    return batch.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+    )
+
+
+def _merge(state: DataFrame) -> DataFrame:
+    return state.groupBy("lang").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def update_rollup(
+    spark: SparkSession, rollup_dir: str, new_docs: DataFrame
+) -> int:
+    """Absorb one new document partition into the materialized
+    rollup; returns the published version. First call bootstraps.
+    Cost: one partial agg over the BATCH plus a merge over
+    |rollup| + |batch partials| rows — history is never re-read."""
+    fresh = _partial(new_docs)
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_STATE_COLS)
+        state = prev.unionByName(fresh.select(*_STATE_COLS))
+    else:
+        state = fresh
+    return publish_version(_merge(state).select(*_STATE_COLS), rollup_dir)
+
+
+def read_rollup(spark: SparkSession, rollup_dir: str, version: int | None = None) -> DataFrame:
+    """Finalized view of the rollup (derived metrics computed from
+    the partial state at read time)."""
+    st = read_version(spark, rollup_dir, version)
+    return st.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("s").alias("sum_chars"),
+        F.col("mn").alias("min_chars"),
+        F.col("mx").alias("max_chars"),
+        F.round(F.col("s") / F.col("n"), 4).alias("avg_chars"),
+    )

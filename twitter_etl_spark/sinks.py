@@ -245,6 +245,34 @@ def read_version(spark: SparkSession, table_dir: str, version: int | None = None
     return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
 
 
+def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
+    """Retention for :func:`publish_version` snapshots: delete all
+    but the newest ``keep`` versions, NEVER touching the one
+    ``_LATEST`` points at (a reader that resolved the pointer before
+    the vacuum must still find its directory — the same grace
+    contract table-format VACUUMs honor). Returns the dropped
+    version numbers. Storage for a 100 TB published table is
+    keep × snapshot bytes; without a vacuum the time-travel tail
+    grows without bound, so this is part of the operating procedure
+    like ``compact_table``."""
+    import shutil
+
+    with open(os.path.join(table_dir, "_LATEST")) as f:
+        latest = int(f.read().strip())
+    versions = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(table_dir)
+        if p.startswith("v=")
+    )
+    keep_set = set(versions[-keep:]) | {latest}
+    dropped = []
+    for v in versions:
+        if v not in keep_set:
+            shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+            dropped.append(v)
+    return dropped
+
+
 def export_training_shards(
     df: DataFrame, path: str, key_col: str, n_shards: int = 8
 ) -> None:
