@@ -305,6 +305,13 @@ def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg) regardless of corpus size."""
     from .sampling import hash_bucket
 
+    # deliberately NO _spread here: measured at sf0.1 (n=3 steady
+    # state), round-robin repartitioning the docs before the bigram
+    # explode made this SLOWER (1.6 s -> 2.2 s) — the extra exchange
+    # ships full texts and costs more than the serialized md5 pass it
+    # parallelizes, unlike the shingle-heavy dedup pipelines where
+    # _spread wins. On real multi-split inputs the scan already
+    # parallelizes.
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("t")
     )
@@ -369,4 +376,53 @@ ORACLE["q_text_dsir"] = (
     "SELECT doc_id, count(*)::BIGINT AS n_ngrams, "
     "round(sum(wfp) / count(*) / 1e6, 4) AS dsir_logweight "
     "FROM ngb JOIN w USING (b) GROUP BY doc_id"
+)
+
+
+def q_text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2019,
+    arXiv:1911.00359 — public): within EACH language, rank documents
+    by LM surprisal (`q_text_unigram_logprob`'s score standing in
+    for the KenLM perplexity) and split into head/middle/tail
+    tertiles — the standard crawl-quality partition LLM pipelines
+    filter or mix on.
+
+    The tertile window partitions by lang — CCNet's own semantics,
+    and exactly what keeps this scale-safe: one shuffle on the
+    language key, per-language parallel sorts, no global sort (the
+    zipf-class trap). Ordering ties break on doc_id; the score is
+    fixed-point-derived so both engines rank identical values."""
+    scored = q_text_unigram_logprob(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scored.join(d, "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_neglogp", "doc_id")
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.ntile(3).over(w),
+    )
+    return j.select(
+        "doc_id", "lang", "avg_neglogp", bucket.alias("bucket")
+    )
+
+
+QUERIES["q_text_ccnet_bucket"] = q_text_ccnet_bucket
+
+ORACLE["q_text_ccnet_bucket"] = (
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents), "
+    "vocab AS (SELECT w, count(*)::BIGINT AS wc FROM toks GROUP BY w), "
+    "tot AS (SELECT sum(wc)::BIGINT AS total FROM vocab), "
+    "probs AS (SELECT w, floor(round(-ln(wc::DOUBLE / total), 6) * 1e6 "
+    "+ 0.5)::BIGINT AS fp FROM vocab CROSS JOIN tot), "
+    "scored AS (SELECT doc_id, count(*)::BIGINT AS n_tok, "
+    "round(sum(fp)::BIGINT / count(*) / 1e6, 4) AS avg_neglogp "
+    "FROM (SELECT doc_id, fp FROM toks JOIN probs USING (w)) s "
+    "GROUP BY doc_id), "
+    "j AS (SELECT s.doc_id, d.lang, s.avg_neglogp, "
+    "ntile(3) OVER (PARTITION BY d.lang "
+    "ORDER BY s.avg_neglogp, s.doc_id) AS t "
+    "FROM scored s JOIN documents d USING (doc_id)) "
+    "SELECT doc_id, lang, avg_neglogp, "
+    "CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END "
+    "AS bucket FROM j"
 )
