@@ -737,3 +737,57 @@ def test_tws_inactivity_timer_flushes_quiet_user(spark):
     # but IF they flushed, the buffer math must hold
     for r in by_user.get(2, []):
         assert (r["n_flushed"], r["total_value"]) == (1, 7.0)
+
+
+def test_streaming_rollup_maintenance(spark):
+    """foreachBatch-driven materialized-view upkeep: two landed
+    chunks absorbed by update_rollup must yield the same per-lang
+    stats as a one-shot aggregate of all documents, with one
+    published version per non-empty batch and checkpointed progress
+    (re-running with no new files publishes nothing)."""
+    import pyspark.sql.functions as F
+
+    from twitter_etl_spark.rollup import read_rollup
+    from twitter_etl_spark.sources import read_ndjson
+    from twitter_etl_spark.streaming.microbatch import run_streaming_rollup
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    rollup = os.path.join(base, "rollup")
+    ckpt = os.path.join(base, "ckpt")
+
+    _write_landing_file(
+        landing,
+        "stream_20240101_000000.json",
+        [_doc(1, "hola mundo"), _doc(2, "otra frase"), _doc(3, "hi there", lang="en")],
+    )
+    run_streaming_rollup(spark, landing, rollup, ckpt)
+    _write_landing_file(
+        landing,
+        "stream_20240101_000100.json",
+        [_doc(4, "mas texto aqui"), _doc(5, "more english words", lang="en")],
+    )
+    run_streaming_rollup(spark, landing, rollup, ckpt)
+    # no new files -> no new version
+    run_streaming_rollup(spark, landing, rollup, ckpt)
+    versions = sorted(p for p in os.listdir(rollup) if p.startswith("v="))
+    assert versions == ["v=1", "v=2"]
+
+    got = {r["lang"]: r for r in read_rollup(spark, rollup).collect()}
+    want = {
+        r["lang"]: r
+        for r in read_ndjson(spark, landing)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for lang in want:
+        for c in ("n_docs", "sum_chars", "min_chars", "max_chars", "avg_chars"):
+            assert got[lang][c] == want[lang][c], (lang, c)

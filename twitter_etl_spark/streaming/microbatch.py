@@ -201,3 +201,48 @@ def run_microbatch_pipeline(
     else:
         q = writer.trigger(processingTime=f"{cadence_seconds} seconds").start()
     return q
+
+
+def run_streaming_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    *,
+    await_seconds: int | None = None,
+):
+    """Streaming MATERIALIZED-VIEW maintenance: each micro-batch is
+    absorbed into the per-lang stats rollup via
+    :func:`twitter_etl_spark.rollup.update_rollup` — O(batch +
+    |rollup|) per trigger, history never re-read, every trigger an
+    atomic `publish_version` snapshot (readers always see a complete
+    rollup; a mid-batch crash leaves the previous version live and
+    the checkpoint replays the batch).
+
+    This is the streaming half of the incremental-rollup story the
+    batch side proves (`q_agg_mergeable` merge algebra): the same
+    partial-state monoid, driven by the micro-batch loop instead of
+    a backfill job. Replay caveat: update_rollup is NOT idempotent
+    per batch (a replayed batch would double-merge), so at-least-once
+    delivery needs the batch_id recorded with the version — the
+    version number returned per trigger serves as that marker; a
+    production deployment gates on `batch_id > last_merged` exactly
+    like `idempotent_batch_writer` gates its partition overwrite."""
+    from ..rollup import update_rollup
+
+    stream = read_ndjson_stream(spark, landing_dir, DOCUMENTS_SCHEMA)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_rollup(spark, rollup_dir, batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)
+    return q
