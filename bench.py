@@ -97,6 +97,22 @@ def main() -> int:
     # keeps cross-round suite comparisons apples-to-apples after the
     # r6 additions (q_llm_curation, q_dedup_minhash_banded)
     legacy = round(sum(timings[n] for n in HEADLINE[:18]), 3)
+
+    # full TPC-H sweep (r7: all 22 queries exist) — reported as its
+    # own subtotal, NOT in `value`, so the headline stays comparable
+    # across rounds; single timed run each (the sweep is a broad
+    # throughput number, the headline is the tuned best-of metric)
+    tpch: dict[str, float] = {}
+    for name in sorted(
+        (n for n in ALL_QUERIES if n.startswith("q_tpch_q")),
+        key=lambda n: int(n.rsplit("q", 1)[1]),
+    ):
+        t0 = time.perf_counter()
+        ALL_QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        tpch[name] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -106,6 +122,8 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "legacy18_seconds": legacy,
+                "tpch22_seconds": round(sum(tpch.values()), 3),
+                "tpch_queries": tpch,
             }
         )
     )
