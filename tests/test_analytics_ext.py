@@ -204,3 +204,35 @@ def test_ewma_matches_pandas_for_short_series(spark, tmp_path):
         check_names=False,
         atol=2e-4,
     )
+
+
+def test_interval_join_boundary_semantics(spark, tmp_path):
+    """Constructed events: the window is [ts, ts+1h) — an event AT
+    the alert time counts, one exactly 1h later does not, the alert
+    itself is excluded, and cross-bin matches (event in the next
+    hour bin but inside the window) are found."""
+    import datetime as dt
+
+    from twitter_etl_spark.queries.joins import q_join_interval
+
+    t0 = dt.datetime(2024, 1, 1, 10, 30)
+    rows = [
+        # alert: value > 300 at 10:30
+        (1, t0, 100, "click", 400.0, "{}"),
+        (2, t0, 101, "view", 1.0, "{}"),                                  # at a_ts -> in
+        (3, t0 + dt.timedelta(minutes=59), 102, "view", 1.0, "{}"),       # in (crosses into 11:00 bin)
+        (4, t0 + dt.timedelta(hours=1), 103, "view", 1.0, "{}"),          # at a_ts+1h -> out
+        (5, t0 - dt.timedelta(seconds=1), 104, "view", 1.0, "{}"),        # before -> out
+        (6, t0 + dt.timedelta(minutes=30), 101, "view", 1.0, "{}"),       # in, same user as 2
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = q_join_interval(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["alert_id"] == 1
+    assert r["n_overlap"] == 3  # events 2, 3, 6
+    assert r["n_users"] == 2  # users 101, 102

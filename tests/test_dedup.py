@@ -172,3 +172,32 @@ def test_ngram_jaccard_digest_keys_identical(spark):
         map(tuple, q_dedup_ngram_jaccard(spark, d, digest_keys=True).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_paragraph_dedup_removes_later_duplicate_spans(spark, tmp_path):
+    """Constructed case: doc 2 repeats doc 1's first span (span =
+    4 tokens) and has one unique span; dedup must drop the repeat
+    from doc 2 only, reassemble in order, and keep counts honest.
+    Doc 3 is entirely a copy of doc 1's span -> empty text, kept 0."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.dedup import q_dedup_paragraph
+
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, shared + " epsilon zeta eta theta", "en", "s", 40),
+        (2, shared + " iota kappa lambda mu", "en", "s", 40),
+        (3, shared, "en", "s", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in q_dedup_paragraph(spark, sf).collect()}
+    assert out[1]["text_dedup"] == shared + " epsilon zeta eta theta"
+    assert (out[1]["kept_spans"], out[1]["total_spans"]) == (2, 2)
+    assert out[2]["text_dedup"] == "iota kappa lambda mu"
+    assert (out[2]["kept_spans"], out[2]["total_spans"]) == (1, 2)
+    assert out[3]["text_dedup"] == ""
+    assert (out[3]["kept_spans"], out[3]["total_spans"]) == (0, 1)
