@@ -233,3 +233,31 @@ ORACLE = {
         "FROM supplier GROUP BY s_nationkey"
     ),
 }
+
+
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id(): the bitmask that tells a rollup NULL
+    ("all segments") apart from a data NULL — without it, cube
+    consumers cannot distinguish subtotal rows from null-keyed
+    groups. One expand + hash agg, same cost as the plain cube."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return (
+        j.cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id("c_mktsegment", "o_orderstatus").alias("gid"),
+            F.grouping("c_mktsegment").alias("g_seg"),
+        )
+    )
+
+
+QUERIES["q_agg_grouping_id"] = q_agg_grouping_id
+ORACLE["q_agg_grouping_id"] = (
+    "SELECT c_mktsegment, o_orderstatus, count(*)::BIGINT AS n, "
+    "grouping(c_mktsegment, o_orderstatus)::BIGINT AS gid, "
+    "grouping(c_mktsegment)::BIGINT AS g_seg "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY CUBE (c_mktsegment, o_orderstatus)"
+)

@@ -251,3 +251,34 @@ ORACLE["q_win_ntile_sharded"] = (
     "ORDER BY c_acctbal DESC, c_custkey) AS quartile "
     "FROM customer"
 )
+
+
+def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / first_value over a full-partition frame: each
+    customer sees its segment's top and 2nd-highest balance (the
+    window-function family's last uncovered classic). Frame must be
+    UNBOUNDED FOLLOWING for nth_value to see the whole partition;
+    ties break on custkey so both engines pick the same row."""
+    c = table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.first_value("c_acctbal").over(w), 2).alias("top_bal"),
+        F.round(F.nth_value("c_acctbal", 2).over(w), 2).alias("second_bal"),
+    )
+
+
+QUERIES["q_win_nth"] = q_win_nth
+ORACLE["q_win_nth"] = (
+    "SELECT c_custkey, c_mktsegment, "
+    "round(first_value(c_acctbal) OVER w, 2) AS top_bal, "
+    "round(nth_value(c_acctbal, 2) OVER w, 2) AS second_bal "
+    "FROM customer WINDOW w AS (PARTITION BY c_mktsegment "
+    "ORDER BY c_acctbal DESC, c_custkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+)
