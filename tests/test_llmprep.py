@@ -253,3 +253,26 @@ def test_pack_bestfit_matches_reference_ffd(spark):
     for src, packs in got.items():
         for n_docs, n_tokens in packs.values():
             assert n_docs == 1 or n_tokens <= llmprep.PACK_CTX
+
+
+def test_curate_webcorpus_end_to_end(spark, tmp_path):
+    """The composed r7 pipeline (span dedup -> quality -> DSIR/CCNet
+    annotation -> leakage-safe split -> shards): audit counts are
+    consistent, splits partition the kept set, shard dirs exist per
+    split, and a second run returns the identical report
+    (determinism — no RNG anywhere in the pipeline)."""
+    import os
+
+    from twitter_etl_spark.curation import curate_webcorpus
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus")
+    rep = curate_webcorpus(spark, sf, out)
+    assert rep["docs_in"] == 500
+    assert rep["docs_kept"] + rep["docs_dropped"] == rep["docs_in"]
+    assert rep["train"] + rep["val"] + rep["test"] == rep["docs_kept"]
+    assert rep["spans_dropped"] >= 0 and rep["docs_kept"] > 0
+    for s in ("train", "val", "test"):
+        assert os.path.isdir(os.path.join(out, s)), s
+    rep2 = curate_webcorpus(spark, sf, str(tmp_path / "corpus2"))
+    assert rep2 == rep

@@ -81,3 +81,91 @@ def curate_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8) -> dict:
     }
     curated.unpersist()
     return {s: counted.get(s, 0) for s in ("train", "val", "test")}
+
+
+def curate_webcorpus(spark, sf_dir: str, out_dir: str, n_shards: int = 8) -> dict:
+    """The r7 web-corpus pretraining pipeline: the new curation
+    operators composed end-to-end the way a crawl-to-training-set
+    job runs them —
+
+    1. **Span-level dedup** (`q_dedup_paragraph`): corpus-wide
+       duplicated spans removed, documents reassembled; fully-
+       duplicated docs drop out here.
+    2. **Quality gate**: ``MIN_TOKENS`` on the DEDUPED text (a doc
+       that was mostly boilerplate dies after its spans do).
+    3. **Signal annotation**: DSIR importance weight
+       (`q_text_dsir`) and CCNet per-language quality bucket
+       (`q_text_ccnet_bucket`) joined on as metadata — downstream
+       sampling weights, not filters, per both papers' usage.
+    4. **Leakage-safe split**: train/val/test hashed from the
+       DEDUPED-text digest, so any residual exact dups co-travel.
+    5. **Shard export** per split (content-keyed, deterministic).
+
+    Scale: stages reuse the certified single-query plans (each one
+    shuffle on a compact key); the annotation joins are on doc_id.
+    Returns an audit report: per-split counts, spans dropped by
+    dedup, docs dropped by dedup/quality."""
+    from .queries.dedup import q_dedup_paragraph
+    from .queries.sampling import hash_bucket
+    from .queries.webcorpus import q_text_ccnet_bucket, q_text_dsir
+    from .sinks import export_training_shards
+    from .tables import table
+
+    n_docs = table(spark, sf_dir, "documents").count()
+    spans = q_dedup_paragraph(spark, sf_dir)
+    kept = spans.filter(
+        (F.col("kept_spans") > 0)
+        & (F.size(F.split(F.trim("text_dedup"), r"\s+")) >= MIN_TOKENS)
+    )
+    dsir = q_text_dsir(spark, sf_dir).select("doc_id", "dsir_logweight")
+    ccnet = q_text_ccnet_bucket(spark, sf_dir).select(
+        "doc_id", "lang", "bucket"
+    )
+    digest = F.md5("text_dedup")
+    bucket = hash_bucket(digest)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    curated = (
+        kept.join(dsir, "doc_id", "left")
+        .join(ccnet, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("text_dedup").alias("text"),
+            "kept_spans",
+            "total_spans",
+            F.coalesce("dsir_logweight", F.lit(0.0)).alias("dsir_logweight"),
+            F.coalesce("bucket", F.lit("tail")).alias("quality_bucket"),
+            digest.alias("norm_digest"),
+            split.alias("split"),
+        )
+        .cache()
+    )
+    for s in ("train", "val", "test"):
+        export_training_shards(
+            curated.filter(F.col("split") == s),
+            f"{out_dir}/{s}",
+            "norm_digest",
+            n_shards,
+        )
+    agg = curated.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("total_spans").alias("spans_in"),
+        F.sum("kept_spans").alias("spans_kept"),
+        *[
+            F.sum((F.col("split") == s).cast("bigint")).alias(s)
+            for s in ("train", "val", "test")
+        ],
+    ).collect()[0]
+    curated.unpersist()
+    return {
+        "docs_in": n_docs,
+        "docs_kept": agg["n_kept"],
+        "docs_dropped": n_docs - agg["n_kept"],
+        "spans_in": agg["spans_in"],
+        "spans_dropped": agg["spans_in"] - agg["spans_kept"],
+        "train": agg["train"],
+        "val": agg["val"],
+        "test": agg["test"],
+    }
