@@ -214,6 +214,7 @@ def q_graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    converged = False
     for _ in range(_CC_STAR_MAX_ROUNDS):
         new_E = _small_star(_large_star(E)).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -225,7 +226,19 @@ def q_graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         E.unpersist()
         E = new_E
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"q_graph_cc_star: star contraction hit the "
+            f"{_CC_STAR_MAX_ROUNDS}-round cap before the edge set "
+            f"stabilized (needs ~log2 of the largest component); labels "
+            f"may not be component minima. Raise _CC_STAR_MAX_ROUNDS.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # star forest: every child edge points (child, root); roots have
     # only larger neighbors, so min(closed neighborhood) = self
     sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
