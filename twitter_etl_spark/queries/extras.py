@@ -411,3 +411,31 @@ ORACLE.update(
         ),
     }
 )
+
+
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI inverse-distribution syntax: ``percentile_disc(...)
+    WITHIN GROUP (ORDER BY ...)`` — the DISCRETE percentile (returns
+    an actual data value, never an interpolation; what sliced-SLA
+    reporting wants). Complements q_agg_percentile's continuous
+    form; same single hash-agg cost."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)"
+        ).alias("median_disc"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal)"
+        ).alias("p90_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES["q_agg_percentile_disc"] = q_agg_percentile_disc
+ORACLE["q_agg_percentile_disc"] = (
+    "SELECT c_mktsegment, "
+    "quantile_disc(c_acctbal, 0.5) AS median_disc, "
+    "quantile_disc(c_acctbal, 0.9) AS p90_disc, "
+    "count(*)::BIGINT AS n "
+    "FROM customer GROUP BY c_mktsegment"
+)
