@@ -325,3 +325,54 @@ def test_incremental_rollup_equals_full_aggregate(spark, tmp_path):
     # time travel: version 1 holds only the first increment's docs
     v1_n = sum(r["n"] for r in read_version(spark, d, 1).collect())
     assert v1_n == docs.filter(F.col("doc_id") % 3 == 0).count()
+
+
+def test_compact_sorted_tightens_rowgroup_stats(spark, tmp_path):
+    """Clustered compaction must (a) preserve rows, (b) produce
+    row-group min/max stats for the sort column that are near-
+    disjoint — the property row-group skipping depends on. Before:
+    interleaved appends make every row group span ~the whole key
+    domain; after: each covers ~1/Nth. Verified on the parquet
+    footers via pyarrow."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.sinks import compact_sorted
+
+    d = str(tmp_path / "t")
+    # 4 appends, each covering the FULL o_orderkey domain (worst case)
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    for i in range(4):
+        src.filter(F.col("o_orderkey") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    def rg_ranges(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    md = pq.ParquetFile(os.path.join(root, f)).metadata
+                    schema_idx = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }["o_orderkey"]
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(schema_idx).statistics
+                        out.append((st.min, st.max))
+        return out
+
+    before = rg_ranges(d)
+    domain = max(mx for _, mx in before) - min(mn for mn, _ in before)
+    assert all(mx - mn > domain * 0.8 for mn, mx in before)  # useless stats
+
+    n = compact_sorted(spark, d, "o_orderkey", target_files=4)
+    assert n == src.count()
+    after = rg_ranges(d)
+    # every row group now covers a narrow slice, and slices are
+    # pairwise non-overlapping (range partition + sort within)
+    assert all(mx - mn <= domain * 0.5 for mn, mx in after)
+    spans = sorted(after)
+    assert all(a_max <= b_min for (_, a_max), (b_min, _) in zip(spans, spans[1:]))
