@@ -376,3 +376,26 @@ def test_compact_sorted_tightens_rowgroup_stats(spark, tmp_path):
     assert all(mx - mn <= domain * 0.5 for mn, mx in after)
     spans = sorted(after)
     assert all(a_max <= b_min for (_, a_max), (b_min, _) in zip(spans, spans[1:]))
+
+
+def test_ndjson_gz_landing_files_read_transparently(spark, tmp_path):
+    """Crawl dumps land gzipped; the NDJSON source must read .json.gz
+    files transparently (Spark's codec-by-extension) with the same
+    explicit schema — no config, no separate code path."""
+    import gzip
+    import json as _json
+
+    from twitter_etl_spark.sources import read_ndjson
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"texto {i}", "lang": "es", "source": "s", "n_chars": 8}
+        for i in range(5)
+    ]
+    with gzip.open(landing / "stream_20240101_000000.json.gz", "wt") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    out = read_ndjson(spark, str(landing))
+    assert out.count() == 5
+    assert {r["doc_id"] for r in out.collect()} == set(range(5))
