@@ -399,3 +399,60 @@ def test_ndjson_gz_landing_files_read_transparently(spark, tmp_path):
     out = read_ndjson(spark, str(landing))
     assert out.count() == 5
     assert {r["doc_id"] for r in out.collect()} == set(range(5))
+
+
+def test_compact_zorder_tightens_stats_on_both_columns(spark, tmp_path):
+    """Z-order vs single-column sort, measured on parquet footers:
+    after compact_zorder every row group's min/max span is narrow on
+    BOTH z-ordered columns, while compact_sorted narrows only its
+    sort column. Uses two independent uniform keys so the locality
+    is earned by the Morton interleave, not by correlation."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.sinks import compact_sorted, compact_zorder
+
+    src = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def build(dirname):
+        d = str(tmp_path / dirname)
+        for i in range(4):
+            src.filter(F.col("o_orderkey") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+        return d
+
+    def spans(path, col):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    md = pq.ParquetFile(os.path.join(root, f)).metadata
+                    idx = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }[col]
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        out.append(st.max - st.min)
+        return out
+
+    dz = build("z")
+    n = compact_zorder(spark, dz, "o_orderkey", "o_custkey", target_files=16)
+    assert n == src.count()
+    dom_k = 15000  # o_orderkey domain at sf0.01
+    dom_c = src.agg(F.max("o_custkey") - F.min("o_custkey")).collect()[0][0]
+    z_k, z_c = spans(dz, "o_orderkey"), spans(dz, "o_custkey")
+    # 16 z-files -> ~1/4 domain per dimension; allow slack to 0.6
+    assert sum(z_k) / len(z_k) <= dom_k * 0.6, sum(z_k) / len(z_k) / dom_k
+    assert sum(z_c) / len(z_c) <= dom_c * 0.6, sum(z_c) / len(z_c) / dom_c
+
+    ds = build("s")
+    compact_sorted(spark, ds, "o_orderkey", target_files=16)
+    s_k, s_c = spans(ds, "o_orderkey"), spans(ds, "o_custkey")
+    assert sum(s_k) / len(s_k) <= dom_k * 0.2  # its own column: tight
+    assert sum(s_c) / len(s_c) >= dom_c * 0.8  # the other: useless

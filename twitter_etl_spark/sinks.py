@@ -219,6 +219,86 @@ def compact_sorted(
     return n
 
 
+def _zvalue16(a, b):
+    """64-bit Morton (Z-order) interleave of two 16-bit int columns —
+    pure bit arithmetic, codegen'd, no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = z + F.shiftleft(
+            F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1
+        ) + F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i
+        )
+    return z
+
+
+def compact_zorder(
+    spark: SparkSession,
+    path: str,
+    col_a: str,
+    col_b: str,
+    target_files: int = 16,
+) -> int:
+    """TWO-dimensional clustered compaction (OPTIMIZE ... ZORDER):
+    each row's two keys are min/max-scaled to 16 bits (one 1-row
+    stats broadcast), bit-interleaved into a Morton z-value, and the
+    table is rewritten range-partitioned + sorted by that z-value.
+    Z-order's locality guarantee: with N files, each row group's
+    min/max span per dimension shrinks to ~1/sqrt(N) of the domain —
+    BOTH columns become skippable from footer statistics, where a
+    single-column sort (:func:`compact_sorted`) helps only its own
+    column and an append-interleaved table helps neither
+    (footer-verified in tests). Same atomic sibling swap; the
+    z-value is a transient sort key, not written."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    stats = df.agg(
+        F.min(col_a).alias("a_min"),
+        F.max(col_a).alias("a_max"),
+        F.min(col_b).alias("b_min"),
+        F.max(col_b).alias("b_max"),
+    )
+
+    def scale(c, lo, hi):
+        rng = F.greatest(F.col(hi) - F.col(lo), F.lit(1))
+        return (
+            (F.col(c) - F.col(lo)) * 65535.0 / rng
+        ).cast("int")
+
+    with_z = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__z",
+            _zvalue16(scale(col_a, "a_min", "a_max"), scale(col_b, "b_min", "b_max")),
+        )
+        .drop("a_min", "a_max", "b_min", "b_max")
+    )
+    norm = path.rstrip("/")
+    fresh = f"{norm}.compact.{os.getpid()}.{time.time_ns()}"
+    old = f"{norm}.precompact.{os.getpid()}.{time.time_ns()}"
+    (
+        with_z.repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("errorifexists")
+        .parquet(fresh)
+    )
+    os.rename(norm, old)
+    try:
+        os.rename(fresh, norm)
+    except OSError:
+        os.rename(old, norm)
+        raise
+    shutil.rmtree(old)
+    return n
+
+
 def drop_partitions_older_than(
     path: str, cutoff_date: str, partition_col: str = "ingest_date"
 ) -> list[str]:
