@@ -456,3 +456,35 @@ def test_compact_zorder_tightens_stats_on_both_columns(spark, tmp_path):
     s_k, s_c = spans(ds, "o_orderkey"), spans(ds, "o_custkey")
     assert sum(s_k) / len(s_k) <= dom_k * 0.2  # its own column: tight
     assert sum(s_c) / len(s_c) >= dom_c * 0.8  # the other: useless
+
+
+def test_incremental_distinct_rollup_exact(spark, tmp_path):
+    """Bitmap-state distinct rollup over 3 increments (with user
+    overlap BETWEEN increments — the case naive count-sums get
+    wrong) equals count(DISTINCT user_id) per event type exactly."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.rollup import (
+        read_distinct_rollup,
+        update_distinct_rollup,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, sf, "events")
+    d = str(tmp_path / "dr")
+    # overlapping slices: ts-thirds share users across increments
+    for part in range(3):
+        batch = ev.filter(F.col("event_id") % 3 <= part)  # growing, overlapping
+        update_distinct_rollup(spark, d, batch)
+    got = {
+        r["event_type"]: r["n_distinct_users"]
+        for r in read_distinct_rollup(spark, d).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want

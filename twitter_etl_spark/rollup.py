@@ -76,3 +76,55 @@ def read_rollup(spark: SparkSession, rollup_dir: str, version: int | None = None
         F.col("mx").alias("max_chars"),
         F.round(F.col("s") / F.col("n"), 4).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count rollup: the classically non-incremental metric made
+# incremental. count(DISTINCT) partials don't merge, but EXACT
+# per-bucket bitmaps do (q_agg_bitmap_distinct proves the algebra):
+# state = (event_type, bucket, bitmap), new batches OR in, distinct
+# count = sum of bitmap_count over buckets. State size follows the
+# KEY SPACE (32k bits -> 4 KB per bucket), not the event volume.
+# ---------------------------------------------------------------------------
+
+_DISTINCT_STATE_COLS = ("event_type", "bucket", "bm")
+
+
+def _distinct_partial(batch: DataFrame) -> DataFrame:
+    return batch.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+
+
+def update_distinct_rollup(
+    spark: SparkSession, rollup_dir: str, new_events: DataFrame
+) -> int:
+    """Absorb one event batch into the per-event-type distinct-user
+    rollup; returns the published version. Merge = bitmap_or_agg per
+    (event_type, bucket) — one hash agg over |rollup| + |batch
+    partials| rows, history never re-read."""
+    fresh = _distinct_partial(new_events)
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_DISTINCT_STATE_COLS)
+        state = prev.unionByName(fresh.select(*_DISTINCT_STATE_COLS))
+    else:
+        state = fresh
+    merged = state.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return publish_version(
+        merged.select(*_DISTINCT_STATE_COLS), rollup_dir
+    )
+
+
+def read_distinct_rollup(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """Finalized distinct-user counts per event type (exact —
+    identical to count(DISTINCT user_id) over all absorbed events)."""
+    st = read_version(spark, rollup_dir, version)
+    return st.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").alias("n_distinct_users")
+    )
