@@ -57,3 +57,23 @@ def test_chain_order_matters_like_reference(spark):
     """Stopwords are removed AFTER lowercasing (reference order):
     'De' matches only because lower() ran first."""
     assert _clean_one(spark, "De la CASA") == "casa"
+
+
+def test_observed_transform_collects_metrics_in_one_pass(spark):
+    """Observation metrics arrive with the action itself: rows_in /
+    rows_es / chars_in match independently-computed values, and the
+    transform output is unchanged by the instrumentation."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.pipeline import observed_transform, transform_documents
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    out, obs = observed_transform(docs)
+    n_out = out.count()  # the action that populates the observation
+    m = obs.get
+    assert m["rows_in"] == docs.count()
+    assert m["rows_es"] == docs.filter(F.col("lang") == "es").count()
+    assert m["chars_in"] == docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    assert n_out == transform_documents(docs).count()

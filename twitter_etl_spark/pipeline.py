@@ -63,3 +63,25 @@ def transform_documents(df: DataFrame) -> DataFrame:
     return keep_first(
         cleaned, key="content", order_col="tweet_id", payload_cols=["lang", "source"]
     ).select("tweet_id", "lang", "content", "source")
+
+
+def observed_transform(df: DataFrame):
+    """The flagship transform instrumented with Spark's Observation
+    API: named metrics (rows in, language-pass rows, total content
+    chars) are collected DURING the action as accumulator-style
+    aggregates — no second pass, no extra job, exactly how a 100 TB
+    pipeline reports its own throughput/selectivity without paying
+    for a count(). Returns ``(result_df, observation)``; read
+    ``observation.get`` AFTER an action has materialized the frame.
+    Works identically under ``foreachBatch`` for per-batch metrics.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("flagship_metrics")
+    pre = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count_if(F.col("lang") == "es").alias("rows_es"),
+        F.sum(F.length("text")).alias("chars_in"),
+    )
+    return transform_documents(pre), obs

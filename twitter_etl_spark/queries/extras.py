@@ -439,3 +439,28 @@ ORACLE["q_agg_percentile_disc"] = (
     "count(*)::BIGINT AS n "
     "FROM customer GROUP BY c_mktsegment"
 )
+
+
+def q_agg_boolcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family: count_if, bool_and,
+    bool_or (ANSI EVERY/ANY) per order priority — the predicates a
+    monitoring rollup computes without two passes or CASE scaffolds."""
+    o = table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 200000.0
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(big).alias("n_big"),
+        F.bool_and(big).alias("all_big"),
+        F.bool_or(big).alias("any_big"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES["q_agg_boolcount"] = q_agg_boolcount
+ORACLE["q_agg_boolcount"] = (
+    "SELECT o_orderpriority, "
+    "count(*) FILTER (WHERE o_totalprice > 200000.0)::BIGINT AS n_big, "
+    "bool_and(o_totalprice > 200000.0) AS all_big, "
+    "bool_or(o_totalprice > 200000.0) AS any_big, "
+    "count(*)::BIGINT AS n "
+    "FROM orders GROUP BY o_orderpriority"
+)
