@@ -236,3 +236,47 @@ ORACLE = {
         "FROM lineitem"
     ),
 }
+
+
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path over the semi-structured ``props``
+    column: ``parse_json`` once into a Variant (binary-encoded,
+    shredded access — NOT per-access string re-parsing like
+    get_json_object), typed ``variant_get`` extraction, then
+    ordinary aggregation. The schema-on-read story for 100 TB event
+    payloads with drifting keys: parse cost paid once per row,
+    every downstream field access is a cheap binary probe. Oracle:
+    DuckDB's JSON extraction computes the same typed values."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        # absent path -> SQL NULL from variant_get (distinct from a
+        # JSON null VALUE, which is_variant_null flags) — presence is
+        # an IS NOT NULL check on the extracted variant
+        F.expr("variant_get(v, '$.missing') IS NOT NULL").alias(
+            "missing_present"
+        ),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count_if(F.col("missing_present")).alias("n_missing_present"),
+    )
+
+
+QUERIES["q_fn_variant"] = q_fn_variant
+ORACLE["q_fn_variant"] = (
+    "WITH v AS (SELECT event_type, "
+    "CAST(json_extract_string(props, '$.k') AS INT) AS k, "
+    "json_extract(props, '$.missing') IS NOT NULL AS missing_present "
+    "FROM events) "
+    "SELECT event_type, count(k)::BIGINT AS n_k, sum(k)::BIGINT AS sum_k, "
+    "min(k) AS min_k, max(k) AS max_k, "
+    "count(*) FILTER (WHERE missing_present)::BIGINT AS n_missing_present "
+    "FROM v GROUP BY event_type"
+)
