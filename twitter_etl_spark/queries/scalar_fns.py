@@ -280,3 +280,33 @@ ORACLE["q_fn_variant"] = (
     "count(*) FILTER (WHERE missing_present)::BIGINT AS n_missing_present "
     "FROM v GROUP BY event_type"
 )
+
+
+def q_fn_sqludf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (Spark 4 ``CREATE FUNCTION ... RETURN
+    expr``): the shared-business-logic abstraction that stays INSIDE
+    Catalyst — the function body is inlined into the plan at
+    resolution, so unlike Python UDFs there is no serialization
+    boundary, no executor callback, full codegen/pushdown. Oracle:
+    DuckDB's CREATE MACRO is the same inline-expansion feature."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_rev(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    return spark.sql(
+        "SELECT l_returnflag, "
+        "round(sum(net_rev(l_extendedprice, l_discount)), 2) AS net_revenue, "
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+
+
+QUERIES["q_fn_sqludf"] = q_fn_sqludf
+ORACLE["q_fn_sqludf"] = (
+    "CREATE OR REPLACE MACRO net_rev(p, d) AS p * (1.0 - d); "
+    "SELECT l_returnflag, "
+    "round(sum(net_rev(l_extendedprice, l_discount)), 2) AS net_revenue, "
+    "count(*)::BIGINT AS n FROM lineitem GROUP BY l_returnflag"
+)
