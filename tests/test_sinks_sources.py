@@ -488,3 +488,38 @@ def test_incremental_distinct_rollup_exact(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    """Spark 4 Python DataSource API: the custom synthetic_docs
+    connector reads with real task-level partitioning (8 requested =
+    8 RDD partitions), unique ids, and identical content across two
+    independent reads (layout-independent determinism — the property
+    every custom connector here must keep, cf. hash sampling)."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.datasource import register
+
+    register(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_docs")
+            .option("n", 500)
+            .option("parts", parts)
+            .load()
+        )
+
+    df = load(8)
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 500
+    assert df.agg(F.count_distinct("doc_id")).collect()[0][0] == 500
+    h8 = df.agg(F.expr("bit_xor(xxhash64(doc_id, text, lang))")).collect()[0][0]
+    h2 = load(2).agg(F.expr("bit_xor(xxhash64(doc_id, text, lang))")).collect()[0][0]
+    assert h8 == h2  # same corpus regardless of partition layout
+    # the generated frame satisfies the documents schema contract and
+    # feeds existing operators unchanged
+    from twitter_etl_spark.pipeline import transform_documents
+
+    out = transform_documents(df)
+    assert out.count() > 0
