@@ -791,3 +791,41 @@ def test_streaming_rollup_maintenance(spark):
     for lang in want:
         for c in ("n_docs", "sum_chars", "min_chars", "max_chars", "avg_chars"):
             assert got[lang][c] == want[lang][c], (lang, c)
+
+
+def test_python_streaming_datasource_offsets_exactly_once(spark):
+    """The Python streaming connector (Spark 4 simpleStreamReader):
+    micro-batches advance by offset with NO duplicated and NO
+    skipped documents — ids across all batches are the contiguous
+    prefix 0..N-1, each batch exactly batch_rows. Replayability from
+    any offset (readBetweenOffsets regenerates deterministically) is
+    what makes checkpoint recovery safe for this source."""
+    import time
+
+    from twitter_etl_spark.datasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("batch_rows", 25)
+        .load()
+    )
+    got = []
+
+    def sink(df, bid):
+        got.append([r["doc_id"] for r in df.select("doc_id").collect()])
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline and len(got) < 3:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(20)
+    assert len(got) >= 3
+    all_ids = [i for batch in got for i in batch]
+    assert all(len(b) == 25 for b in got[:3])
+    assert sorted(all_ids) == list(range(len(all_ids)))  # no dup, no gap

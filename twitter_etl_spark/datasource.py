@@ -15,7 +15,12 @@ API could host natively instead of spooling through a landing dir.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -80,8 +85,45 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema):
         return SyntheticDocsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SyntheticDocsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Register the source; afterwards
     ``spark.read.format("synthetic_docs").option("n", ...).load()``."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Simple streaming reader (Spark 4
+    ``SimpleDataSourceStreamReader``): offsets are document ids;
+    each micro-batch emits the next ``batch_rows`` documents using
+    the SAME deterministic generator as the batch reader — so the
+    stream is replayable from any offset (the property checkpoint
+    recovery depends on). This is the reference's live-stream
+    ingest (main.R:49-70) as a NATIVE Python connector: no
+    spool-to-landing-dir hop, offsets instead of file names."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", 50))
+
+    def initialOffset(self):
+        return {"doc_id": 0}
+
+    def read(self, start):
+        lo = start["doc_id"]
+        hi = lo + self.batch_rows
+        rows = list(SyntheticDocsReader({"n": hi}).read(_Partition(lo, hi)))
+        return (iter(rows), {"doc_id": hi})
+
+    def readBetweenOffsets(self, start, end):
+        # replay path (checkpoint recovery): regenerate exactly
+        return iter(
+            SyntheticDocsReader({"n": end["doc_id"]}).read(
+                _Partition(start["doc_id"], end["doc_id"])
+            )
+        )
+
+    def commit(self, end):
+        pass
