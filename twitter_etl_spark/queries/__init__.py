@@ -103,8 +103,8 @@ _MODULES = (
 #   r08 (suggested): the 33 remaining r3-stale certifications
 #            (scalar fns, streaming-batch, text/dedup/similarity/
 #            multimodal/sampling families — compute as names whose
-#            latest green row is CORRECTNESS_r03) + the 5 r2-stale
-#            set-op re-certs displaced from r7 by the new queries
+#            latest green row is CORRECTNESS_r03) + the 8 r2-stale
+#            re-certs displaced from r7 by the new queries
 #            (q_limit_topk, q_union_all, q_union_distinct,
 #            q_intersect, q_except, q_sort_multi, q_join_cross,
 #            q_join_right) + re-cert slots for anything r7
@@ -118,7 +118,7 @@ _MODULES = (
 #            corr/covar moved off the near-zero pair) + the 4
 #            rows-only queries that have never appeared in any
 #            CORRECTNESS file (driver's rows>0 check closes the
-#            loop); slots 6-35 = r2-stale relational core
+#            loop); slots 6-32 = r2-stale relational core
 #            (joins/aggs/windows/sort — drift insurance); slots
 #            33-40 = the 8 queries NEW in r7 (q_tpch_q15,
 #            q_dedup_paragraph, q_join_interval, q_ts_ewma,
