@@ -72,3 +72,52 @@ ORACLE = {
         "FROM runs GROUP BY doc_id, run_id"
     ),
 }
+
+
+def q_udtf_splitn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    SCHEMA is computed at plan time from a constant argument — here
+    ``split_n(text, 3)`` emits columns tok0..tok2, and a different N
+    literally changes the relation's shape. This is the
+    dynamic-schema connector/parser shape (wide CSV exploders,
+    configurable feature extractors) that static ``returnType``
+    UDTFs cannot express. Same row-at-a-time-Python policy note as
+    q_udtf_runlength: coverage surface, not the hot path."""
+    from pyspark.sql.functions import (
+        AnalyzeArgument,
+        AnalyzeResult,
+        udtf,
+    )
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class SplitN:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split()
+            yield tuple(
+                (toks[i] if i < len(toks) else None) for i in range(n)
+            )
+
+    spark.udtf.register("split_n", SplitN)
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT doc_id, s.tok0, s.tok1, s.tok2 "
+        "FROM documents, LATERAL split_n(text, 3) s"
+    )
+
+
+QUERIES["q_udtf_splitn"] = q_udtf_splitn
+ORACLE["q_udtf_splitn"] = (
+    "WITH t AS (SELECT doc_id, "
+    "string_split_regex(trim(text), '\\s+') AS l FROM documents) "
+    "SELECT doc_id, l[1] AS tok0, l[2] AS tok1, l[3] AS tok2 FROM t"
+)
