@@ -215,8 +215,27 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived-table join: each customer's single
+    highest-value order via a per-row subquery with ORDER BY+LIMIT —
+    the SQL-standard spelling of top-1-per-key. Catalyst decorrelates
+    it (DomainJoin rewrite) into a join + per-key limit rather than
+    executing a subquery per row; the window rank-filter
+    (q_topk_pergroup) is the same plan family written by hand."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT c_custkey, o.o_orderkey, o.o_totalprice FROM customer, "
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o"
+    )
+
+
 QUERIES = {
     "q_join_inner": q_join_inner,
+    "q_join_lateral": q_join_lateral,
     "q_join_left": q_join_left,
     "q_join_right": q_join_right,
     "q_join_full": q_join_full,
@@ -291,6 +310,12 @@ ORACLE = {
         "ON p.user_id = c.user_id AND p.ts >= c.ts"
     ),
     "q_join_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_join_lateral": (
+        "SELECT c_custkey, o.o_orderkey, o.o_totalprice FROM customer, "
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o"
+    ),
     # the oracle states the overlap predicate directly (DuckDB's
     # IEJoin handles it at fixture scale); the Spark side's bin-
     # bucketed equi-join must produce the identical match set
