@@ -523,3 +523,36 @@ def test_python_datasource_partitioned_and_deterministic(spark):
 
     out = transform_documents(df)
     assert out.count() > 0
+
+
+def test_hll_rollup_accuracy_under_overlapping_increments(spark, tmp_path):
+    """HLL distinct rollup (unbounded-key regime): 3 overlapping
+    increments union-merged; estimates land within 5% of the exact
+    distinct counts, and the per-group state is a single binary
+    sketch row regardless of how many events were absorbed."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.rollup import read_hll_rollup, update_hll_rollup
+    from twitter_etl_spark.sinks import read_version
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, sf, "events")
+    d = str(tmp_path / "hll")
+    for part in range(3):
+        update_hll_rollup(spark, d, ev.filter(F.col("event_id") % 3 <= part))
+    got = {
+        r["event_type"]: r["approx_distinct_users"]
+        for r in read_hll_rollup(spark, d).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= max(2, 0.05 * want[k]), (k, got[k], want[k])
+    state = read_version(spark, d)
+    assert state.count() == len(want)  # one sketch row per group

@@ -464,3 +464,48 @@ ORACLE["q_agg_boolcount"] = (
     "count(*)::BIGINT AS n "
     "FROM orders GROUP BY o_orderpriority"
 )
+
+
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LISTAGG (Spark 4) with WITHIN GROUP ordering — the
+    deterministic string roll-up (collect_list + array_join needs a
+    sort step and an array intermediate; LISTAGG is the standard
+    one-shot spelling). Ordered, so cross-engine hash-stable."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT n_nationkey, "
+        "listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS suppliers, "
+        "count(*) AS n FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "GROUP BY n_nationkey"
+    )
+
+
+QUERIES["q_agg_listagg"] = q_agg_listagg
+ORACLE["q_agg_listagg"] = (
+    "SELECT n_nationkey, "
+    "string_agg(s_name, ',' ORDER BY s_name) AS suppliers, "
+    "count(*)::BIGINT AS n FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_nationkey"
+)
+
+
+def q_agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL (Spark ≥ 3.5 ``hll_sketch_agg``):
+    approximate distinct customers per priority. Rows-only (the
+    estimate is engine-specific) — accuracy vs the exact count is
+    pinned in pytest, and the BINARY sketch is the mergeable state
+    the HLL rollup (rollup.update_hll_rollup) stores: unlike the
+    exact bitmap rollup, HLL state is O(k) regardless of key space —
+    the unbounded-id regime (user ids at web scale)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias(
+            "approx_custs"
+        ),
+        F.count_distinct("o_custkey").alias("exact_custs"),
+    )
+
+
+QUERIES["q_agg_hll_distinct"] = q_agg_hll_distinct  # rows-only

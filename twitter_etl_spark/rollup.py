@@ -128,3 +128,40 @@ def read_distinct_rollup(
     return st.groupBy("event_type").agg(
         F.expr("sum(bitmap_count(bm))").alias("n_distinct_users")
     )
+
+
+# HLL variant of the distinct rollup: for UNBOUNDED key spaces the
+# exact bitmap state grows with the key range; a DataSketches HLL
+# sketch is O(k) bytes per group with ~2% error (Spark >= 3.5
+# hll_sketch_agg / hll_union_agg — binary, mergeable, storable).
+
+_HLL_STATE_COLS = ("event_type", "hll")
+
+
+def update_hll_rollup(
+    spark: SparkSession, rollup_dir: str, new_events: DataFrame
+) -> int:
+    """Absorb one event batch into the approximate distinct-user
+    rollup (HLL union-merge per event_type)."""
+    fresh = new_events.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("hll")
+    )
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_HLL_STATE_COLS)
+        state = prev.unionByName(fresh.select(*_HLL_STATE_COLS))
+    else:
+        state = fresh
+    merged = state.groupBy("event_type").agg(
+        F.expr("hll_union_agg(hll)").alias("hll")
+    )
+    return publish_version(merged.select(*_HLL_STATE_COLS), rollup_dir)
+
+
+def read_hll_rollup(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    st = read_version(spark, rollup_dir, version)
+    return st.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(hll)").alias("approx_distinct_users"),
+    )
