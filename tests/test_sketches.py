@@ -156,3 +156,28 @@ def test_bitmap_distinct_incremental_maintenance(spark):
         for r in q_agg_bitmap_distinct(spark, SF_ORACLE).collect()
     }
     assert got == want
+
+
+def test_topk_sketch_exact_in_regime(spark):
+    """approx_top_k with distinct-cardinality far under the tracked
+    budget must equal the exact top-3 counts (both fixture scales)."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.sketches import q_agg_topk_sketch
+    from twitter_etl_spark.tables import table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = {
+            (r["item"], r["count"])
+            for r in q_agg_topk_sketch(spark, sf).collect()
+        }
+        exact = (
+            table(spark, sf, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "o_orderpriority")
+            .limit(3)
+            .collect()
+        )
+        want = {(r["o_orderpriority"], r["n"]) for r in exact}
+        assert got == want, (sf, got, want)

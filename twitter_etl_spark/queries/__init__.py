@@ -115,7 +115,8 @@ _MODULES = (
 #            q_agg_grouping_id, q_agg_percentile_disc,
 #            q_agg_boolcount, q_fn_variant, q_fn_sqludf,
 #            q_udtf_splitn, q_join_lateral, q_agg_listagg; rows-only
-#            q_agg_hll_distinct gets the rows>0 check).
+#            q_agg_hll_distinct and q_agg_topk_sketch get the
+#            rows>0 check).
 #   r07 (this list): slots 1-5 = q_agg_stats (r6's one red, fixed:
 #            corr/covar moved off the near-zero pair) + the 4
 #            rows-only queries that have never appeared in any

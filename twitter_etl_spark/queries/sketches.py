@@ -169,3 +169,25 @@ ORACLE = {
         "AS n_distinct_supp FROM lineitem GROUP BY l_returnflag"
     ),
 }
+
+
+def q_agg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (DataSketches frequent-items, Spark 4):
+    top-3 order priorities with counts from ONE sketch pass.
+    Rows-only (tie-breaking inside the sketch is engine-internal),
+    but in-regime the sketch is EXACT — distinct values (5) sit far
+    under maxItemsTracked (10k) — and pytest pins the output equal
+    to the exact GROUP BY counts at both fixture scales. The
+    mergeable accumulate/combine/estimate triple is the streaming/
+    partitioned form (same family as the Misra-Gries two-pass
+    `q_text_heavyhitters`, which keeps the exact-answer contract)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT t.item, t.count FROM (SELECT "
+        "explode(approx_top_k(o_orderpriority, 3)) AS t FROM orders)"
+    )
+
+
+QUERIES["q_agg_topk_sketch"] = q_agg_topk_sketch  # rows-only
