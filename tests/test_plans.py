@@ -76,6 +76,9 @@ def test_no_cartesian_anywhere_unexpected(spark):
 _SINGLE_PARTITION_OK = {
     "q_agg_global",
     "q_agg_histogram",
+    # global sketch agg: partials merge to ONE tiny frequent-items
+    # sketch (bounded state), same class as q_agg_global's 1-row agg
+    "q_agg_topk_sketch",
     "q_dq_checks",
     "q_dq_profile",  # 1-row whole-table profile agg, explode-pivoted
     "q_funnel_conversion",

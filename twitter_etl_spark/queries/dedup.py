@@ -379,8 +379,60 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: re-crawl simulation: base = hash buckets [0,80); the increment is
+#: the remaining 20% of pages PLUS buckets [0,20) re-appearing under
+#: shifted doc_ids (a fresh crawl re-fetching known pages).
+_INCR_RECRAWL_SHIFT = 1_000_000
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new crawl batch against an existing
+    corpus — the steady-state form of ``q_dedup_exact_global``
+    (reference scope: main.R:105 dedups within one chunk only; a
+    production crawler dedups each increment against ALL history).
+
+    The fixture has no second crawl, so the increment is simulated
+    deterministically on both engines: the 20% of documents hashing
+    outside the base are the genuinely-new pages, and the base's
+    first 20 hash buckets re-appear under shifted doc_ids (re-crawled
+    known pages). A batch row survives iff its content digest is not
+    in the base corpus; within-batch copies keep the smallest doc_id.
+
+    Scale: the base side is ONLY its distinct digest column — at
+    100 TB that is the dedup index you maintain anyway (append
+    survivors' digests each increment), never a rescan of the
+    corpus; the anti-join shuffles 32-byte digests on both sides,
+    and a bloom filter on base digests (Spark pushes one at runtime
+    for selective joins) prunes most batch rows before the exchange.
+    The increment is tiny relative to history, so at cluster scale
+    the base-digest side would instead be a broadcast-bloom +
+    shuffle-join hybrid; here both sides shuffle once on the digest
+    key and AQE picks the strategy."""
+    from .sampling import hash_bucket
+
+    d = table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        hash_bucket(F.col("text")).alias("bk"),
+    )
+    base = b.where(F.col("bk") < 80).select("digest").distinct()
+    batch = b.where(F.col("bk") >= 80).select("doc_id", "digest").unionAll(
+        b.where(F.col("bk") < 20).select(
+            (F.col("doc_id") + F.lit(_INCR_RECRAWL_SHIFT)).alias("doc_id"),
+            "digest",
+        )
+    )
+    new = batch.join(base, "digest", "left_anti")
+    return new.groupBy("digest").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_batch_copies"),
+    )
+
+
 QUERIES = {
     "q_dedup_exact_global": q_dedup_exact_global,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_normalized": q_dedup_normalized,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_paragraph": q_dedup_paragraph,
@@ -395,6 +447,19 @@ ORACLE = {
     "q_dedup_exact_global": (
         "SELECT text, min(doc_id) AS keeper_doc_id, count(*)::BIGINT AS n_copies "
         "FROM documents GROUP BY text"
+    ),
+    "q_dedup_incremental": (
+        "WITH b AS (SELECT doc_id, md5(text) AS digest, "
+        "(('0x' || substr(md5(text), 1, 8))::UBIGINT % 100) AS bk FROM documents), "
+        "base AS (SELECT DISTINCT digest FROM b WHERE bk < 80), "
+        "batch AS ("
+        "  SELECT doc_id, digest FROM b WHERE bk >= 80 "
+        "  UNION ALL "
+        f"  SELECT doc_id + {_INCR_RECRAWL_SHIFT}, digest FROM b WHERE bk < 20) "
+        "SELECT digest, min(doc_id) AS keeper_doc_id, "
+        "count(*)::BIGINT AS n_batch_copies "
+        "FROM batch WHERE digest NOT IN (SELECT digest FROM base) "
+        "GROUP BY digest"
     ),
     "q_dedup_normalized": (
         f"SELECT md5({sql_clean_chain('text')}) AS norm_digest, "

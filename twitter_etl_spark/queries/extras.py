@@ -509,3 +509,37 @@ def q_agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_agg_hll_distinct"] = q_agg_hll_distinct  # rows-only
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent l_quantity per
+    return flag, smallest value on ties. Spark's built-in ``mode()``
+    is non-deterministic on ties, so the contractual spelling is
+    count + ``max_by`` over the (count, -value) order key — two
+    hash-agg shuffles, both with map-side partial aggregation (a
+    window/row_number spelling would sort whole partitions instead).
+    The tie-break makes the answer engine-independent."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = F.max_by(
+        F.struct(F.col("l_quantity").alias("q"), F.col("n")),
+        F.struct(F.col("n"), (-F.col("l_quantity")).alias("negq")),
+    )
+    return counts.groupBy("l_returnflag").agg(best.alias("b")).select(
+        "l_returnflag",
+        F.col("b.q").alias("mode_qty"),
+        F.col("b.n").alias("n_occurrences"),
+    )
+
+
+QUERIES["q_agg_mode"] = q_agg_mode
+ORACLE["q_agg_mode"] = (
+    "WITH c AS (SELECT l_returnflag, l_quantity, count(*)::BIGINT AS n "
+    "  FROM lineitem GROUP BY 1, 2), "
+    "r AS (SELECT *, row_number() OVER ("
+    "  PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rn FROM c) "
+    "SELECT l_returnflag, l_quantity AS mode_qty, n AS n_occurrences "
+    "FROM r WHERE rn = 1"
+)

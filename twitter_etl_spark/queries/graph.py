@@ -15,6 +15,14 @@ self-join on ``l_orderkey`` that never goes quadratic in the table).
   O(sum deg²) — the difference between feasible and not at 100 TB
   (the oracle states the naive 3-way join; the answer is identical,
   each triangle counted exactly once at its minimum-ordered vertex).
+- **neighbor-set Jaccard** (``q_graph_jaccard``): item-item
+  similarity of suppliers by customer-base overlap — the
+  collaborative-filtering building block. Candidate pairs come from
+  a self-join on the customer pivot; a pivot with d items generates
+  d(d-1)/2 pairs, so power-pivots (customers buying from everyone)
+  are capped exactly like the shingle df cap in
+  ``q_dedup_ngram_jaccard`` — the standard lever that keeps
+  set-similarity joins sub-quadratic at scale.
 - **PageRank** (``q_graph_pagerank``): 3 unrolled iterations over
   the nation adjacency (same-region cliques), damping 0.85, in
   FIXED-POINT INTEGER arithmetic (ranks scaled by 10^12, integer
@@ -111,6 +119,74 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = wedges.join(closer, ["v", "w"])
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+#: max items per pivot customer — a pivot with d suppliers yields
+#: d(d-1)/2 candidate pairs, so this caps the self-join blowup the
+#: way MAX_SHINGLE_DF caps the ngram inverted index. sf0.01 max
+#: customer degree is 67, so the cap only bites pathological pivots.
+JACCARD_MAX_PIVOT = 128
+#: top-k similar pairs reported.
+JACCARD_TOPK = 50
+
+
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item neighbor-set Jaccard: the 50 most similar supplier
+    pairs by customer-base overlap (reference scope: main.R has no
+    graph ops; this is the [EXT] collaborative-filtering primitive).
+
+    ``J(s1,s2) = |cust(s1) ∩ cust(s2)| / |cust(s1) ∪ cust(s2)|``
+    over the distinct (customer, supplier) purchase relation.
+    Candidate pairs are generated by self-joining that relation on
+    the CUSTOMER pivot — only supplier pairs that share at least one
+    customer are ever materialized (never the |S|² cross product),
+    and pivots with more than ``JACCARD_MAX_PIVOT`` suppliers are
+    dropped first (the power-user cap; degrees and the Jaccard
+    denominator are computed AFTER the cap so the statistic is exact
+    over the capped relation — same contract as the ngram df cap).
+
+    Scale: (cust, supp) is one orders⋈lineitem join shuffling on
+    orderkey, then distinct on the pair key; the pivot self-join
+    shuffles on custkey and its output is bounded by
+    Σ_c min(deg_c, cap)² — the cap makes that linear-ish in
+    customers, not quadratic in suppliers. Final top-k compiles to
+    TakeOrderedAndProject (no global sort). The (jaccard, s1, s2)
+    order key is a total order, so the cut is deterministic."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    cdeg = cs.groupBy("cust").agg(F.count(F.lit(1)).alias("cd"))
+    csk = (
+        cs.join(cdeg, "cust")
+        .where(F.col("cd") <= JACCARD_MAX_PIVOT)
+        .select("cust", "supp")
+    )
+    sdeg = csk.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    a = csk.select("cust", F.col("supp").alias("s1"))
+    b = csk.select("cust", F.col("supp").alias("s2"))
+    inter = (
+        a.join(b, "cust")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # sdeg is key-space-bounded (one row per supplier) -> broadcast
+    d1 = F.broadcast(sdeg.select(F.col("supp").alias("s1"), F.col("d").alias("d1")))
+    d2 = F.broadcast(sdeg.select(F.col("supp").alias("s2"), F.col("d").alias("d2")))
+    jac = F.round(
+        F.col("n_common") / (F.col("d1") + F.col("d2") - F.col("n_common")), 6
+    )
+    return (
+        inter.join(d1, "s1")
+        .join(d2, "s2")
+        .select("s1", "s2", "n_common", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "s1", "s2")
+        .limit(JACCARD_TOPK)
+    )
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,6 +331,7 @@ def q_graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_graph_degree": q_graph_degree,
     "q_graph_triangles": q_graph_triangles,
+    "q_graph_jaccard": q_graph_jaccard,
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_cc_star": q_graph_cc_star,
 }
@@ -290,6 +367,23 @@ ORACLE = {
         "nodes AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e) "
         "SELECT node, count(*) AS degree FROM nodes GROUP BY node "
         "ORDER BY degree DESC, node LIMIT 20"
+    ),
+    "q_graph_jaccard": (
+        "WITH cs AS ("
+        "  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp "
+        "  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), "
+        "cdeg AS (SELECT cust, count(*)::BIGINT AS cd FROM cs GROUP BY cust), "
+        "csk AS (SELECT cs.cust, cs.supp FROM cs "
+        f"  JOIN cdeg ON cs.cust = cdeg.cust AND cdeg.cd <= {JACCARD_MAX_PIVOT}), "
+        "sdeg AS (SELECT supp, count(*)::BIGINT AS d FROM csk GROUP BY supp), "
+        "inter AS (SELECT a.supp AS s1, b.supp AS s2, count(*)::BIGINT AS n_common "
+        "  FROM csk a JOIN csk b ON a.cust = b.cust AND a.supp < b.supp "
+        "  GROUP BY 1, 2) "
+        "SELECT s1, s2, n_common, "
+        "round(n_common * 1.0 / (d1.d + d2.d - n_common), 6) AS jaccard "
+        "FROM inter JOIN sdeg d1 ON inter.s1 = d1.supp "
+        "JOIN sdeg d2 ON inter.s2 = d2.supp "
+        f"ORDER BY jaccard DESC, s1, s2 LIMIT {JACCARD_TOPK}"
     ),
     "q_graph_triangles": (
         "WITH e AS (" + _EDGES + ") "

@@ -310,3 +310,36 @@ ORACLE["q_fn_sqludf"] = (
     "round(sum(net_rev(l_extendedprice, l_discount)), 2) AS net_revenue, "
     "count(*)::BIGINT AS n FROM lineitem GROUP BY l_returnflag"
 )
+
+
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with ``parse_url`` (protocol / host / path /
+    one query parameter) — the log-analytics staple. The URL is
+    synthesized deterministically from doc_id (the fixture has no URL
+    column) and the oracle states the expected components directly,
+    so this certifies Spark's parser against ground truth rather than
+    against another parser. Pure per-row projection, zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (i % 13).cast("string"),
+        F.lit(".example.org/p/"), i.cast("string"),
+        F.lit("?q=spark&page="), (i % 5).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
+    )
+
+
+QUERIES["q_fn_url"] = q_fn_url
+ORACLE["q_fn_url"] = (
+    "SELECT doc_id, 'https' AS proto, "
+    "'site' || (doc_id % 13) || '.example.org' AS host, "
+    "'/p/' || doc_id AS path, "
+    "CAST(doc_id % 5 AS VARCHAR) AS page "
+    "FROM documents"
+)

@@ -347,11 +347,52 @@ def q_text_lengthhist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: top byte-pair rows reported by q_text_bpe_pairs.
+BPE_TOPK = 20
+
+
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-wide adjacent
+    character-pair frequencies, weighted by word frequency — the
+    statistic whose argmax becomes the first merge rule (Sennrich et
+    al. 2016, arXiv:1508.07909; reference scope: main.R has no
+    tokenizer — [EXT] LLM-prep surface).
+
+    Exactly how BPE trainers compute it: aggregate the corpus to a
+    (distinct word, count) table FIRST, then enumerate each word's
+    adjacent symbol pairs once and weight by the word count — pair
+    enumeration runs over the vocabulary (≪ corpus tokens), which is
+    what makes tokenizer training on a 100 TB corpus tractable. Two
+    hash-agg shuffles: token→count on the word key, then pair→sum on
+    the 2-char pair key (tiny key space — at most |alphabet|²). The
+    top-k compiles to TakeOrderedAndProject; (n desc, pair) is a
+    total order so the cut is deterministic."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(_tokens()).alias("word")).where(F.col("word") != "")
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    pairs = wc.select(
+        "n_w",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, char_length(word)), "
+                "i -> substring(word, i, 2)), p -> char_length(p) = 2)"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_w").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOPK)
+    )
+
+
 QUERIES.update(
     {
         "q_text_scrub": q_text_scrub,
         "q_text_repetition": q_text_repetition,
         "q_text_lengthhist": q_text_lengthhist,
+        "q_text_bpe_pairs": q_text_bpe_pairs,
     }
 )
 
@@ -382,6 +423,16 @@ ORACLE.update(
             "SELECT lang, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS len_bucket, "
             "count(*)::BIGINT AS n_docs, round(avg(n_chars), 4) AS avg_chars "
             "FROM documents GROUP BY 1, 2"
+        ),
+        "q_text_bpe_pairs": (
+            "WITH w AS (SELECT unnest(" + _SQL_TOKENS + ") AS word FROM documents), "
+            "wc AS (SELECT word, count(*)::BIGINT AS n_w FROM w "
+            "  WHERE word <> '' GROUP BY word), "
+            "p AS (SELECT n_w, unnest(list_filter(list_transform("
+            "  range(1, length(word) + 1), i -> substr(word, i, 2)), "
+            "  q -> length(q) = 2)) AS pair FROM wc) "
+            "SELECT pair, sum(n_w)::BIGINT AS n FROM p GROUP BY pair "
+            f"ORDER BY n DESC, pair LIMIT {BPE_TOPK}"
         ),
     }
 )
