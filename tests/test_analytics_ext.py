@@ -236,3 +236,75 @@ def test_interval_join_boundary_semantics(spark, tmp_path):
     assert r["alert_id"] == 1
     assert r["n_overlap"] == 3  # events 2, 3, 6
     assert r["n_users"] == 2  # users 101, 102
+
+
+def test_graph_jaccard_bounds_and_plan(spark):
+    """q_graph_jaccard: jaccard in (0, 1], n_common bounded by both
+    capped degrees, and the plan broadcasts the supplier-degree
+    frame (key-space-bounded) rather than shuffling it."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.graph import q_graph_jaccard
+
+    df = q_graph_jaccard(spark, SF_SMOKE)
+    rows = df.collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["n_common"] >= 1
+        assert r["s1"] < r["s2"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_mode_tie_breaks_to_smallest(spark):
+    """q_agg_mode's contract: ties go to the SMALLEST value (Spark's
+    built-in mode() is nondeterministic on ties). Pin with an
+    in-memory frame where two values tie for most frequent."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries import extras
+
+    df = spark.createDataFrame(
+        [("A", 5.0), ("A", 5.0), ("A", 2.0), ("A", 2.0), ("A", 9.0)],
+        ["l_returnflag", "l_quantity"],
+    )
+    counts = df.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = F.max_by(
+        F.struct(F.col("l_quantity").alias("q"), F.col("n")),
+        F.struct(F.col("n"), (-F.col("l_quantity")).alias("negq")),
+    )
+    out = (
+        counts.groupBy("l_returnflag")
+        .agg(best.alias("b"))
+        .select("l_returnflag", F.col("b.q").alias("mode_qty"))
+        .collect()
+    )
+    assert out[0]["mode_qty"] == 2.0  # 2.0 and 5.0 tie at n=2
+
+
+def test_bpe_pairs_matches_python_reference(spark):
+    """q_text_bpe_pairs pinned against an independent pure-Python
+    computation of the same statistic over the fixture."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from twitter_etl_spark.queries.text import BPE_TOPK, q_text_bpe_pairs
+
+    tab = pq.read_table(SF_SMOKE + "/documents.parquet", columns=["text"])
+    wc = collections.Counter()
+    for txt in tab.column("text").to_pylist():
+        for w in txt.strip().split():
+            wc[w] += 1
+    pc = collections.Counter()
+    for w, n in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += n
+    expected = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK]
+    got = [
+        (r["pair"], r["n"]) for r in q_text_bpe_pairs(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected

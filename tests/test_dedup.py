@@ -201,3 +201,34 @@ def test_paragraph_dedup_removes_later_duplicate_spans(spark, tmp_path):
     assert (out[2]["kept_spans"], out[2]["total_spans"]) == (1, 2)
     assert out[3]["text_dedup"] == ""
     assert (out[3]["kept_spans"], out[3]["total_spans"]) == (0, 1)
+
+
+def test_incremental_dedup_invariants(spark):
+    """q_dedup_incremental: no survivor digest may exist in the base
+    corpus, every re-crawled row must be dropped, and genuinely-new
+    batch rows must all survive (the fixture has no exact dups, so
+    survivor count == new-page count)."""
+    from twitter_etl_spark.queries.dedup import (
+        _INCR_RECRAWL_SHIFT,
+        q_dedup_incremental,
+    )
+    from twitter_etl_spark.queries.sampling import hash_bucket
+    from twitter_etl_spark.tables import table
+
+    from conftest import SF_SMOKE
+
+    out = q_dedup_incremental(spark, SF_SMOKE)
+    d = table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        hash_bucket(F.col("text")).alias("bk"),
+    )
+    base = d.where(F.col("bk") < 80).select("digest").distinct()
+    # 1. survivors are disjoint from the base digest set
+    assert out.join(base, "digest").count() == 0
+    # 2. every re-crawled row (shifted doc_id) was dropped: its
+    #    digest is by construction in the base (bk < 20 < 80)
+    assert out.where(F.col("keeper_doc_id") >= _INCR_RECRAWL_SHIFT).count() == 0
+    # 3. all genuinely-new pages survive (no exact dups in fixture)
+    n_new = d.where(F.col("bk") >= 80).count()
+    assert out.count() == n_new
