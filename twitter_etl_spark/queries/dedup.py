@@ -430,9 +430,62 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawler front-door dedup that
+    runs BEFORE any content fetch (reference scope: main.R has no
+    crawler; [EXT] web-corpus surface, the C4/CCNet URL-dedup step).
+
+    The fixture has no URL column, so messy variants are synthesized
+    deterministically from doc_id on both engines (scheme http/https,
+    mixed host case, trailing slash, utm_* tracking params, #fragment
+    — the five classic aliasing axes). Canonicalization: lowercase
+    scheme+host (path case preserved), strip fragment, strip utm
+    params, strip trailing slash, normalize scheme to https; then
+    group by the canonical URL keeping the smallest doc_id.
+
+    Scale: canonicalization is a per-row regex projection (zero
+    shuffle); the dedup is ONE hash agg keyed on the canonical URL
+    string — at 100 TB you'd key on its digest like
+    q_dedup_normalized, and viral URLs are one hot key collapsed
+    map-side."""
+    d = table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 5 == 0, "http://").otherwise("https://"),
+        F.when(i % 2 == 0, "Site").otherwise("site"),
+        (i % 5).cast("string"),
+        F.lit(".Example.org/p/"),
+        (i % 8).cast("string"),
+        F.when(i % 3 == 0, "/").otherwise(""),
+        F.when(i % 2 == 0, "?utm_source=feed&utm_medium=rss").otherwise(""),
+        F.when(i % 7 == 0, "#frag").otherwise(""),
+    )
+    scheme_host = F.lower(F.regexp_extract(url, r"^([^/]*//[^/]*)", 1))
+    rest = F.regexp_extract(url, r"^[^/]*//[^/]*(.*)$", 1)
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.concat(scheme_host, rest), r"#.*$", ""),
+            r"\?utm[^#]*",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    canon = F.regexp_replace(canon, r"^http://", "https://")
+    return (
+        d.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_exact_global": q_dedup_exact_global,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_dedup_url_canonical": q_dedup_url_canonical,
     "q_dedup_normalized": q_dedup_normalized,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_paragraph": q_dedup_paragraph,
@@ -447,6 +500,25 @@ ORACLE = {
     "q_dedup_exact_global": (
         "SELECT text, min(doc_id) AS keeper_doc_id, count(*)::BIGINT AS n_copies "
         "FROM documents GROUP BY text"
+    ),
+    "q_dedup_url_canonical": (
+        "WITH u AS (SELECT doc_id, "
+        "  (CASE WHEN doc_id % 5 = 0 THEN 'http://' ELSE 'https://' END) "
+        "  || (CASE WHEN doc_id % 2 = 0 THEN 'Site' ELSE 'site' END) "
+        "  || (doc_id % 5) || '.Example.org/p/' || (doc_id % 8) "
+        "  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) "
+        "  || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_medium=rss' "
+        "      ELSE '' END) "
+        "  || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url "
+        "  FROM documents), "
+        "c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        "  lower(regexp_extract(url, '^([^/]*//[^/]*)', 1)) "
+        "  || regexp_extract(url, '^[^/]*//[^/]*(.*)$', 1), "
+        "  '#.*$', ''), '\\?utm[^#]*', ''), '/$', '') AS c1 FROM u), "
+        "n AS (SELECT doc_id, regexp_replace(c1, '^http://', 'https://') "
+        "  AS canon_url FROM c) "
+        "SELECT canon_url, min(doc_id) AS keeper_doc_id, "
+        "count(*)::BIGINT AS n_variants FROM n GROUP BY canon_url"
     ),
     "q_dedup_incremental": (
         "WITH b AS (SELECT doc_id, md5(text) AS digest, "
