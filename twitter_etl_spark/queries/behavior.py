@@ -179,3 +179,49 @@ ORACLE = {
         "GROUP BY 1, 2"
     ),
 }
+
+
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (bits) of the event-type mix — the
+    behavioral-diversity feature bot/abuse detection scores on (a
+    bot hammering one endpoint has entropy ~0; organic users sit
+    near the mix entropy).
+
+    Exact-arithmetic contract: each −p·log2(p) term is rounded at 9
+    decimals and fixed-pointed to BIGINT BEFORE the per-user sum, so
+    the reduction is integer math and engine summation order cannot
+    show (the q_text_unigram_logprob trick; p = c/n is IEEE-exact
+    identical division in both engines). Two hash aggs — (user,
+    type) counts, then the per-user roll-up; no window, no sort."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.floor(F.round(-p * F.log2(p), 9) * 1e9 + F.lit(0.5)).cast("bigint")
+    return (
+        c.join(n, "user_id")
+        .select("user_id", "n", "n_types", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.first("n").alias("n_events"),
+            F.first("n_types").alias("n_types"),
+            F.round(F.sum("term") / 1e9, 6).alias("entropy_bits"),
+        )
+    )
+
+
+QUERIES["q_behavior_entropy"] = q_behavior_entropy
+ORACLE["q_behavior_entropy"] = (
+    "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c "
+    "  FROM events GROUP BY 1, 2), "
+    "n AS (SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_types "
+    "  FROM c GROUP BY user_id), "
+    "t AS (SELECT c.user_id, n.n, n.n_types, "
+    "  CAST(floor(round(-(c.c * 1.0 / n.n) * log2(c.c * 1.0 / n.n), 9) "
+    "    * 1e9 + 0.5) AS BIGINT) AS term "
+    "  FROM c JOIN n USING (user_id)) "
+    "SELECT user_id, any_value(n) AS n_events, any_value(n_types) AS n_types, "
+    "round(sum(term) / 1e9, 6) AS entropy_bits FROM t GROUP BY user_id"
+)

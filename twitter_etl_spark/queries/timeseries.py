@@ -282,3 +282,58 @@ ORACLE["q_ts_interarrival"] = (
     "round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s "
     "FROM gaps WHERE gap_s IS NOT NULL GROUP BY event_type"
 )
+
+
+import math as _math
+
+#: 7-day half-life decay rate, computed ONCE in Python and inlined
+#: as the same double literal into both engines (so DuckDB's ln(2)
+#: vs Java's Math.log(2) last-ulp difference cannot enter).
+_DECAY_LAMBDA = _math.log(2) / 604800.0
+#: snapshot time for the decayed features (after the fixture's last
+#: event at any SF — ages are always positive).
+_DECAY_ASOF = "2024-02-01 00:00:00"
+
+
+def q_ts_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement sum per user as of a snapshot time —
+    the feature-store staple (recent activity counts more; 7-day
+    half-life). ``Σ value·exp(−λ·age)`` needs no recurrence: it is a
+    plain projection + hash agg, unlike EWMA's ordered window.
+
+    Exact-arithmetic contract: the per-row weighted value is rounded
+    at 6 decimals and fixed-pointed to BIGINT before the sum
+    (integer reduction — engine sum order cannot show); λ is inlined
+    as the identical double literal in both engines, and age is a
+    whole-second integer in both (unix_timestamp floor == date_diff
+    'second' boundary count for positive ages). ONE shuffle (the
+    user hash agg) at any SF."""
+    e = table(spark, sf_dir, "events")
+    age_s = F.unix_timestamp(
+        F.lit(_DECAY_ASOF).cast("timestamp")
+    ) - F.unix_timestamp("ts")
+    wv = F.floor(
+        F.round(F.col("value") * F.exp(F.lit(-_DECAY_LAMBDA) * age_s), 6) * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        e.select("user_id", wv.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("wv") / 1e6, 4).alias("decayed_value_sum"),
+        )
+    )
+
+
+QUERIES["q_ts_decay_sum"] = q_ts_decay_sum
+ORACLE["q_ts_decay_sum"] = (
+    "WITH w AS (SELECT user_id, "
+    f"  CAST(floor(round(value * exp(-({_DECAY_LAMBDA!r}) * "
+    f"    date_diff('second', ts, TIMESTAMP '{_DECAY_ASOF}')), 6) "
+    "    * 1e6 + 0.5) AS BIGINT) AS wv "
+    "  FROM events) "
+    "SELECT user_id, count(*)::BIGINT AS n_events, "
+    "round(sum(wv) / 1e6, 4) AS decayed_value_sum "
+    "FROM w GROUP BY user_id"
+)
