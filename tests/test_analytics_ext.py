@@ -308,3 +308,70 @@ def test_bpe_pairs_matches_python_reference(spark):
         (r["pair"], r["n"]) for r in q_text_bpe_pairs(spark, SF_SMOKE).collect()
     ]
     assert got == expected
+
+
+def test_lttb_matches_scalar_reference(spark):
+    """q_ts_lttb pinned against an independent scalar-Python LTTB
+    (plain loops, no NumPy) on each series, plus the structural
+    invariants: first/last points kept, one point per bucket,
+    strictly increasing pick times."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from twitter_etl_spark.queries.timeseries import _LTTB_N_OUT, q_ts_lttb
+
+    def lttb_ref(points, n_out):
+        # points: list of (ts_ns, value), pre-sorted
+        n = len(points)
+        if n <= n_out:
+            return points
+        every = (n - 2) / (n_out - 2)
+        picked = [points[0]]
+        a = 0
+        for i in range(n_out - 2):
+            rs = int(math.floor(i * every)) + 1
+            re = int(math.floor((i + 1) * every)) + 1
+            as_, ae = re, min(int(math.floor((i + 2) * every)) + 1, n)
+            if as_ < ae:
+                avg_x = sum(p[0] for p in points[as_:ae]) / (ae - as_)
+                avg_y = sum(p[1] for p in points[as_:ae]) / (ae - as_)
+            else:
+                avg_x, avg_y = points[-1]
+            best, best_area = rs, -1.0
+            xa, ya = points[a]
+            for j in range(rs, re):
+                area = abs(
+                    (xa - avg_x) * (points[j][1] - ya)
+                    - (xa - points[j][0]) * (avg_y - ya)
+                )
+                if area > best_area:
+                    best, best_area = j, area
+            a = best
+            picked.append(points[a])
+        picked.append(points[-1])
+        return picked
+
+    tab = pq.read_table(
+        SF_SMOKE + "/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+    ).to_pandas()
+    got = (
+        q_ts_lttb(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["event_type", "pick_order"])
+    )
+    for etype, g in got.groupby("event_type"):
+        s = tab[tab["event_type"] == etype].sort_values(["ts", "event_id"])
+        pts = list(
+            zip(
+                s["ts"].astype("datetime64[us]").astype("int64").astype(float).tolist(),
+                s["value"].tolist(),
+            )
+        )
+        exp = lttb_ref(pts, _LTTB_N_OUT)
+        assert len(g) == min(len(pts), _LTTB_N_OUT)
+        got_pts = list(zip(g["ts_us"].astype(float), g["value"]))
+        assert got_pts[0] == pts[0] and got_pts[-1] == pts[-1]
+        assert [p[0] for p in got_pts] == sorted(p[0] for p in got_pts)
+        assert got_pts == exp, etype

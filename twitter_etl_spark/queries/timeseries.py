@@ -337,3 +337,78 @@ ORACLE["q_ts_decay_sum"] = (
     "round(sum(wv) / 1e6, 4) AS decayed_value_sum "
     "FROM w GROUP BY user_id"
 )
+
+
+#: LTTB output budget per series.
+_LTTB_N_OUT = 50
+
+
+def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    of each event-type series to ``_LTTB_N_OUT`` visually-
+    representative points — the dashboarding downsampler.
+
+    LTTB is inherently SEQUENTIAL within a series (each bucket's pick
+    depends on the previous pick), so this is the documented use case
+    for an Arrow-batched grouped-map (``applyInPandas``): parallel
+    ACROSS series, NumPy-vectorized within each bucket, never
+    row-at-a-time Python. Rows-only (no SQL oracle is possible for a
+    stateful scan); pytest pins the output against an independent
+    scalar-Python LTTB and structural invariants.
+
+    Scale: one shuffle on the series key; per-task memory is one
+    series. A single 100 TB series would need pre-aggregation (e.g.
+    minute OHLC first) or chunked two-level LTTB — the standard
+    practice, noted here rather than hidden. Ties in the triangle
+    area argmax take the FIRST index (NumPy argmax), deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    n_out = _LTTB_N_OUT
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # pin the epoch unit: Arrow may hand datetime64[ns] or [us]
+        # depending on the conversion path
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        x = ts_us.to_numpy().astype(np.float64)
+        y = pdf["value"].to_numpy()
+        n = len(pdf)
+        if n <= n_out:
+            idx = np.arange(n)
+        else:
+            every = (n - 2) / (n_out - 2)
+            idx = np.empty(n_out, dtype=np.int64)
+            idx[0] = 0
+            a = 0
+            for i in range(n_out - 2):
+                rs = int(np.floor(i * every)) + 1
+                re = int(np.floor((i + 1) * every)) + 1
+                as_ = re
+                ae = min(int(np.floor((i + 2) * every)) + 1, n)
+                avg_x = x[as_:ae].mean() if as_ < ae else x[n - 1]
+                avg_y = y[as_:ae].mean() if as_ < ae else y[n - 1]
+                area = np.abs(
+                    (x[a] - avg_x) * (y[rs:re] - y[a])
+                    - (x[a] - x[rs:re]) * (avg_y - y[a])
+                )
+                a = rs + int(np.argmax(area))
+                idx[i + 1] = a
+            idx[n_out - 1] = n - 1
+        out = pdf.iloc[idx]
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"].to_numpy(),
+                "ts_us": ts_us.to_numpy()[idx],
+                "value": out["value"].to_numpy(),
+                "pick_order": np.arange(len(idx), dtype=np.int64),
+            }
+        )
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    return e.groupBy("event_type").applyInPandas(
+        lttb, "event_type string, ts_us long, value double, pick_order long"
+    )
+
+
+QUERIES["q_ts_lttb"] = q_ts_lttb  # rows-only: sequential per-series scan
