@@ -225,3 +225,46 @@ ORACLE["q_behavior_entropy"] = (
     "SELECT user_id, any_value(n) AS n_events, any_value(n_types) AS n_types, "
     "round(sum(term) / 1e9, 6) AS entropy_bits FROM t GROUP BY user_id"
 )
+
+
+def q_behavior_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's consecutive-day activity streaks
+    (start, end, length) — the retention/engagement primitive
+    (DAU streak badges, churn-risk features).
+
+    The classic rn-difference trick: within a user, subtracting the
+    day's row_number from the day itself is constant across a
+    consecutive run, so ``day − rn`` is the streak anchor and one
+    hash agg per (user, anchor) finishes the job. Shuffles: the
+    distinct (user, day) agg, the per-user window, the anchor agg —
+    all keyed on user-sized partitions, no global sort; dates are
+    emitted as ISO strings (stable across result-fetch layers)."""
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"),
+    )
+    return g.groupBy("user_id", "anchor").agg(
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).drop("anchor")
+
+
+QUERIES["q_behavior_streaks"] = q_behavior_streaks
+ORACLE["q_behavior_streaks"] = (
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "  CAST(date_trunc('day', ts) AS DATE) AS day FROM events), "
+    "r AS (SELECT user_id, day, row_number() OVER ("
+    "  PARTITION BY user_id ORDER BY day) AS rn FROM d), "
+    "g AS (SELECT user_id, day, day - CAST(rn AS INTEGER) AS anchor FROM r) "
+    "SELECT user_id, strftime(min(day), '%Y-%m-%d') AS streak_start, "
+    "strftime(max(day), '%Y-%m-%d') AS streak_end, "
+    "count(*)::BIGINT AS streak_days "
+    "FROM g GROUP BY user_id, anchor"
+)

@@ -543,3 +543,69 @@ ORACLE["q_agg_mode"] = (
     "SELECT l_returnflag, l_quantity AS mode_qty, n AS n_occurrences "
     "FROM r WHERE rn = 1"
 )
+
+
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape aggregates (mean / population variance /
+    skewness / excess kurtosis) computed from EXACT integer power
+    sums — the mergeable distributed-moments form.
+
+    The built-in ``skewness``/``kurtosis`` can't be oracle-certified:
+    Spark returns population (g1/g2) statistics while DuckDB applies
+    sample-bias corrections, a systematic ~1/n disagreement; and a
+    central-moment accumulation over near-symmetric data is exactly
+    the near-cancelling class that flaked q_agg_stats in r6. Instead:
+    l_quantity is integral (1..50), so Σx..Σx⁴ fit BIGINT exactly
+    (50⁴·|group| ≪ 2⁶³) and both engines reduce identical integers —
+    merge-order-proof by construction. The moment formulas then run
+    on those exact scalars with IDENTICAL expression trees on both
+    sides, so the pre-round doubles are bit-equal. One hash agg."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("bigint")).alias("s1"),
+        F.sum((q * q).cast("bigint")).alias("s2"),
+        F.sum((q * q * q).cast("bigint")).alias("s3"),
+        F.sum((q * q * q * q).cast("bigint")).alias("s4"),
+    )
+    n = F.col("n")
+    m = F.col("s1") * 1.0 / n
+    m2 = F.col("s2") * 1.0 / n
+    m3 = F.col("s3") * 1.0 / n
+    m4 = F.col("s4") * 1.0 / n
+    var = m2 - m * m
+    skew = (m3 - 3 * m * m2 + 2 * m * m * m) / (var * F.sqrt(var))
+    kurt = (m4 - 4 * m * m3 + 6 * m * m * m2 - 3 * m * m * m * m) / (
+        var * var
+    ) - 3
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(m, 6).alias("mean_qty"),
+        F.round(var, 6).alias("var_pop"),
+        F.round(skew, 6).alias("skew_pop"),
+        F.round(kurt, 6).alias("kurt_pop"),
+    )
+
+
+QUERIES["q_agg_moments"] = q_agg_moments
+ORACLE["q_agg_moments"] = (
+    "WITH s AS (SELECT l_returnflag, count(*)::BIGINT AS n, "
+    "  sum(CAST(l_quantity AS BIGINT)) AS s1, "
+    "  sum(CAST(l_quantity * l_quantity AS BIGINT)) AS s2, "
+    "  sum(CAST(l_quantity * l_quantity * l_quantity AS BIGINT)) AS s3, "
+    "  sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS BIGINT)) "
+    "    AS s4 "
+    "  FROM lineitem GROUP BY 1), "
+    "m AS (SELECT l_returnflag, n, s1 * 1.0 / n AS m1, s2 * 1.0 / n AS m2, "
+    "  s3 * 1.0 / n AS m3, s4 * 1.0 / n AS m4 FROM s), "
+    "v AS (SELECT *, m2 - m1 * m1 AS var FROM m) "
+    "SELECT l_returnflag, n, round(m1, 6) AS mean_qty, "
+    "round(var, 6) AS var_pop, "
+    "round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * sqrt(var)), 6) "
+    "  AS skew_pop, "
+    "round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) "
+    "  / (var * var) - 3, 6) AS kurt_pop "
+    "FROM v"
+)
