@@ -119,3 +119,66 @@ ORACLE = {
         f"  FROM documents) WHERE len(frame_hex) = {_FRAME_HEX}"
     ),
 }
+
+
+#: WebDataset-style shard geometry: parallel pack groups (one
+#: sequential writer each) and the target shard size in bytes.
+_PACK_GROUPS = 8
+_SHARD_BYTES = 4096
+
+
+def q_multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest over the binary payloads: each
+    document is assigned a (pack_group, shard_seq, byte_offset) — the
+    exact index a multimodal tar-shard exporter writes so training
+    readers can seek straight to a sample (payload bytes themselves
+    never shuffle; the manifest is metadata-only).
+
+    Layout rule: documents hash into ``_PACK_GROUPS`` independent
+    pack groups (one sequential writer each — the unit of export
+    parallelism; at cluster scale this is O(writers), here 8);
+    within a group the stream order is doc_id, byte_offset is the
+    running payload size, and a shard file starts every
+    ``_SHARD_BYTES`` of stream offset (a payload whose START falls
+    in shard k belongs to k, so files may straddle the boundary by
+    one payload tail — the standard greedy-append policy, stated
+    rather than hidden).
+
+    Scale: ONE shuffle on pack_group + a per-group ordered window
+    (the per-writer sequential order — embarrassingly parallel
+    ACROSS groups, which is the knob that scales); metadata-only,
+    the window sorts (doc_id, n_bytes) pairs, never payloads."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    d = table(spark, sf_dir, "documents")
+    mm = attach_binary_payload(d)
+    m = mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        hash_bucket(F.col("text"), _PACK_GROUPS).alias("pack_group"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = (F.sum("n_bytes").over(w) - F.col("n_bytes")).alias("byte_offset")
+    return m.select("doc_id", "pack_group", "n_bytes", off).withColumn(
+        "shard_seq",
+        F.floor(F.col("byte_offset") / _SHARD_BYTES).cast("bigint"),
+    )
+
+
+QUERIES["q_multimodal_shard_manifest"] = q_multimodal_shard_manifest
+ORACLE["q_multimodal_shard_manifest"] = (
+    "WITH m AS (SELECT doc_id, octet_length(encode(text))::INT AS n_bytes, "
+    f"  (('0x' || substr(md5(text), 1, 8))::UBIGINT % {_PACK_GROUPS}) "
+    "    AS pack_group FROM documents), "
+    "o AS (SELECT *, CAST(sum(n_bytes) OVER (PARTITION BY pack_group "
+    "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "  - n_bytes AS BIGINT) AS byte_offset FROM m) "
+    "SELECT doc_id, pack_group, n_bytes, byte_offset, "
+    f"CAST(floor(byte_offset / {_SHARD_BYTES}) AS BIGINT) AS shard_seq FROM o"
+)
