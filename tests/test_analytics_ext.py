@@ -375,3 +375,90 @@ def test_lttb_matches_scalar_reference(spark):
         assert got_pts[0] == pts[0] and got_pts[-1] == pts[-1]
         assert [p[0] for p in got_pts] == sorted(p[0] for p in got_pts)
         assert got_pts == exp, etype
+
+
+def test_streaks_partition_active_days(spark):
+    """q_behavior_streaks invariants: streaks partition each user's
+    distinct active days exactly (sum of lengths == distinct days),
+    and consecutive streaks of a user are separated by >= 2 days
+    (else they'd be one streak)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.behavior import q_behavior_streaks
+    from twitter_etl_spark.tables import table
+
+    out = q_behavior_streaks(spark, SF_SMOKE).collect()
+    days = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    expected = {r["user_id"]: r["count"] for r in days}
+    got = {}
+    per_user = {}
+    for r in out:
+        got[r["user_id"]] = got.get(r["user_id"], 0) + r["streak_days"]
+        s = datetime.date.fromisoformat(r["streak_start"])
+        e = datetime.date.fromisoformat(r["streak_end"])
+        assert (e - s).days == r["streak_days"] - 1
+        per_user.setdefault(r["user_id"], []).append((s, e))
+    assert got == expected
+    for spans in per_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert (s2 - e1).days >= 2
+
+
+def test_moments_match_numpy(spark):
+    """q_agg_moments pinned against NumPy population moments on the
+    same fixture (independent formulation: central moments of the
+    raw array, not power sums)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from twitter_etl_spark.queries.extras import q_agg_moments
+
+    tab = pq.read_table(
+        SF_SMOKE + "/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    ).to_pandas()
+    got = {r["l_returnflag"]: r for r in q_agg_moments(spark, SF_SMOKE).collect()}
+    for flag, g in tab.groupby("l_returnflag"):
+        x = g["l_quantity"].to_numpy(dtype=np.float64)
+        m = x.mean()
+        c = x - m
+        var = (c**2).mean()
+        skew = (c**3).mean() / var**1.5
+        kurt = (c**4).mean() / var**2 - 3
+        r = got[flag]
+        assert r["n"] == len(x)
+        assert abs(r["mean_qty"] - m) < 1e-4
+        assert abs(r["var_pop"] - var) < 1e-4
+        assert abs(r["skew_pop"] - skew) < 1e-4
+        assert abs(r["kurt_pop"] - kurt) < 1e-4
+
+
+def test_entropy_edge_cases(spark):
+    """q_behavior_entropy formula pins: one event type -> 0 bits;
+    a uniform mix over 4 types -> exactly 2 bits."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, "a")] * 6 + [(2, t) for t in "abcd" * 3]
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    c = df.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.floor(F.round(-p * F.log2(p), 9) * 1e9 + F.lit(0.5)).cast("bigint")
+    out = {
+        r["user_id"]: r["e"]
+        for r in c.join(n, "user_id")
+        .groupBy("user_id")
+        .agg(F.round(F.sum(term) / 1e9, 6).alias("e"))
+        .collect()
+    }
+    assert out[1] == 0.0
+    assert out[2] == 2.0
