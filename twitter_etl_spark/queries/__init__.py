@@ -118,7 +118,8 @@ _MODULES = (
 #            q_graph_jaccard, q_dedup_incremental, q_text_bpe_pairs,
 #            q_agg_mode, q_fn_url, q_dedup_url_canonical,
 #            q_behavior_entropy, q_ts_decay_sum, q_agg_moments,
-#            q_behavior_streaks, q_multimodal_shard_manifest;
+#            q_behavior_streaks, q_multimodal_shard_manifest,
+#            q_sql_recursive_bom, q_ts_anomaly_window;
 #            rows-only
 #            q_agg_hll_distinct, q_agg_topk_sketch, and q_ts_lttb
 #            get the rows>0 check).

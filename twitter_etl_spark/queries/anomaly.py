@@ -17,7 +17,7 @@ row per group either way.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import table
@@ -91,3 +91,72 @@ ORACLE = {
         "GROUP BY e.event_type"
     ),
 }
+
+
+#: trailing-baseline width (days) for the windowed z-score.
+_ANOM_BASELINE = 7
+
+
+def q_ts_anomaly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly scores: each (event_type, day) count
+    z-scored against ITS OWN preceding 7 full days — the ops-
+    monitoring detector (complements q_outliers_robust, which scores
+    against the global distribution). Days without a full baseline
+    are not scored; a zero-variance baseline is skipped (z
+    undefined).
+
+    Exact-arithmetic contract: daily counts are integers, so the
+    trailing Σc and Σc² window sums reduce as exact BIGINTs (the
+    q_agg_moments power-sum trick lifted onto a window frame) and
+    mean/std/z derive from identical scalars with identical
+    expression trees on both engines. One (type, day) hash agg +
+    one window partitioned by type — the tiny aggregated frame, the
+    corpus never sorts."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_ANOM_BASELINE, -1)
+    )
+    k = F.count(F.lit(1)).over(tw)
+    s1 = F.sum("c").over(tw)
+    s2 = F.sum(F.col("c") * F.col("c")).over(tw)
+    w = d.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "c",
+        k.alias("k"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    m = F.col("s1") * 1.0 / F.col("k")
+    var = F.col("s2") * 1.0 / F.col("k") - m * m
+    return (
+        w.where((F.col("k") == _ANOM_BASELINE) & (var > 0))
+        .select(
+            "event_type",
+            "day",
+            "c",
+            F.round((F.col("c") - m) / F.sqrt(var), 6).alias("zscore"),
+        )
+    )
+
+
+QUERIES["q_ts_anomaly_window"] = q_ts_anomaly_window
+ORACLE["q_ts_anomaly_window"] = (
+    "WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
+    "  count(*)::BIGINT AS c FROM events GROUP BY 1, 2), "
+    "w AS (SELECT *, count(*) OVER tw AS k, "
+    "  CAST(sum(c) OVER tw AS BIGINT) AS s1, "
+    "  CAST(sum(c * c) OVER tw AS BIGINT) AS s2 "
+    "  FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day "
+    f"    ROWS BETWEEN {_ANOM_BASELINE} PRECEDING AND 1 PRECEDING)) "
+    "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c, "
+    "round((c - s1 * 1.0 / k) / sqrt(s2 * 1.0 / k - (s1 * 1.0 / k) * (s1 * 1.0 / k)), 6) "
+    "  AS zscore "
+    f"FROM w WHERE k = {_ANOM_BASELINE} "
+    "AND s2 * 1.0 / k - (s1 * 1.0 / k) * (s1 * 1.0 / k) > 0"
+)

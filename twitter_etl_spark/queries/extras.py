@@ -609,3 +609,44 @@ ORACLE["q_agg_moments"] = (
     "  / (var * var) - 3, 6) AS kurt_pop "
     "FROM v"
 )
+
+
+def q_sql_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4) — the SQL-standard iterate-as-
+    dataflow surface, exercised as a BOM explosion: part k is a
+    component of part floor(k/2) (a synthetic binary assembly tree
+    over the real part table), and the recursion walks the tree from
+    part 1, reporting per-depth component counts.
+
+    Each recursive step is one join + union under the hood — the
+    same shape as the hand-written iterative operators
+    (q_graph_pagerank, q_graph_cc_star, q_dedup_cluster), but driven
+    by the engine's recursion operator instead of a Python loop;
+    depth is O(log |part|) (~11 at sf0.01), so the plan stays
+    shallow. Oracle: DuckDB's native recursive CTE."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "WITH RECURSIVE bom AS ("
+        "  SELECT p_partkey AS part, 0 AS depth FROM part WHERE p_partkey = 1"
+        "  UNION ALL"
+        "  SELECT p.p_partkey, b.depth + 1 FROM part p JOIN bom b"
+        "    ON CAST(floor(p.p_partkey / 2) AS BIGINT) = b.part) "
+        "SELECT depth, count(*) AS n_parts, "
+        "min(part) AS min_part, max(part) AS max_part "
+        "FROM bom GROUP BY depth"
+    )
+
+
+QUERIES["q_sql_recursive_bom"] = q_sql_recursive_bom
+ORACLE["q_sql_recursive_bom"] = (
+    "WITH RECURSIVE bom AS ("
+    "  SELECT p_partkey AS part, 0 AS depth FROM part WHERE p_partkey = 1"
+    "  UNION ALL"
+    "  SELECT p.p_partkey, b.depth + 1 FROM part p JOIN bom b"
+    "    ON CAST(floor(p.p_partkey / 2) AS BIGINT) = b.part) "
+    "SELECT depth, count(*)::BIGINT AS n_parts, "
+    "min(part) AS min_part, max(part) AS max_part "
+    "FROM bom GROUP BY depth"
+)
