@@ -100,29 +100,29 @@ _MODULES = (
 #   r06:     the 46 oracle-backed names with no driver row in any
 #            prior round (all 21 remaining TPC-H, pandas-UDF/UDTF,
 #            webcorpus, window/agg/join extras) + 4 re-cert slots.
-#   r08 (suggested): the 33 remaining r3-stale certifications
-#            (scalar fns, streaming-batch, text/dedup/similarity/
-#            multimodal/sampling families — compute as names whose
-#            latest green row is CORRECTNESS_r03) + the 8 r2-stale
-#            re-certs displaced from r7 by the new queries
-#            (q_limit_topk, q_union_all, q_union_distinct,
-#            q_intersect, q_except, q_sort_multi, q_join_cross,
-#            q_join_right) + re-cert slots for anything r7
-#            touched (neardup salt, minhash/ngram triangle,
-#            q_agg_stats if its r7 row flaked) + first-cert slots
-#            for the late-r7 additions that missed the r7 prefix
-#            (q_dq_profile, q_text_ccnet_bucket, q_win_nth,
-#            q_agg_grouping_id, q_agg_percentile_disc,
-#            q_agg_boolcount, q_fn_variant, q_fn_sqludf,
-#            q_udtf_splitn, q_join_lateral, q_agg_listagg,
-#            q_graph_jaccard, q_dedup_incremental, q_text_bpe_pairs,
-#            q_agg_mode, q_fn_url, q_dedup_url_canonical,
-#            q_behavior_entropy, q_ts_decay_sum, q_agg_moments,
-#            q_behavior_streaks, q_multimodal_shard_manifest,
-#            q_sql_recursive_bom, q_ts_anomaly_window;
-#            rows-only
-#            q_agg_hll_distinct, q_agg_topk_sketch, and q_ts_lttb
-#            get the rows>0 check).
+#   r08 (suggested): 50 slots, priority order —
+#     (a) ~24 first-cert slots: every oracle-backed name with NO
+#         driver row in any CORRECTNESS file (the late-r7 waves):
+#         q_dq_profile, q_text_ccnet_bucket, q_win_nth,
+#         q_agg_grouping_id, q_agg_percentile_disc, q_agg_boolcount,
+#         q_fn_variant, q_fn_sqludf, q_udtf_splitn, q_join_lateral,
+#         q_agg_listagg, q_graph_jaccard, q_dedup_incremental,
+#         q_text_bpe_pairs, q_agg_mode, q_fn_url,
+#         q_dedup_url_canonical, q_behavior_entropy, q_ts_decay_sum,
+#         q_agg_moments, q_behavior_streaks,
+#         q_multimodal_shard_manifest, q_sql_recursive_bom,
+#         q_ts_anomaly_window;
+#     (b) 3 rows-only slots (driver rows>0 check):
+#         q_agg_hll_distinct, q_agg_topk_sketch, q_ts_lttb;
+#     (c) remaining ~23 slots: the stalest re-certs, oldest round
+#         first — the 8 r2-certified names displaced from the r7
+#         prefix (q_limit_topk, q_union_all, q_union_distinct,
+#         q_intersect, q_except, q_sort_multi, q_join_cross,
+#         q_join_right), then r3-stale scalar-fn/streaming-batch/
+#         text/dedup/similarity/sampling names (latest green row =
+#         CORRECTNESS_r03), plus a re-cert for anything r7 touched
+#         (q_text_dsir persist, minhash triangle pair gen) and
+#         q_agg_stats if its r7 row flaked.
 #   r07 (this list): slots 1-5 = q_agg_stats (r6's one red, fixed:
 #            corr/covar moved off the near-zero pair) + the 4
 #            rows-only queries that have never appeared in any
