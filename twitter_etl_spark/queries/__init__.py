@@ -111,7 +111,7 @@ _MODULES = (
 #         q_dedup_url_canonical, q_behavior_entropy, q_ts_decay_sum,
 #         q_agg_moments, q_behavior_streaks,
 #         q_multimodal_shard_manifest, q_sql_recursive_bom,
-#         q_ts_anomaly_window;
+#         q_ts_anomaly_window, q_sql_pipe;
 #     (b) 3 rows-only slots (driver rows>0 check):
 #         q_agg_hll_distinct, q_agg_topk_sketch, q_ts_lttb;
 #     (c) remaining ~23 slots: the stalest re-certs, oldest round

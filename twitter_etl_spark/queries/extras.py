@@ -650,3 +650,30 @@ ORACLE["q_sql_recursive_bom"] = (
     "min(part) AS min_part, max(part) AS max_part "
     "FROM bom GROUP BY depth"
 )
+
+
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>``): the linear FROM-first query
+    form (filter → aggregate → post-filter) that reads in dataflow
+    order — semantically identical to the nested-subquery spelling
+    the DuckDB oracle states, and Catalyst compiles both to the same
+    plan family (one pushed filter, one hash agg, one HAVING)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "FROM orders "
+        "|> WHERE o_totalprice > 100000 "
+        "|> AGGREGATE count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "   GROUP BY o_orderpriority "
+        "|> WHERE n > 5"
+    )
+
+
+QUERIES["q_sql_pipe"] = q_sql_pipe
+ORACLE["q_sql_pipe"] = (
+    "SELECT o_orderpriority, count(*)::BIGINT AS n, "
+    "round(sum(o_totalprice), 2) AS total "
+    "FROM orders WHERE o_totalprice > 100000 "
+    "GROUP BY o_orderpriority HAVING count(*) > 5"
+)
