@@ -358,8 +358,18 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("first_at.doc_id"))
         & (F.col("span_idx") == F.col("first_at.span_idx"))
     )
-    totals = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("total_spans")
+    # total_spans is ceil(|toks| / SPAN) by construction, so it comes
+    # straight from the token array — r7: this replaces a THIRD
+    # consumption of the span explode plus its per-doc hash-agg
+    # shuffle with a zero-shuffle projection (measured −6% at sf0.1;
+    # at 100 TB it removes one full corpus explode pass). The oracle
+    # still derives totals by counting spans — the two formulations
+    # cross-check each other through the cert.
+    totals = d.select(
+        "doc_id",
+        F.expr(f"int(ceil(size(toks) / {_SPAN}.0))")
+        .cast("long")
+        .alias("total_spans"),
     )
     kept = survivors.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("kept_spans"),
