@@ -462,3 +462,28 @@ def test_entropy_edge_cases(spark):
     }
     assert out[1] == 0.0
     assert out[2] == 2.0
+
+
+def test_new_r7_operator_plan_shapes(spark):
+    """Plan pins for the late-r7 wave: the recursion compiles to the
+    engine's UnionLoop operator (not a driver-side Python loop), the
+    anomaly window and shard manifest partition by their natural
+    keys, and none of them collapse a data path to one partition
+    (the sweep also checks this; pinning the positive shape here)."""
+    from twitter_etl_spark.queries import ALL_QUERIES
+
+    def plan(name):
+        return (
+            ALL_QUERIES[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("q_sql_recursive_bom")
+    assert "UnionLoop" in p
+    assert "hashpartitioning(event_type" in plan("q_ts_anomaly_window")
+    assert "hashpartitioning(pack_group" in plan("q_multimodal_shard_manifest")
+    p = plan("q_graph_jaccard")
+    assert "BroadcastHashJoin" in p  # supplier-degree frames
+    assert "CartesianProduct" not in p
