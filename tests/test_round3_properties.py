@@ -123,3 +123,77 @@ def test_fingerprint_invariant_under_repartition_and_shuffle(spark):
         for r in fingerprint_tables(o, li, c).collect()
     }
     assert shuffled == base
+
+
+# random per-group integer samples for the exact-power-sum contracts
+_MOMENT_GROUPS = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),
+        st.integers(1, 50),
+    ),
+    min_size=6,
+    max_size=40,
+)
+
+
+@given(_MOMENT_GROUPS)
+@settings(**_SETTINGS)
+def test_power_sum_moments_match_duckdb_on_random_frames(spark, rows):
+    """The q_agg_moments contract under fuzz: on ANY integer-valued
+    frame, the exact-power-sum moment pipeline must produce
+    bit-identical rounded statistics in Spark and DuckDB (the sums
+    reduce as exact integers, the scalar formulas are identical
+    expression trees). Groups with < 2 distinct values have zero
+    variance; skip those (skew/kurt undefined)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, ["g", "x"])
+    q = F.col("x").cast("double")
+    g = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("bigint")).alias("s1"),
+        F.sum((q * q).cast("bigint")).alias("s2"),
+        F.sum((q * q * q).cast("bigint")).alias("s3"),
+        F.sum((q * q * q * q).cast("bigint")).alias("s4"),
+    )
+    n = F.col("n")
+    m = F.col("s1") * 1.0 / n
+    m2 = F.col("s2") * 1.0 / n
+    m3 = F.col("s3") * 1.0 / n
+    var = m2 - m * m
+    skew = F.when(
+        var > 0, (m3 - 3 * m * m2 + 2 * m * m * m) / (var * F.sqrt(var))
+    )
+    got = {
+        r["g"]: (r["mean_r"], r["var_r"], r["skew_r"])
+        for r in g.select(
+            "g",
+            F.round(m, 6).alias("mean_r"),
+            F.round(var, 6).alias("var_r"),
+            F.round(skew, 6).alias("skew_r"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, x BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "WITH s AS (SELECT g, count(*)::BIGINT AS n, sum(x) AS s1, "
+            "sum(x*x) AS s2, sum(x*x*x) AS s3 FROM t GROUP BY g), "
+            "m AS (SELECT g, n, s1 * 1.0 / n AS m1, s2 * 1.0 / n AS m2, "
+            "s3 * 1.0 / n AS m3 FROM s), "
+            "v AS (SELECT *, m2 - m1 * m1 AS var FROM m) "
+            "SELECT g, round(m1, 6), round(var, 6), "
+            "round(CASE WHEN var > 0 THEN "
+            "  (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * sqrt(var)) END, 6) "
+            "FROM v"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0], (k, "mean")
+        assert got[k][1] == want[k][1], (k, "var")
+        assert got[k][2] == want[k][2], (k, "skew")  # None == None on zero var

@@ -575,10 +575,17 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = F.col("s3") * 1.0 / n
     m4 = F.col("s4") * 1.0 / n
     var = m2 - m * m
-    skew = (m3 - 3 * m * m2 + 2 * m * m * m) / (var * F.sqrt(var))
-    kurt = (m4 - 4 * m * m3 + 6 * m * m * m2 - 3 * m * m * m * m) / (
-        var * var
-    ) - 3
+    # zero-variance guard (constant group): shape statistics are
+    # undefined there and the ANSI-mode division would error — found
+    # by the Hypothesis fuzz in tests/test_round3_properties.py
+    skew = F.when(
+        var > 0, (m3 - 3 * m * m2 + 2 * m * m * m) / (var * F.sqrt(var))
+    )
+    kurt = F.when(
+        var > 0,
+        (m4 - 4 * m * m3 + 6 * m * m * m2 - 3 * m * m * m * m) / (var * var)
+        - 3,
+    )
     return g.select(
         "l_returnflag",
         "n",
@@ -603,10 +610,12 @@ ORACLE["q_agg_moments"] = (
     "v AS (SELECT *, m2 - m1 * m1 AS var FROM m) "
     "SELECT l_returnflag, n, round(m1, 6) AS mean_qty, "
     "round(var, 6) AS var_pop, "
-    "round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * sqrt(var)), 6) "
+    "round(CASE WHEN var > 0 THEN "
+    "  (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * sqrt(var)) END, 6) "
     "  AS skew_pop, "
-    "round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) "
-    "  / (var * var) - 3, 6) AS kurt_pop "
+    "round(CASE WHEN var > 0 THEN "
+    "  (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) "
+    "  / (var * var) - 3 END, 6) AS kurt_pop "
     "FROM v"
 )
 
