@@ -343,3 +343,35 @@ ORACLE["q_fn_url"] = (
     "CAST(doc_id % 5 AS VARCHAR) AS page "
     "FROM documents"
 )
+
+
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 built-in ``from_xml``): a synthesized
+    per-event XML record is parsed back through the real parser with
+    an explicit schema, and the extracted fields are certified
+    against ground truth (the oracle states the expected values
+    directly, as in q_fn_url — this checks Spark's XML parser, not
+    parser-vs-parser). Per-row projection, zero shuffle; explicit
+    schema, never XML inference (a full pre-scan at 100 TB)."""
+    e = table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<rec><id>"), F.col("event_id").cast("string"),
+        F.lit("</id><who>u"), (F.col("user_id") % 97).cast("string"),
+        F.lit("</who><kind>"), F.col("event_type"),
+        F.lit("</kind></rec>"),
+    )
+    p = F.from_xml(xml, "id BIGINT, who STRING, kind STRING")
+    return e.select(
+        "event_id",
+        p.getField("id").alias("xml_id"),
+        p.getField("who").alias("xml_who"),
+        p.getField("kind").alias("xml_kind"),
+    )
+
+
+QUERIES["q_fn_xml"] = q_fn_xml
+ORACLE["q_fn_xml"] = (
+    "SELECT event_id, event_id AS xml_id, "
+    "'u' || (user_id % 97) AS xml_who, event_type AS xml_kind "
+    "FROM events"
+)
