@@ -268,3 +268,110 @@ ORACLE["q_behavior_streaks"] = (
     "count(*)::BIGINT AS streak_days "
     "FROM g GROUP BY user_id, anchor"
 )
+
+
+#: RFM snapshot date (after the fixture's last event at every SF).
+_RFM_ASOF = "2024-02-01"
+
+
+def q_behavior_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintile
+    scores per user) — the classic CRM / lifecycle-marketing
+    segmentation, spelled the SCALE-SAFE way: scores come from
+    comparing each user's metrics against the four exact quintile
+    THRESHOLDS (a 1-row aggregate, broadcast), not from a global
+    ``ntile`` window — so there is no global sort of the user frame
+    (the q_win_ntile caveat engineered away; at 100 TB swap the
+    exact percentiles for approx_percentile, same plan shape).
+
+    Determinism: monetary is rounded (2) before any threshold math,
+    thresholds are rounded (4) on both engines (Spark ``percentile``
+    and DuckDB ``quantile_cont`` share linear interpolation —
+    certified by q_agg_percentile), and recency/frequency are
+    integers — so every CASE comparison sees identical scalars.
+    Recency scores INVERT (smaller = more recent = better)."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(_RFM_ASOF).cast("date"),
+            F.to_date(F.date_trunc("day", F.max("ts"))),
+        ).alias("recency_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    t = u.agg(
+        *[
+            F.round(F.percentile(c, F.lit(q)), 4).alias(f"{c[0]}{int(q*10)}")
+            for c in ("recency_d", "frequency", "monetary")
+            for q in qs
+        ]
+    )
+    j = u.crossJoin(F.broadcast(t))
+    r = F.col("recency_d")
+    f = F.col("frequency")
+    m = F.col("monetary")
+    r_score = (
+        F.when(r <= F.col("r2"), 5)
+        .when(r <= F.col("r4"), 4)
+        .when(r <= F.col("r6"), 3)
+        .when(r <= F.col("r8"), 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(f > F.col("f8"), 5)
+        .when(f > F.col("f6"), 4)
+        .when(f > F.col("f4"), 3)
+        .when(f > F.col("f2"), 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(m > F.col("m8"), 5)
+        .when(m > F.col("m6"), 4)
+        .when(m > F.col("m4"), 3)
+        .when(m > F.col("m2"), 2)
+        .otherwise(1)
+    )
+    return j.select(
+        "user_id",
+        "recency_d",
+        "frequency",
+        "monetary",
+        r_score.cast("long").alias("r_score"),
+        f_score.cast("long").alias("f_score"),
+        m_score.cast("long").alias("m_score"),
+    )
+
+
+QUERIES["q_behavior_rfm"] = q_behavior_rfm
+ORACLE["q_behavior_rfm"] = (
+    "WITH u AS (SELECT user_id, "
+    f"  date_diff('day', CAST(date_trunc('day', max(ts)) AS DATE), "
+    f"            DATE '{_RFM_ASOF}') AS recency_d, "
+    "  count(*)::BIGINT AS frequency, round(sum(value), 2) AS monetary "
+    "  FROM events GROUP BY user_id), "
+    "t AS (SELECT "
+    "  round(quantile_cont(recency_d, 0.2), 4) AS r2, "
+    "  round(quantile_cont(recency_d, 0.4), 4) AS r4, "
+    "  round(quantile_cont(recency_d, 0.6), 4) AS r6, "
+    "  round(quantile_cont(recency_d, 0.8), 4) AS r8, "
+    "  round(quantile_cont(frequency, 0.2), 4) AS f2, "
+    "  round(quantile_cont(frequency, 0.4), 4) AS f4, "
+    "  round(quantile_cont(frequency, 0.6), 4) AS f6, "
+    "  round(quantile_cont(frequency, 0.8), 4) AS f8, "
+    "  round(quantile_cont(monetary, 0.2), 4) AS m2, "
+    "  round(quantile_cont(monetary, 0.4), 4) AS m4, "
+    "  round(quantile_cont(monetary, 0.6), 4) AS m6, "
+    "  round(quantile_cont(monetary, 0.8), 4) AS m8 FROM u) "
+    "SELECT u.user_id, u.recency_d, u.frequency, u.monetary, "
+    "(CASE WHEN recency_d <= r2 THEN 5 WHEN recency_d <= r4 THEN 4 "
+    "      WHEN recency_d <= r6 THEN 3 WHEN recency_d <= r8 THEN 2 "
+    "      ELSE 1 END)::BIGINT AS r_score, "
+    "(CASE WHEN frequency > f8 THEN 5 WHEN frequency > f6 THEN 4 "
+    "      WHEN frequency > f4 THEN 3 WHEN frequency > f2 THEN 2 "
+    "      ELSE 1 END)::BIGINT AS f_score, "
+    "(CASE WHEN monetary > m8 THEN 5 WHEN monetary > m6 THEN 4 "
+    "      WHEN monetary > m4 THEN 3 WHEN monetary > m2 THEN 2 "
+    "      ELSE 1 END)::BIGINT AS m_score "
+    "FROM u, t"
+)
