@@ -257,32 +257,23 @@ def test_graph_jaccard_bounds_and_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_agg_mode_tie_breaks_to_smallest(spark):
+def test_agg_mode_tie_breaks_to_smallest(spark, tmp_path):
     """q_agg_mode's contract: ties go to the SMALLEST value (Spark's
-    built-in mode() is nondeterministic on ties). Pin with an
-    in-memory frame where two values tie for most frequent."""
-    from pyspark.sql import functions as F
-
-    from twitter_etl_spark.queries import extras
+    built-in mode() is nondeterministic on ties). Drives the REAL
+    query over a constructed lineitem fixture where two values tie
+    for most frequent."""
+    from twitter_etl_spark.queries.extras import q_agg_mode
 
     df = spark.createDataFrame(
         [("A", 5.0), ("A", 5.0), ("A", 2.0), ("A", 2.0), ("A", 9.0)],
         ["l_returnflag", "l_quantity"],
     )
-    counts = df.groupBy("l_returnflag", "l_quantity").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    best = F.max_by(
-        F.struct(F.col("l_quantity").alias("q"), F.col("n")),
-        F.struct(F.col("n"), (-F.col("l_quantity")).alias("negq")),
-    )
-    out = (
-        counts.groupBy("l_returnflag")
-        .agg(best.alias("b"))
-        .select("l_returnflag", F.col("b.q").alias("mode_qty"))
-        .collect()
-    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/lineitem.parquet")
+    out = q_agg_mode(spark, sf).collect()
+    assert len(out) == 1
     assert out[0]["mode_qty"] == 2.0  # 2.0 and 5.0 tie at n=2
+    assert out[0]["n_occurrences"] == 2
 
 
 def test_bpe_pairs_matches_python_reference(spark):
@@ -442,26 +433,22 @@ def test_moments_match_numpy(spark):
         assert abs(r["kurt_pop"] - kurt) < 1e-4
 
 
-def test_entropy_edge_cases(spark):
-    """q_behavior_entropy formula pins: one event type -> 0 bits;
-    a uniform mix over 4 types -> exactly 2 bits."""
-    from pyspark.sql import functions as F
+def test_entropy_edge_cases(spark, tmp_path):
+    """q_behavior_entropy closed-form pins, driving the REAL query
+    over a constructed events fixture: one event type -> 0 bits; a
+    uniform mix over 4 types -> exactly 2 bits."""
+    from twitter_etl_spark.queries.behavior import q_behavior_entropy
 
     rows = [(1, "a")] * 6 + [(2, t) for t in "abcd" * 3]
     df = spark.createDataFrame(rows, ["user_id", "event_type"])
-    c = df.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
-    n = c.groupBy("user_id").agg(F.sum("c").alias("n"))
-    p = F.col("c").cast("double") / F.col("n")
-    term = F.floor(F.round(-p * F.log2(p), 9) * 1e9 + F.lit(0.5)).cast("bigint")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
     out = {
-        r["user_id"]: r["e"]
-        for r in c.join(n, "user_id")
-        .groupBy("user_id")
-        .agg(F.round(F.sum(term) / 1e9, 6).alias("e"))
-        .collect()
+        r["user_id"]: (r["entropy_bits"], r["n_events"], r["n_types"])
+        for r in q_behavior_entropy(spark, sf).collect()
     }
-    assert out[1] == 0.0
-    assert out[2] == 2.0
+    assert out[1] == (0.0, 6, 1)
+    assert out[2] == (2.0, 12, 4)
 
 
 def test_new_r7_operator_plan_shapes(spark):

@@ -99,11 +99,14 @@ _ANOM_BASELINE = 7
 
 def q_ts_anomaly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly scores: each (event_type, day) count
-    z-scored against ITS OWN preceding 7 full days — the ops-
-    monitoring detector (complements q_outliers_robust, which scores
-    against the global distribution). Days without a full baseline
-    are not scored; a zero-variance baseline is skipped (z
-    undefined).
+    z-scored against its series' preceding 7 OBSERVED days (a ROWS
+    frame — on a sparse series the baseline is the last 7 days the
+    type was active, however old; a calendar-bounded variant is the
+    same query with day-as-epoch-int ordering and a RANGE frame).
+    The ops-monitoring detector (complements q_outliers_robust,
+    which scores against the global distribution). Days without a
+    full 7-row baseline are not scored; a zero-variance baseline is
+    skipped (z undefined).
 
     Exact-arithmetic contract: daily counts are integers, so the
     trailing Σc and Σc² window sums reduce as exact BIGINTs (the

@@ -284,20 +284,34 @@ def q_behavior_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q_win_ntile caveat engineered away; at 100 TB swap the
     exact percentiles for approx_percentile, same plan shape).
 
-    Determinism: monetary is rounded (2) before any threshold math,
-    thresholds are rounded (4) on both engines (Spark ``percentile``
-    and DuckDB ``quantile_cont`` share linear interpolation —
-    certified by q_agg_percentile), and recency/frequency are
-    integers — so every CASE comparison sees identical scalars.
-    Recency scores INVERT (smaller = more recent = better)."""
+    Determinism BY CONSTRUCTION (not margin): monetary sums
+    ``value`` as DECIMAL(18,2) — per-row rounding then an EXACT
+    decimal reduction, so engine merge order cannot move it even one
+    ulp (the q_agg_salted_sum idiom; a raw double sum would be
+    order-dependent and could flip a user across a quantile
+    threshold). Thresholds are rounded (4) on both engines (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share linear
+    interpolation — certified by q_agg_percentile), and
+    recency/frequency are integers — so every CASE comparison sees
+    identical scalars. Recency scores INVERT (smaller = more recent
+    = better). The per-user frame feeds both the threshold agg and
+    the scoring join, so it is cached via the one-slot
+    ``cacheutil.cache_latest`` (one events scan, no session leak)."""
+    from ..cacheutil import cache_latest
+
     e = table(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(
-        F.datediff(
-            F.lit(_RFM_ASOF).cast("date"),
-            F.to_date(F.date_trunc("day", F.max("ts"))),
-        ).alias("recency_d"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum("value"), 2).alias("monetary"),
+    u = cache_latest(
+        "rfm_user_metrics",
+        e.groupBy("user_id").agg(
+            F.datediff(
+                F.lit(_RFM_ASOF).cast("date"),
+                F.to_date(F.date_trunc("day", F.max("ts"))),
+            ).alias("recency_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("monetary"),
+        ),
     )
     qs = [0.2, 0.4, 0.6, 0.8]
     t = u.agg(
@@ -348,7 +362,8 @@ ORACLE["q_behavior_rfm"] = (
     "WITH u AS (SELECT user_id, "
     f"  date_diff('day', CAST(date_trunc('day', max(ts)) AS DATE), "
     f"            DATE '{_RFM_ASOF}') AS recency_d, "
-    "  count(*)::BIGINT AS frequency, round(sum(value), 2) AS monetary "
+    "  count(*)::BIGINT AS frequency, "
+    "  round(sum(CAST(value AS DECIMAL(18,2)))::DOUBLE, 2) AS monetary "
     "  FROM events GROUP BY user_id), "
     "t AS (SELECT "
     "  round(quantile_cont(recency_d, 0.2), 4) AS r2, "
