@@ -101,7 +101,7 @@ _MODULES = (
 #            prior round (all 21 remaining TPC-H, pandas-UDF/UDTF,
 #            webcorpus, window/agg/join extras) + 4 re-cert slots.
 #   r08 (suggested): 50 slots, priority order —
-#     (a) ~28 first-cert slots: every oracle-backed name with NO
+#     (a) ~29 first-cert slots: every oracle-backed name with NO
 #         driver row in any CORRECTNESS file (the late-r7 waves):
 #         q_dq_profile, q_text_ccnet_bucket, q_win_nth,
 #         q_agg_grouping_id, q_agg_percentile_disc, q_agg_boolcount,
@@ -112,10 +112,10 @@ _MODULES = (
 #         q_agg_moments, q_behavior_streaks,
 #         q_multimodal_shard_manifest, q_sql_recursive_bom,
 #         q_ts_anomaly_window, q_sql_pipe, q_fn_xml,
-#         q_behavior_rfm;
+#         q_behavior_rfm, q_geo_knn;
 #     (b) 3 rows-only slots (driver rows>0 check):
 #         q_agg_hll_distinct, q_agg_topk_sketch, q_ts_lttb;
-#     (c) remaining ~19 slots: the stalest re-certs, oldest round
+#     (c) remaining ~18 slots: the stalest re-certs, oldest round
 #         first — the 8 r2-certified names displaced from the r7
 #         prefix (q_limit_topk, q_union_all, q_union_distinct,
 #         q_intersect, q_except, q_sort_multi, q_join_cross,

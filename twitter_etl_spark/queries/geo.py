@@ -197,3 +197,89 @@ ORACLE = {
         "ORDER BY n DESC, cx, cy LIMIT 20"
     ),
 }
+
+
+#: neighbors returned per store by the grid-blocked kNN.
+KNN_K = 3
+
+
+def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked k-nearest-neighbor join: each store's 3 nearest
+    warehouses among its 3×3 cell neighborhood — the spatial
+    serving-assignment primitive (nearest depot / store coverage).
+
+    Same candidate generation as ``q_geo_grid_join`` (explode to the
+    wrapped neighborhood, EQUI join on the cell — never |A|×|B|),
+    then a per-store row_number over (rounded distance, wh_id): the
+    rounding absorbs libm's last-ulp transcendental differences and
+    the id tie-break makes the cut a total order, so both engines
+    pick identical neighbors. Stores whose neighborhood holds fewer
+    than k candidates return fewer rows — the stated blocked
+    semantics (production systems expand rings until k; the fixture
+    density makes that loop unnecessary here). The ranking window
+    partitions by store_id — no global sort; cost scales with local
+    density exactly like the grid join."""
+    from pyspark.sql import Window
+
+    st = _stores(spark, sf_dir)
+    wh = _warehouses(spark, sf_dir)
+    st = st.select(
+        "store_id",
+        "lat",
+        "lon",
+        F.explode(
+            F.sequence(
+                F.floor("lat").cast("int") - 1,
+                F.floor("lat").cast("int") + 1,
+            )
+        ).alias("cx"),
+    ).select(
+        "store_id",
+        "lat",
+        "lon",
+        "cx",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.floor("lon").cast("int") - 1,
+                    F.floor("lon").cast("int") + 1,
+                ),
+                lambda c: F.pmod(c + 180, 360) - 180,
+            )
+        ).alias("cy"),
+    )
+    wh = wh.select(
+        F.col("wh_id"),
+        F.col("lat").alias("wlat"),
+        F.col("lon").alias("wlon"),
+        F.floor("lat").cast("int").alias("cx"),
+        F.floor("lon").cast("int").alias("cy"),
+    )
+    d = _haversine_km(F.col("lat"), F.col("lon"), F.col("wlat"), F.col("wlon"))
+    cand = st.join(wh, ["cx", "cy"]).select(
+        "store_id", "wh_id", F.round(d, 4).alias("dist_km")
+    )
+    w = Window.partitionBy("store_id").orderBy("dist_km", "wh_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select("store_id", "wh_id", "dist_km", F.col("rn").alias("rank"))
+    )
+
+
+QUERIES["q_geo_knn"] = q_geo_knn
+ORACLE["q_geo_knn"] = (
+    "WITH st AS (SELECT c_custkey AS store_id, "
+    + _ST_LAT + " AS lat, " + _ST_LON + " AS lon "
+    "FROM customer WHERE c_custkey % 50 = 0), "
+    "wh AS (SELECT s_suppkey AS wh_id, "
+    + _WH_LAT + " AS wlat, " + _WH_LON + " AS wlon "
+    "FROM supplier), "
+    "cand AS (SELECT store_id, wh_id, round(" + _HAV + ", 4) AS dist_km "
+    "  FROM st JOIN wh ON floor(wlat) BETWEEN floor(lat) - 1 "
+    "  AND floor(lat) + 1 "
+    "  AND (floor(wlon)::INT - floor(lon)::INT + 720) %% 360 IN (0, 1, 359)), "
+    "r AS (SELECT *, row_number() OVER ("
+    "  PARTITION BY store_id ORDER BY dist_km, wh_id) AS rn FROM cand) "
+    "SELECT store_id, wh_id, dist_km, rn AS rank FROM r WHERE rn <= %d" % KNN_K
+)
