@@ -117,3 +117,92 @@ def test_geo_grid_never_misses_within_radius(spark):
 def test_geo_density_topk_plan(spark):
     p = _plan(geo.q_geo_cell_density(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in p
+
+
+def test_geo_lon_halfwidth_is_one_at_equator_and_grows(spark):
+    rows = (
+        spark.range(1)
+        .select(
+            *[
+                geo._lon_halfwidth(F.lit(lat)).alias(f"w{i}")
+                for i, lat in enumerate([0.0, 45.0, 66.0, 79.5, 85.0])
+            ]
+        )
+        .first()
+    )
+    # equator stays the classic ±1 ring; the ring widens only where
+    # 1° of longitude shrinks below the search radius
+    assert rows.w0 == 1
+    assert rows.w1 == 2
+    assert 1 <= rows.w2 <= 3
+    assert rows.w3 >= 5
+    assert rows.w4 >= 10
+
+
+def _write_highlat_fixture(tmp_path, spark):
+    """Synthetic customer/supplier keys whose LCG-derived coords put
+    a store at 79.47°N with a warehouse 94.3 km away but TWO lon
+    cells east — invisible to a fixed ±1 ring, caught by the
+    lat-adaptive widening. Low-lat keys ride along so the W=1 path
+    is exercised in the same run."""
+    import pandas as pd
+
+    cust = pd.DataFrame({"c_custkey": [50, 100, 150, 300, 850, 1000]})
+    supp = pd.DataFrame({"s_suppkey": [1, 2, 3, 2230, 20632, 21672, 2930]})
+    spark.createDataFrame(cust).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(supp).write.mode("overwrite").parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_geo_grid_catches_highlat_wide_pair(spark, tmp_path):
+    sf = _write_highlat_fixture(tmp_path, spark)
+    got = {
+        (r.store_id, r.wh_id)
+        for r in geo.q_geo_grid_join(spark, sf).collect()
+    }
+    # the engineered pair: store 150 (79.47, -46.05) / warehouse 2230
+    # (80.27, -44.45) — dist 94.3 km, lon cells -47 vs -45 (Δ=2)
+    assert (150, 2230) in got
+    # brute force equality on the same fixture: the widened band
+    # misses nothing within radius
+    st = geo._stores(spark, sf)
+    wh = geo._warehouses(spark, sf).select(
+        "wh_id", F.col("lat").alias("wlat"), F.col("lon").alias("wlon")
+    )
+    d = geo._haversine_km(
+        F.col("lat"), F.col("lon"), F.col("wlat"), F.col("wlon")
+    )
+    brute = {
+        (r.store_id, r.wh_id)
+        for r in st.crossJoin(wh)
+        .select("store_id", "wh_id", F.round(d, 4).alias("dist_km"))
+        .where(F.col("dist_km") <= geo.RADIUS_KM)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_geo_oracle_parity_on_highlat_fixture(spark, tmp_path):
+    """Both engines implement the SAME widened semantics: run the
+    DuckDB oracle against the synthetic high-lat fixture in-process
+    and compare pair sets for the grid join and the kNN."""
+    import duckdb
+
+    sf = _write_highlat_fixture(tmp_path, spark)
+    con = duckdb.connect()
+    for t in ("customer", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    for qname in ("q_geo_grid_join", "q_geo_knn"):
+        spark_rows = {
+            tuple(r) for r in geo.QUERIES[qname](spark, sf).collect()
+        }
+        oracle_rows = {
+            tuple(r) for r in con.execute(geo.ORACLE[qname]).fetchall()
+        }
+        assert spark_rows == oracle_rows, qname

@@ -9,26 +9,32 @@ magnitudes).
 - **grid-blocked distance join** (``q_geo_grid_join``): customers
   ("stores", a keyed subset) × suppliers ("warehouses") within
   ~111 km. The classic spatial-join-without-an-index shape: each
-  store EXPLODES to its 3×3 neighborhood of 1°-grid cells, the join
-  is EQUI on the cell id, and the exact haversine predicate runs
-  only on co-celled candidates. At 100 TB this is the same plan —
-  comparisons scale with local density, never |A|×|B| (a theta-join
-  on raw distance is a cartesian product). The lon neighborhood
-  wraps across the ±180° antimeridian (cell −181 ≡ 179) on both
-  engines, so straddling pairs are candidates. Remaining caveat,
-  shared by the oracle (both engines define the SAME blocked
-  semantics): 1° of longitude is narrower than 111 km at high
-  latitude, so east-west neighbors beyond the ±1-cell band are not
-  candidates; production grids widen the lon neighborhood by
-  ``ceil(1/cos(lat))`` cells (the brute-force-equality test shows
-  the fixture has no such pair). Distances rounded at 4
-  (`transcendental maths: sin/cos/asin differ in the last ulp
-  across libm implementations; 1e-4 km = 10 cm absorbs that).
+  store EXPLODES to its lon-widened cell neighborhood of 1°-grid
+  cells, the join is EQUI on the cell id, and the exact haversine
+  predicate runs only on co-celled candidates. At 100 TB this is
+  the same plan — comparisons scale with local density, never
+  |A|×|B| (a theta-join on raw distance is a cartesian product).
+  The lon neighborhood wraps across the ±180° antimeridian (cell
+  −181 ≡ 179) on both engines, so straddling pairs are candidates.
+  High-latitude correctness: 1° of longitude is narrower than
+  111 km away from the equator, so the lon ring widens per store to
+  ``ceil(Δλ_max(lat))`` cells, where Δλ_max inverts the haversine
+  at fixed latitude (``2·asin(sin(R/2r)/cos φ)``, φ padded by the
+  1° lat band and clamped at 89°) — exact, so the ring is ±1 cell
+  at the equator and grows only where geometry demands it
+  (±15 cells at the fixture's ±85° extreme). Both engines compute
+  the SAME widened semantics; the round(…, 9)-before-ceil absorbs
+  libm's last-ulp asin/cos differences (the repo-wide idiom).
+  Distances rounded at 4 (transcendental maths differ in the last
+  ulp across libm implementations; 1e-4 km = 10 cm absorbs that).
 - **cell density** (``q_geo_cell_density``): top-20 densest cells —
   the heat-map / partition-sizing aggregate, pure integer exact.
+- **kNN join** (``q_geo_knn``): see its docstring.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +46,11 @@ EARTH_R_KM = 6371.0
 #: radius for the distance join (about one grid degree at equator).
 RADIUS_KM = 111.0
 
+#: sin(R/2r) — the haversine half-angle of the search radius; a
+#: Python-computed literal embedded verbatim in BOTH engines so the
+#: lon-ring width derives from the identical constant.
+_SIN_HALF_RADIUS = math.sin(RADIUS_KM / (2.0 * EARTH_R_KM))
+
 
 def _lat(key) -> F.Column:
     return ((key * 9301 + 49297) % 17000) / 100.0 - 85.0
@@ -47,10 +58,6 @@ def _lat(key) -> F.Column:
 
 def _lon(key) -> F.Column:
     return ((key * 7927 + 12345) % 36000) / 100.0 - 180.0
-
-
-_SQL_LAT = "(((%(k)s * 9301 + 49297) %% 17000) / 100.0 - 85.0)"
-_SQL_LON = "(((%(k)s * 7927 + 12345) %% 36000) / 100.0 - 180.0)"
 
 
 def _haversine_km(lat1, lon1, lat2, lon2) -> F.Column:
@@ -64,6 +71,21 @@ def _haversine_km(lat1, lon1, lat2, lon2) -> F.Column:
         * F.sin(dlon / 2)
     )
     return 2 * EARTH_R_KM * F.asin(F.sqrt(a))
+
+
+def _lon_halfwidth(lat) -> F.Column:
+    """Lon-ring half-width in cells for a store at ``lat``.
+
+    Inverts the haversine at fixed latitude: two points on the
+    parallel φ are RADIUS_KM apart when Δλ = 2·asin(sin(R/2r)/cos φ).
+    φ is the store's |lat| padded by 1° (targets within RADIUS_KM
+    sit at most 111.0/111.19 < 1° of latitude away) and clamped at
+    89° (keeps cos positive; the fixture never exceeds ±85°). ceil
+    covers the store sitting at a cell edge; round(…, 9) first makes
+    the ceil identical across libm implementations."""
+    phi = F.radians(F.least(F.abs(lat) + 1.0, F.lit(89.0)))
+    dlam = F.degrees(2.0 * F.asin(F.lit(_SIN_HALF_RADIUS) / F.cos(phi)))
+    return F.ceil(F.round(dlam, 9)).cast("int")
 
 
 def _stores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,12 +108,17 @@ def _warehouses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stores × warehouses within RADIUS_KM, via 1°-grid blocking."""
+def _grid_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate generation for the grid join and the kNN:
+    store side explodes to its ±1-lat × lat-adaptive-lon cell
+    neighborhood (lon wrapped across the antimeridian: cell −181 is
+    cell 179, and sin²(Δlon/2) is 360°-periodic so the haversine
+    needs no companion fix); warehouse side keeps its own cell; the
+    join is EQUI on (cx, cy) with the exact rounded haversine
+    computed only on co-celled pairs."""
     st = _stores(spark, sf_dir)
     wh = _warehouses(spark, sf_dir)
-    # store side explodes to its 3x3 cell neighborhood; warehouse
-    # side keeps its own cell -> equi join on (cx, cy)
+    w = _lon_halfwidth(F.col("lat"))
     st = st.select(
         "store_id",
         "lat",
@@ -107,17 +134,15 @@ def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lat",
         "lon",
         "cx",
-        # wrap the lon neighborhood across the antimeridian: cell
-        # -181 is cell 179 (and 180 is -180), so ±180°-straddling
-        # pairs are join candidates; sin²(Δlon/2) is 360°-periodic,
-        # so the haversine below needs no companion fix
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.floor("lon").cast("int") - 1,
-                    F.floor("lon").cast("int") + 1,
-                ),
-                lambda c: F.pmod(c + 180, 360) - 180,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.floor("lon").cast("int") - w,
+                        F.floor("lon").cast("int") + w,
+                    ),
+                    lambda c: F.pmod(c + 180, 360) - 180,
+                )
             )
         ).alias("cy"),
     )
@@ -128,15 +153,17 @@ def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("lat").cast("int").alias("cx"),
         F.floor("lon").cast("int").alias("cy"),
     )
-    d = _haversine_km(
-        F.col("lat"), F.col("lon"), F.col("wlat"), F.col("wlon")
+    d = _haversine_km(F.col("lat"), F.col("lon"), F.col("wlat"), F.col("wlon"))
+    return st.join(wh, ["cx", "cy"]).select(
+        "store_id", "wh_id", F.round(d, 4).alias("dist_km")
     )
-    return (
-        st.join(wh, ["cx", "cy"])
-        .select(
-            "store_id", "wh_id", F.round(d, 4).alias("dist_km")
-        )
-        .where(F.col("dist_km") <= RADIUS_KM)
+
+
+def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stores × warehouses within RADIUS_KM, via 1°-grid blocking
+    with the lat-adaptive lon ring (see module docstring)."""
+    return _grid_candidates(spark, sf_dir).where(
+        F.col("dist_km") <= RADIUS_KM
     )
 
 
@@ -157,108 +184,30 @@ def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {
-    "q_geo_grid_join": q_geo_grid_join,
-    "q_geo_cell_density": q_geo_cell_density,
-}
-
-_ST_LAT = _SQL_LAT % {"k": "c_custkey"}
-_ST_LON = _SQL_LON % {"k": "c_custkey"}
-_WH_LAT = _SQL_LAT % {"k": "s_suppkey"}
-_WH_LON = _SQL_LON % {"k": "s_suppkey"}
-
-_HAV = (
-    "2 * {r} * asin(sqrt("
-    "sin(radians(wlat - lat) / 2) * sin(radians(wlat - lat) / 2) "
-    "+ cos(radians(lat)) * cos(radians(wlat)) "
-    "* sin(radians(wlon - lon) / 2) * sin(radians(wlon - lon) / 2)))"
-).format(r=EARTH_R_KM)
-
-ORACLE = {
-    "q_geo_grid_join": (
-        "WITH st AS (SELECT c_custkey AS store_id, "
-        + _ST_LAT + " AS lat, " + _ST_LON + " AS lon "
-        "FROM customer WHERE c_custkey % 50 = 0), "
-        "wh AS (SELECT s_suppkey AS wh_id, "
-        + _WH_LAT + " AS wlat, " + _WH_LON + " AS wlon "
-        "FROM supplier) "
-        "SELECT store_id, wh_id, round(" + _HAV + ", 4) AS dist_km "
-        "FROM st JOIN wh ON floor(wlat) BETWEEN floor(lat) - 1 "
-        "AND floor(lat) + 1 "
-        # modular cell difference: 0/1/359 = same/east/west neighbor,
-        # wrapping across the antimeridian like the Spark pmod cell
-        "AND (floor(wlon)::INT - floor(lon)::INT + 720) % 360 IN (0, 1, 359) "
-        "WHERE round(" + _HAV + ", 4) <= %s" % RADIUS_KM
-    ),
-    "q_geo_cell_density": (
-        "SELECT floor(" + _ST_LAT + ")::BIGINT AS cx, "
-        "floor(" + _ST_LON + ")::BIGINT AS cy, "
-        "count(*) AS n FROM customer GROUP BY cx, cy "
-        "ORDER BY n DESC, cx, cy LIMIT 20"
-    ),
-}
-
-
 #: neighbors returned per store by the grid-blocked kNN.
 KNN_K = 3
 
 
 def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-blocked k-nearest-neighbor join: each store's 3 nearest
-    warehouses among its 3×3 cell neighborhood — the spatial
+    warehouses among its cell neighborhood — the spatial
     serving-assignment primitive (nearest depot / store coverage).
 
     Same candidate generation as ``q_geo_grid_join`` (explode to the
-    wrapped neighborhood, EQUI join on the cell — never |A|×|B|),
-    then a per-store row_number over (rounded distance, wh_id): the
-    rounding absorbs libm's last-ulp transcendental differences and
-    the id tie-break makes the cut a total order, so both engines
-    pick identical neighbors. Stores whose neighborhood holds fewer
-    than k candidates return fewer rows — the stated blocked
-    semantics (production systems expand rings until k; the fixture
-    density makes that loop unnecessary here). The ranking window
-    partitions by store_id — no global sort; cost scales with local
-    density exactly like the grid join."""
+    wrapped, lat-adaptively-widened neighborhood, EQUI join on the
+    cell — never |A|×|B|), then a per-store row_number over (rounded
+    distance, wh_id): the rounding absorbs libm's last-ulp
+    transcendental differences and the id tie-break makes the cut a
+    total order, so both engines pick identical neighbors. Stores
+    whose neighborhood holds fewer than k candidates return fewer
+    rows — the stated blocked semantics (production systems expand
+    rings until k; the fixture density makes that loop unnecessary
+    here). The ranking window partitions by store_id — no global
+    sort; cost scales with local density exactly like the grid
+    join."""
     from pyspark.sql import Window
 
-    st = _stores(spark, sf_dir)
-    wh = _warehouses(spark, sf_dir)
-    st = st.select(
-        "store_id",
-        "lat",
-        "lon",
-        F.explode(
-            F.sequence(
-                F.floor("lat").cast("int") - 1,
-                F.floor("lat").cast("int") + 1,
-            )
-        ).alias("cx"),
-    ).select(
-        "store_id",
-        "lat",
-        "lon",
-        "cx",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.floor("lon").cast("int") - 1,
-                    F.floor("lon").cast("int") + 1,
-                ),
-                lambda c: F.pmod(c + 180, 360) - 180,
-            )
-        ).alias("cy"),
-    )
-    wh = wh.select(
-        F.col("wh_id"),
-        F.col("lat").alias("wlat"),
-        F.col("lon").alias("wlon"),
-        F.floor("lat").cast("int").alias("cx"),
-        F.floor("lon").cast("int").alias("cy"),
-    )
-    d = _haversine_km(F.col("lat"), F.col("lon"), F.col("wlat"), F.col("wlon"))
-    cand = st.join(wh, ["cx", "cy"]).select(
-        "store_id", "wh_id", F.round(d, 4).alias("dist_km")
-    )
+    cand = _grid_candidates(spark, sf_dir)
     w = Window.partitionBy("store_id").orderBy("dist_km", "wh_id")
     return (
         cand.withColumn("rn", F.row_number().over(w))
@@ -267,19 +216,74 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["q_geo_knn"] = q_geo_knn
-ORACLE["q_geo_knn"] = (
-    "WITH st AS (SELECT c_custkey AS store_id, "
-    + _ST_LAT + " AS lat, " + _ST_LON + " AS lon "
-    "FROM customer WHERE c_custkey % 50 = 0), "
-    "wh AS (SELECT s_suppkey AS wh_id, "
-    + _WH_LAT + " AS wlat, " + _WH_LON + " AS wlon "
-    "FROM supplier), "
-    "cand AS (SELECT store_id, wh_id, round(" + _HAV + ", 4) AS dist_km "
+QUERIES = {
+    "q_geo_grid_join": q_geo_grid_join,
+    "q_geo_cell_density": q_geo_cell_density,
+    "q_geo_knn": q_geo_knn,
+}
+
+
+def _sql_lat(k: str) -> str:
+    return f"((({k} * 9301 + 49297) % 17000) / 100.0 - 85.0)"
+
+
+def _sql_lon(k: str) -> str:
+    return f"((({k} * 7927 + 12345) % 36000) / 100.0 - 180.0)"
+
+
+_ST_LAT = _sql_lat("c_custkey")
+_ST_LON = _sql_lon("c_custkey")
+_WH_LAT = _sql_lat("s_suppkey")
+_WH_LON = _sql_lon("s_suppkey")
+
+_HAV = (
+    f"2 * {EARTH_R_KM} * asin(sqrt("
+    "sin(radians(wlat - lat) / 2) * sin(radians(wlat - lat) / 2) "
+    "+ cos(radians(lat)) * cos(radians(wlat)) "
+    "* sin(radians(wlon - lon) / 2) * sin(radians(wlon - lon) / 2)))"
+)
+
+# lon-ring half-width — the identical formula (and identical float
+# literal for sin(R/2r)) as _lon_halfwidth above.
+_SQL_W = (
+    "CAST(ceil(round(degrees(2 * asin("
+    f"{_SIN_HALF_RADIUS!r} / cos(radians(least(abs(lat) + 1.0, 89.0)))"
+    ")), 9)) AS INT)"
+)
+
+# cyclic lon-cell distance between warehouse and store cells, in
+# [0, 180]; the widened-band membership test is `<= W`.
+_CELL_DIFF = "((floor(wlon)::INT - floor(lon)::INT + 720) % 360)"
+
+# shared candidate-generation CTE chain (stores, warehouses, the
+# blocked join) — the oracle twin of _grid_candidates.
+_SQL_CAND = (
+    f"st AS (SELECT c_custkey AS store_id, {_ST_LAT} AS lat, "
+    f"{_ST_LON} AS lon FROM customer WHERE c_custkey % 50 = 0), "
+    f"wh AS (SELECT s_suppkey AS wh_id, {_WH_LAT} AS wlat, "
+    f"{_WH_LON} AS wlon FROM supplier), "
+    f"cand AS (SELECT store_id, wh_id, round({_HAV}, 4) AS dist_km "
     "  FROM st JOIN wh ON floor(wlat) BETWEEN floor(lat) - 1 "
     "  AND floor(lat) + 1 "
-    "  AND (floor(wlon)::INT - floor(lon)::INT + 720) %% 360 IN (0, 1, 359)), "
-    "r AS (SELECT *, row_number() OVER ("
-    "  PARTITION BY store_id ORDER BY dist_km, wh_id) AS rn FROM cand) "
-    "SELECT store_id, wh_id, dist_km, rn AS rank FROM r WHERE rn <= %d" % KNN_K
+    f"  AND least({_CELL_DIFF}, 360 - {_CELL_DIFF}) <= {_SQL_W})"
 )
+
+ORACLE = {
+    "q_geo_grid_join": (
+        f"WITH {_SQL_CAND} "
+        f"SELECT store_id, wh_id, dist_km FROM cand "
+        f"WHERE dist_km <= {RADIUS_KM}"
+    ),
+    "q_geo_cell_density": (
+        f"SELECT floor({_ST_LAT})::BIGINT AS cx, "
+        f"floor({_ST_LON})::BIGINT AS cy, "
+        "count(*) AS n FROM customer GROUP BY cx, cy "
+        "ORDER BY n DESC, cx, cy LIMIT 20"
+    ),
+    "q_geo_knn": (
+        f"WITH {_SQL_CAND}, "
+        "r AS (SELECT *, row_number() OVER ("
+        "  PARTITION BY store_id ORDER BY dist_km, wh_id) AS rn FROM cand) "
+        f"SELECT store_id, wh_id, dist_km, rn AS rank FROM r WHERE rn <= {KNN_K}"
+    ),
+}
