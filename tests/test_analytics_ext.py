@@ -480,14 +480,22 @@ def test_cache_latest_keeps_one_slot(spark):
     """cacheutil.cache_latest must release the previous cached frame
     when a slot is re-filled, so repeated query invocations hold ONE
     cached copy instead of leaking one per run."""
+    from twitter_etl_spark import cacheutil
     from twitter_etl_spark.cacheutil import cache_latest
 
     a = cache_latest("test_slot", spark.range(100))
-    a.count()
-    assert a.storageLevel.useMemory
-    b = cache_latest("test_slot", spark.range(200))
-    b.count()
-    assert b.storageLevel.useMemory
-    # the first frame was unpersisted (non-blocking): its storage
-    # level no longer requests memory
-    assert not a.storageLevel.useMemory
+    try:
+        a.count()
+        assert a.storageLevel.useMemory
+        b = cache_latest("test_slot", spark.range(200))
+        b.count()
+        assert b.storageLevel.useMemory
+        # the first frame was unpersisted (non-blocking): its storage
+        # level no longer requests memory
+        assert not a.storageLevel.useMemory
+    finally:
+        # leave no cached frame or slot entry behind in the shared
+        # session-scoped SparkSession
+        held = cacheutil._SLOTS.pop("test_slot", None)
+        if held is not None:
+            held.unpersist(blocking=False)

@@ -81,23 +81,60 @@ def test_cert_prefix_all_oracle_backed():
     """The first 50 registry entries are what the driver certifies
     each round — a rows-only name there normally wastes a cert slot
     on the weaker check, so every prefix name must have an oracle
-    UNLESS it is in the deliberate allowlist: the r7 prefix spends 4
+    UNLESS it is in the deliberate allowlist: the r8 prefix spends 3
     slots on the rows-only queries that had never appeared in any
-    CORRECTNESS file, so the driver's rows>0 check finally sees them
-    (r6 verdict #2)."""
+    CORRECTNESS file, so the driver's rows>0 check finally sees them,
+    plus the one r2-era rows-only re-cert (r6 verdict #2)."""
     from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
 
     deliberate_rows_only = {
-        "q_agg_approx_percentile",
-        "q_dedup_simhash_pairs",
-        "q_pack_bestfit",
-        "q_text_tfidf_mllib",
-        # r7: k-means is iterative (Lloyd rounds) — rows-only by design,
-        # certified via the NumPy step-replica test instead
-        "q_sim_kmeans",
+        # r8 first-cert rows-only wave (approximate sketches + LTTB)
+        "q_agg_hll_distinct",
+        "q_agg_topk_sketch",
+        "q_ts_lttb",
+        # r2-stale rows-only re-cert
+        "q_agg_approx_distinct",
     }
     prefix = list(ALL_QUERIES)[:50]
     missing = [
         n for n in prefix if n not in ALL_ORACLES and n not in deliberate_rows_only
     ]
     assert not missing, missing
+
+
+def test_cert_prefix_contract():
+    """The machine check the r7 verdict asked for (#8): the prefix
+    rotation math was hand-maintained and its comments drifted twice
+    in r7's own history. Pin the invariants:
+
+    - the prefix is EXACTLY 50 names (the driver certifies the first
+      50 registry entries — shorter wastes cert slots, longer is a
+      silent no-op);
+    - no duplicates (a dup silently halves coverage);
+    - every registry name has a driver CORRECTNESS row in some past
+      round OR sits in the current prefix (nothing ships
+      never-certified-and-not-queued)."""
+    import glob
+    import json
+
+    from twitter_etl_spark.queries import ALL_QUERIES, _CERT_PREFIX
+
+    assert len(_CERT_PREFIX) == 50
+    assert len(set(_CERT_PREFIX)) == 50
+    root = os.path.join(os.path.dirname(__file__), "..")
+    seen = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(f)).items():
+            ok = (
+                row.get("hash_match")
+                or (
+                    row.get("err") == "no_oracle"
+                    and (row.get("spark_rows") or 0) > 0
+                )
+            )
+            if ok:
+                seen.add(name)
+    unqueued = [
+        n for n in ALL_QUERIES if n not in seen and n not in _CERT_PREFIX
+    ]
+    assert not unqueued, unqueued

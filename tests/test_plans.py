@@ -85,6 +85,7 @@ _SINGLE_PARTITION_OK = {
     "q_dq_checks",
     "q_dq_profile",  # 1-row whole-table profile agg, explode-pivoted
     "q_funnel_conversion",
+    "q_funnel_strict",
     "q_graph_triangles",
     "q_mix_weights",
     "q_skew_diagnose",

@@ -12,10 +12,13 @@ usage at one copy per operator regardless of how many times it runs.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _SLOTS: dict[str, DataFrame] = {}
+_LOCK = threading.Lock()
 
 
 def cache_latest(
@@ -25,13 +28,16 @@ def cache_latest(
 ) -> DataFrame:
     """Persist ``df`` under ``slot``, releasing the slot's previous
     cached frame (non-blocking — Spark recomputes it if a stale plan
-    is still running, which only costs time, never correctness)."""
-    prev = _SLOTS.get(slot)
-    if prev is not None:
+    is still running, which only costs time, never correctness).
+    The swap is lock-guarded so concurrent invocations (a threaded
+    bench) cannot interleave and orphan a persisted frame."""
+    out = df.persist(level)
+    with _LOCK:
+        prev = _SLOTS.get(slot)
+        _SLOTS[slot] = out
+    if prev is not None and prev is not out:
         try:
             prev.unpersist(blocking=False)
         except Exception:
             pass  # session may have restarted since
-    out = df.persist(level)
-    _SLOTS[slot] = out
     return out

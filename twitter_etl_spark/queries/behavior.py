@@ -36,11 +36,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # NOTE: "first click after first view" under-counts users whose
-    # qualifying click precedes an earlier non-qualifying view only
-    # when min() ordering differs — the standard approximation used
-    # by warehouse funnels; exact ordered-sequence matching is the
-    # window variant below (q_funnel_strict is intentionally NOT
-    # implemented: the min-based funnel is the scale-canonical form).
+    # only view-preceding click is not their global first click —
+    # the standard approximation used by warehouse funnels (one hash
+    # agg, cheapest possible plan). The exact ordered-sequence twin
+    # is q_funnel_strict below; keep both: this is the scale-default,
+    # that is the semantics-exact form.
     reached_view = F.col("t_view").isNotNull()
     reached_click = reached_view & F.col("t_click").isNotNull() & (
         F.col("t_click") >= F.col("t_view")
@@ -53,6 +53,68 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(reached_view.cast("long")).alias("n_view"),
         F.sum(reached_click.cast("long")).alias("n_click_after_view"),
         F.sum(reached_purchase.cast("long")).alias("n_purchase_after_click"),
+    )
+
+
+def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordered-sequence funnel view -> click -> purchase: the
+    qualifying click is the user's FIRST click at-or-after their
+    first view (not their globally-first click), and likewise for
+    purchase — the semantics-exact twin of q_funnel_conversion's
+    min-based approximation.
+
+    Plan: three chained unbounded windows over the SAME user_id
+    partitioning — ONE exchange of the event log, no self-joins;
+    each window's conditional min references the previous step's
+    timestamp, which plain conditional aggregation cannot express in
+    one pass. NULL propagation does the sequencing for free: a user
+    with no view has t_view NULL, so ``ts >= t_view`` is NULL and
+    every later step stays NULL. The per-user roll-up reuses the
+    window's hash partitioning (no second shuffle), then a 1-row
+    conditional count."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.select("user_id", "event_type", "ts")
+        .withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_view"),
+        F.sum(F.col("t_click").isNotNull().cast("long")).alias(
+            "n_click_strict"
+        ),
+        F.sum(F.col("t_purchase").isNotNull().cast("long")).alias(
+            "n_purchase_strict"
+        ),
     )
 
 
@@ -126,6 +188,7 @@ def q_behavior_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_funnel_conversion": q_funnel_conversion,
+    "q_funnel_strict": q_funnel_strict,
     "q_cohort_retention": q_cohort_retention,
     "q_attribution_batch": q_attribution_batch,
     "q_behavior_transitions": q_behavior_transitions,
@@ -148,6 +211,25 @@ ORACLE = {
         "     AND t_purchase >= t_click)::INT)::BIGINT "
         "  AS n_purchase_after_click "
         "FROM per_user"
+    ),
+    "q_funnel_strict": (
+        "WITH w1 AS (SELECT user_id, event_type, ts, "
+        "  min(CASE WHEN event_type = 'view' THEN ts END) "
+        "    OVER (PARTITION BY user_id) AS t_view FROM events), "
+        "w2 AS (SELECT *, min(CASE WHEN event_type = 'click' "
+        "    AND ts >= t_view THEN ts END) "
+        "    OVER (PARTITION BY user_id) AS t_click FROM w1), "
+        "w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' "
+        "    AND ts >= t_click THEN ts END) "
+        "    OVER (PARTITION BY user_id) AS t_purchase FROM w2), "
+        "u AS (SELECT user_id, min(t_view) AS t_view, "
+        "  min(t_click) AS t_click, min(t_purchase) AS t_purchase "
+        "  FROM w3 GROUP BY user_id) "
+        "SELECT count(*)::BIGINT AS n_users, "
+        "sum((t_view IS NOT NULL)::INT)::BIGINT AS n_view, "
+        "sum((t_click IS NOT NULL)::INT)::BIGINT AS n_click_strict, "
+        "sum((t_purchase IS NOT NULL)::INT)::BIGINT AS n_purchase_strict "
+        "FROM u"
     ),
     "q_attribution_batch": (
         "WITH c AS (SELECT user_id AS c_user, ts AS click_ts FROM events "
@@ -274,7 +356,9 @@ ORACLE["q_behavior_streaks"] = (
 _RFM_ASOF = "2024-02-01"
 
 
-def q_behavior_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_behavior_rfm(
+    spark: SparkSession, sf_dir: str, *, exact: bool = True
+) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quintile
     scores per user) — the classic CRM / lifecycle-marketing
     segmentation, spelled the SCALE-SAFE way: scores come from
@@ -296,7 +380,13 @@ def q_behavior_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical scalars. Recency scores INVERT (smaller = more recent
     = better). The per-user frame feeds both the threshold agg and
     the scoring join, so it is cached via the one-slot
-    ``cacheutil.cache_latest`` (one events scan, no session leak)."""
+    ``cacheutil.cache_latest`` (one events scan, no session leak).
+
+    ``exact=False`` is the RUNNABLE 100 TB path: thresholds come
+    from ``percentile_approx`` (t-digest, mergeable map-side partial
+    aggregation — the 1-row reducer no longer buffers every user's
+    metrics), same plan shape otherwise. The registered/oracle form
+    stays exact so the driver's hash gate has a DuckDB twin."""
     from ..cacheutil import cache_latest
 
     e = table(spark, sf_dir, "events")
@@ -314,9 +404,14 @@ def q_behavior_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     qs = [0.2, 0.4, 0.6, 0.8]
+    pct = (
+        F.percentile
+        if exact
+        else (lambda c, q: F.percentile_approx(c, q, F.lit(10000)))
+    )
     t = u.agg(
         *[
-            F.round(F.percentile(c, F.lit(q)), 4).alias(f"{c[0]}{int(q*10)}")
+            F.round(pct(c, F.lit(q)), 4).alias(f"{c[0]}{int(q*10)}")
             for c in ("recency_d", "frequency", "monetary")
             for q in qs
         ]
