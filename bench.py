@@ -52,7 +52,30 @@ HEADLINE = [
     # DSIR importance weighting) join the tracked set
     "q_dedup_paragraph",
     "q_text_dsir",
+    # r8 (r7 verdict #4): the late-wave LLM-pipeline ops with real
+    # shuffle work join the tracked set
+    "q_dedup_incremental",
+    "q_graph_jaccard",
+    "q_text_bpe_pairs",
 ]
+
+# rows-only ops tracked for wall-time but kept OUT of `value` (no
+# oracle; the headline total stays a correctness-certified suite).
+SIDECAR = ["q_ts_lttb"]
+
+#: per-query repetitions; the reported time is the minimum and the
+#: max-min spread is reported alongside so cross-round comparisons
+#: can tell plan regressions from host noise (r7 verdict #2/#3).
+N_RUNS = 3
+
+
+def _time_best(fn, spark, sf_dir, n=N_RUNS) -> tuple[float, float]:
+    runs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3), round(max(runs) - min(runs), 3)
 
 
 def main() -> int:
@@ -79,18 +102,16 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
+    # best-of-N (N_RUNS): the first run absorbs plan compilation, and
+    # the minimum resists transient host-load stalls (measured 25-70%
+    # run-to-run swing on a noisy-neighbor VM with identical code);
+    # the max-min spread rides along per query
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        fn = ALL_QUERIES[name]
-        best = float("inf")
-        # best-of-3: the first run absorbs plan compilation, and the
-        # minimum resists transient host-load stalls (measured 25-70%
-        # run-to-run swing on a noisy-neighbor VM with identical code)
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name], spread[name] = _time_best(
+            ALL_QUERIES[name], spark, sf_dir
+        )
 
     total = round(sum(timings.values()), 3)
     # the first 18 entries are the r2-r5 headline set; their subtotal
@@ -100,18 +121,21 @@ def main() -> int:
 
     # full TPC-H sweep (r7: all 22 queries exist) — reported as its
     # own subtotal, NOT in `value`, so the headline stays comparable
-    # across rounds; single timed run each (the sweep is a broad
-    # throughput number, the headline is the tuned best-of metric)
+    # across rounds; best-of-N each since r8 (the r7 n=1 sweep left
+    # its q5/q6 drift unattributable to noise vs plan)
     tpch: dict[str, float] = {}
+    tpch_spread: dict[str, float] = {}
     for name in sorted(
         (n for n in ALL_QUERIES if n.startswith("q_tpch_q")),
         key=lambda n: int(n.rsplit("q", 1)[1]),
     ):
-        t0 = time.perf_counter()
-        ALL_QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        tpch[name] = round(time.perf_counter() - t0, 3)
+        tpch[name], tpch_spread[name] = _time_best(
+            ALL_QUERIES[name], spark, sf_dir
+        )
+
+    sidecar: dict[str, float] = {}
+    for name in SIDECAR:
+        sidecar[name], _ = _time_best(ALL_QUERIES[name], spark, sf_dir)
 
     print(
         json.dumps(
@@ -121,9 +145,13 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_runs": N_RUNS,
+                "spread": spread,
                 "legacy18_seconds": legacy,
                 "tpch22_seconds": round(sum(tpch.values()), 3),
                 "tpch_queries": tpch,
+                "tpch_spread": tpch_spread,
+                "sidecar_rows_only": sidecar,
             }
         )
     )

@@ -154,6 +154,10 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key is a total order, so the cut is deterministic."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # cs/csk each feed several consumers, but AQE's ReusedExchange
+    # already dedupes the shared subplans — the cache_latest persist
+    # was A/B'd at sf0.1 (interleaved best-of-5) and measured NEUTRAL
+    # (2.52 s vs 2.42 s), so it is deliberately absent (SCALE.md r8)
     cs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
