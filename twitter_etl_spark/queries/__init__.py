@@ -110,8 +110,11 @@ _MODULES = (
 #            (q_agg_hll_distinct, q_agg_topk_sketch, q_ts_lttb);
 #            slot 33 = q_geo_grid_join re-cert (its lon-ring
 #            widening changed semantics in r8); slots 34-42 = the 9
-#            r2-stale names displaced from the r7 prefix; slots
-#            43-50 = the oldest r3-stale scalar-fn/dedup names.
+#            r2-stale names displaced from the r7 prefix; slot 43 =
+#            q_dedup_exact_substring (new in r8); slot 44 =
+#            q_sample_weighted (new in r8); slots 45-50 = the oldest
+#            r3-stale scalar-fn/dedup names (q_fn_map and q_fn_math
+#            re-certs wait for r9 — displaced by the new ops).
 #            tests/test_cli.py::test_cert_prefix_contract pins the
 #            arithmetic (exactly 50, rows-only allowlisted, every
 #            registry name certified-or-queued) so this comment can
@@ -164,15 +167,17 @@ _CERT_PREFIX = (
     "q_join_cross",
     "q_join_right",
     "q_agg_approx_distinct",
-    # -- slots 43-50: oldest r3-stale re-certs
+    # -- slot 43: new in r8 (Lee-et-al-style exact-substring dedup)
+    "q_dedup_exact_substring",
+    # -- slot 44: new in r8 (Efraimidis-Spirakis weighted sampling)
+    "q_sample_weighted",
+    # -- slots 45-50: oldest r3-stale re-certs
     "q_dedup_normalized",
     "q_fn_array",
     "q_fn_case",
     "q_fn_cast",
     "q_fn_date",
     "q_fn_json",
-    "q_fn_map",
-    "q_fn_math",
 )
 
 _BY_MODULE: dict = {}

@@ -492,8 +492,65 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Lee et al. 2022 ("Deduplicating Training Data Makes Language
+#: Models Better")-style exact-substring window, in TOKENS: the
+#: suffix-array pass finds verbatim spans repeated across documents;
+#: the distributable approximation hashes every ``_SUBSTR_TOKENS``-
+#: token sliding window.
+_SUBSTR_TOKENS = 8
+
+
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring detection: every sliding
+    ``_SUBSTR_TOKENS``-token window, hashed and counted; windows
+    appearing in ≥2 distinct documents are the verbatim-repeated
+    spans an exact-substring dedup (Lee et al. 2022) would cut.
+    Complements q_dedup_paragraph (disjoint _SPAN-token blocks) at
+    sliding sub-paragraph granularity — boilerplate, license
+    headers, quoted chunks.
+
+    Windows are anchored at TOKEN boundaries, which makes detection
+    position-independent: any verbatim span of ≥ _SUBSTR_TOKENS
+    tokens contributes its leading window in EVERY document that
+    contains it, wherever the span sits. (The tempting cheaper form
+    — fixed-STRIDE character windows — is alignment-dependent: the
+    same span at offsets 12 and 0 never hash-matches, a miss the
+    unit test pins.)
+
+    Scale: a true suffix array does not distribute; sliding
+    token-window hashing is the standard cluster-scale stand-in,
+    cost = one window per corpus token. Each window is md5'd IN the
+    projection, so the single shuffle carries 32-byte digests —
+    never text — and the hash agg's map-side partial collapses
+    boilerplate-heavy partitions before the exchange (a viral
+    license-header window is one hot key, absorbed the
+    q_dedup_exact_global way)."""
+    w = _SUBSTR_TOKENS
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    grams = d.where(F.size("toks") >= w).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {w} + 1), "
+                f"i -> md5(concat_ws(' ', slice(toks, i, {w}))))"
+            )
+        ).alias("gram_hash"),
+    )
+    return (
+        grams.groupBy("gram_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 QUERIES = {
     "q_dedup_exact_global": q_dedup_exact_global,
+    "q_dedup_exact_substring": q_dedup_exact_substring,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_url_canonical": q_dedup_url_canonical,
     "q_dedup_normalized": q_dedup_normalized,
@@ -510,6 +567,16 @@ ORACLE = {
     "q_dedup_exact_global": (
         "SELECT text, min(doc_id) AS keeper_doc_id, count(*)::BIGINT AS n_copies "
         "FROM documents GROUP BY text"
+    ),
+    "q_dedup_exact_substring": (
+        f"WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        f"  range(1, greatest(len(toks) - {_SUBSTR_TOKENS} + 1, 0) + 1), "
+        f"  i -> md5(array_to_string(toks[i : i + {_SUBSTR_TOKENS} - 1], ' ')))) "
+        "  AS gram_hash FROM t) "
+        "SELECT gram_hash, count(DISTINCT doc_id)::BIGINT AS n_docs, "
+        "count(*)::BIGINT AS n_occ "
+        "FROM g GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= 2"
     ),
     "q_dedup_url_canonical": (
         "WITH u AS (SELECT doc_id, "

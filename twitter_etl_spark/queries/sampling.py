@@ -91,14 +91,67 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: weighted-sample size.
+_WEIGHTED_K = 50
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis 2006 via exponential keys): each document
+    draws key = −ln(u)/w from a hash-derived uniform u and its
+    weight w (here ``n_chars`` — longer docs proportionally more
+    likely), and the ``_WEIGHTED_K`` smallest keys are the sample.
+    The mixture-sampling primitive of training-data curation
+    (sample-by-quality-score) with zero RNG state: the same docs
+    win on every run and every cluster layout.
+
+    Cross-engine contract: u = (md5-bucket ∈ [0,1e9) + 1)/(1e9+1) is
+    an exact integer-derived double in both engines; ln/divide are
+    transcendental, so the key is rounded at 9 decimals with the
+    doc_id tie-break making the cut a total order (the q_geo_knn
+    idiom). Scale: a per-row projection + TakeOrderedAndProject —
+    per-partition top-k then a k-merge, no global sort, no
+    shuffle of the corpus."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        % F.lit(1_000_000_000)
+        + 1
+    ) / F.lit(1_000_000_001.0)
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    key = F.round(-F.log(u) / w, 9)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            w.cast("long").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(_WEIGHTED_K)
+    )
+
+
 QUERIES = {
     "q_sample_hash": q_sample_hash,
+    "q_sample_weighted": q_sample_weighted,
     "q_sample_split": q_sample_split,
     "q_sample_stratified": q_sample_stratified,
     "q_sim_centroid": q_sim_centroid,
 }
 
+_SQL_U = (
+    "((('0x' || substr(md5(text), 1, 8))::UBIGINT % 1000000000 + 1) "
+    "/ 1000000001.0)"
+)
+
 ORACLE = {
+    "q_sample_weighted": (
+        "SELECT doc_id, lang, greatest(n_chars, 1)::BIGINT AS weight, "
+        f"round(-ln({_SQL_U}) / greatest(n_chars, 1), 9) AS sample_key "
+        "FROM documents "
+        f"ORDER BY sample_key, doc_id LIMIT {_WEIGHTED_K}"
+    ),
     "q_sample_hash": (
         "SELECT doc_id, lang, "
         f"{_sql_bucket('text')}::BIGINT AS bucket "
