@@ -92,3 +92,36 @@ def test_rfm_approx_path_matches_exact_on_smoke(spark):
     assert all(
         1 <= s <= 5 for scores in approx.values() for s in scores
     )
+
+
+def test_dau_wau_mau_invariants(spark):
+    """DAU <= WAU <= MAU per day; DAU equals the directly-computed
+    per-day distinct-user count; WAU on day d equals distinct users
+    over the trailing 7 calendar days."""
+    import datetime as dt2
+
+    from twitter_etl_spark.queries.behavior import q_behavior_dau_wau_mau
+    from twitter_etl_spark.tables import table
+
+    out = {r.day: r for r in q_behavior_dau_wau_mau(spark, SF_SMOKE).collect()}
+    assert out
+    assert all(r.dau <= r.wau <= r.mau for r in out.values())
+    e = table(spark, SF_SMOKE, "events")
+    ud = {
+        (r.user_id, r.day)
+        for r in e.select(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .distinct()
+        .collect()
+    }
+    by_day: dict = {}
+    for u, d in ud:
+        by_day.setdefault(d, set()).add(u)
+    for day_s, r in out.items():
+        d = dt2.date.fromisoformat(day_s)
+        assert r.dau == len(by_day.get(d, set()))
+        week = set()
+        for k in range(7):
+            week |= by_day.get(d - dt2.timedelta(days=k), set())
+        assert r.wau == len(week)

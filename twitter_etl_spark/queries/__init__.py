@@ -112,9 +112,11 @@ _MODULES = (
 #            widening changed semantics in r8); slots 34-42 = the 9
 #            r2-stale names displaced from the r7 prefix; slot 43 =
 #            q_dedup_exact_substring (new in r8); slot 44 =
-#            q_sample_weighted (new in r8); slots 45-50 = the oldest
-#            r3-stale scalar-fn/dedup names (q_fn_map and q_fn_math
-#            re-certs wait for r9 — displaced by the new ops).
+#            q_sample_weighted (new in r8); slot 45 =
+#            q_behavior_dau_wau_mau (new in r8); slots 46-50 = the
+#            oldest r3-stale scalar-fn/dedup names (q_fn_json,
+#            q_fn_map and q_fn_math re-certs wait for r9 — displaced
+#            by the new ops).
 #            tests/test_cli.py::test_cert_prefix_contract pins the
 #            arithmetic (exactly 50, rows-only allowlisted, every
 #            registry name certified-or-queued) so this comment can
@@ -171,13 +173,14 @@ _CERT_PREFIX = (
     "q_dedup_exact_substring",
     # -- slot 44: new in r8 (Efraimidis-Spirakis weighted sampling)
     "q_sample_weighted",
-    # -- slots 45-50: oldest r3-stale re-certs
+    # -- slot 45: new in r8 (DAU/WAU/MAU engagement triple)
+    "q_behavior_dau_wau_mau",
+    # -- slots 46-50: oldest r3-stale re-certs
     "q_dedup_normalized",
     "q_fn_array",
     "q_fn_case",
     "q_fn_cast",
     "q_fn_date",
-    "q_fn_json",
 )
 
 _BY_MODULE: dict = {}

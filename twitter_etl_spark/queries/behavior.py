@@ -352,6 +352,74 @@ ORACLE["q_behavior_streaks"] = (
 )
 
 
+def q_behavior_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU per observed day — trailing 1/7/28-day
+    distinct-active-user counts, the canonical engagement dashboard
+    triple.
+
+    Rolling COUNT DISTINCT is not sum-decomposable, so the exact
+    distributed form explodes each distinct (user, day) to the ≤28
+    anchor days it supports, then aggregates the MINIMUM gap per
+    (anchor, user) before conditional counting — two plain hash aggs
+    instead of a 3-way multi-distinct (which Spark would Expand into
+    3× the rows). Anchors are restricted to observed event days
+    (broadcast semi-join against the tiny day dimension). Scale: the
+    exploded frame is 28 × |distinct user-days| ≪ 28 × |events|,
+    partitioned on (anchor, user) — no skew beyond a viral day, no
+    global sort; at 100 TB the sketch swap is per-day HLL unioned
+    over the window (q_agg_hll_distinct machinery), same plan shape.
+    Days emit as ISO strings (the q_behavior_streaks idiom)."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    spans = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 27))).alias(
+            "anchor"
+        ),
+    )
+    gaps = (
+        spans.join(F.broadcast(days.select(F.col("day").alias("anchor"))), "anchor")
+        .groupBy("anchor", "user_id")
+        .agg(F.min(F.datediff("anchor", "day")).alias("gap"))
+    )
+    return (
+        gaps.groupBy("anchor")
+        .agg(
+            F.sum((F.col("gap") == 0).cast("long")).alias("dau"),
+            F.sum((F.col("gap") <= 6).cast("long")).alias("wau"),
+            F.count(F.lit(1)).alias("mau"),
+        )
+        .select(
+            F.date_format("anchor", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+        )
+    )
+
+
+QUERIES["q_behavior_dau_wau_mau"] = q_behavior_dau_wau_mau
+ORACLE["q_behavior_dau_wau_mau"] = (
+    "WITH ud AS (SELECT DISTINCT user_id, "
+    "  CAST(date_trunc('day', ts) AS DATE) AS day FROM events), "
+    "days AS (SELECT DISTINCT day FROM ud), "
+    "spans AS (SELECT user_id, day, day + off::INT AS anchor "
+    "  FROM ud, LATERAL (SELECT unnest(range(0, 28)) AS off) u), "
+    "gaps AS (SELECT anchor, user_id, min(anchor - spans.day) AS gap "
+    "  FROM spans JOIN days ON spans.anchor = days.day "
+    "  GROUP BY anchor, user_id) "
+    "SELECT strftime(anchor, '%Y-%m-%d') AS day, "
+    "sum((gap = 0)::INT)::BIGINT AS dau, "
+    "sum((gap <= 6)::INT)::BIGINT AS wau, "
+    "count(*)::BIGINT AS mau "
+    "FROM gaps GROUP BY anchor"
+)
+
+
 #: RFM snapshot date (after the fixture's last event at every SF).
 _RFM_ASOF = "2024-02-01"
 
