@@ -499,3 +499,35 @@ def test_cache_latest_keeps_one_slot(spark):
         held = cacheutil._SLOTS.pop("test_slot", None)
         if held is not None:
             held.unpersist(blocking=False)
+
+
+def test_lttb_two_level_invariants(spark):
+    """The runnable giant-series path: forcing multiple level-1
+    chunks (64-row) must preserve the output contract — same schema,
+    n_out points per long series, both endpoints identical to the
+    single-level picks, pick_order sequential."""
+    from twitter_etl_spark.queries.timeseries import _LTTB_N_OUT, q_ts_lttb
+
+    from conftest import SF_SMOKE as _SF
+
+    single = q_ts_lttb(spark, _SF).collect()
+    double = q_ts_lttb(spark, _SF, two_level=True, level1_chunk=64).collect()
+    assert {r.event_type for r in double} == {r.event_type for r in single}
+
+    def by_series(rows):
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r.event_type, []).append(r)
+        for v in out.values():
+            v.sort(key=lambda r: r.pick_order)
+        return out
+
+    s1, s2 = by_series(single), by_series(double)
+    for et, rows2 in s2.items():
+        rows1 = s1[et]
+        if len(rows1) == _LTTB_N_OUT:
+            assert len(rows2) == _LTTB_N_OUT
+        assert [r.pick_order for r in rows2] == list(range(len(rows2)))
+        # endpoints survive both levels (LTTB always keeps first/last)
+        assert rows2[0].ts_us == rows1[0].ts_us
+        assert rows2[-1].ts_us == rows1[-1].ts_us

@@ -343,7 +343,44 @@ ORACLE["q_ts_decay_sum"] = (
 _LTTB_N_OUT = 50
 
 
-def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lttb_indices(x, y, n_out):
+    """Core LTTB index selection (Steinarsson 2013): NumPy-vectorized
+    within each bucket, sequential across buckets (each bucket's pick
+    anchors the next triangle). Ties in the area argmax take the
+    FIRST index — deterministic."""
+    import numpy as np
+
+    n = len(x)
+    if n <= n_out:
+        return np.arange(n)
+    every = (n - 2) / (n_out - 2)
+    idx = np.empty(n_out, dtype=np.int64)
+    idx[0] = 0
+    a = 0
+    for i in range(n_out - 2):
+        rs = int(np.floor(i * every)) + 1
+        re = int(np.floor((i + 1) * every)) + 1
+        as_ = re
+        ae = min(int(np.floor((i + 2) * every)) + 1, n)
+        avg_x = x[as_:ae].mean() if as_ < ae else x[n - 1]
+        avg_y = y[as_:ae].mean() if as_ < ae else y[n - 1]
+        area = np.abs(
+            (x[a] - avg_x) * (y[rs:re] - y[a])
+            - (x[a] - x[rs:re]) * (avg_y - y[a])
+        )
+        a = rs + int(np.argmax(area))
+        idx[i + 1] = a
+    idx[n_out - 1] = n - 1
+    return idx
+
+
+def q_ts_lttb(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    two_level: bool = False,
+    level1_chunk: int = 512,
+) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
     of each event-type series to ``_LTTB_N_OUT`` visually-
     representative points — the dashboarding downsampler.
@@ -357,45 +394,30 @@ def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar-Python LTTB and structural invariants.
 
     Scale: one shuffle on the series key; per-task memory is one
-    series. A single 100 TB series would need pre-aggregation (e.g.
-    minute OHLC first) or chunked two-level LTTB — the standard
-    practice, noted here rather than hidden. Ties in the triangle
-    area argmax take the FIRST index (NumPy argmax), deterministic."""
+    series. ``two_level=True`` is the RUNNABLE giant-series path:
+    level 1 splits each series into ``level1_chunk``-row positional
+    chunks and LTTB-reduces every chunk IN PARALLEL (per-task memory
+    is one chunk), level 2 runs the same algorithm over the ≤
+    n_out·⌈n/chunk⌉ survivors — the standard two-level
+    approximation (endpoints and overall shape preserved; picks may
+    differ from single-level near chunk seams, which is why the
+    registered/tested form stays single-level)."""
     import numpy as np
     import pandas as pd
 
     n_out = _LTTB_N_OUT
 
-    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+    def pick(pdf: pd.DataFrame, keep_input_shape: bool) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         # pin the epoch unit: Arrow may hand datetime64[ns] or [us]
         # depending on the conversion path
         ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
         x = ts_us.to_numpy().astype(np.float64)
         y = pdf["value"].to_numpy()
-        n = len(pdf)
-        if n <= n_out:
-            idx = np.arange(n)
-        else:
-            every = (n - 2) / (n_out - 2)
-            idx = np.empty(n_out, dtype=np.int64)
-            idx[0] = 0
-            a = 0
-            for i in range(n_out - 2):
-                rs = int(np.floor(i * every)) + 1
-                re = int(np.floor((i + 1) * every)) + 1
-                as_ = re
-                ae = min(int(np.floor((i + 2) * every)) + 1, n)
-                avg_x = x[as_:ae].mean() if as_ < ae else x[n - 1]
-                avg_y = y[as_:ae].mean() if as_ < ae else y[n - 1]
-                area = np.abs(
-                    (x[a] - avg_x) * (y[rs:re] - y[a])
-                    - (x[a] - x[rs:re]) * (avg_y - y[a])
-                )
-                a = rs + int(np.argmax(area))
-                idx[i + 1] = a
-            idx[n_out - 1] = n - 1
+        idx = _lttb_indices(x, y, n_out)
         out = pdf.iloc[idx]
+        if keep_input_shape:  # level 1: survivors stay events-shaped
+            return out[["event_id", "event_type", "ts", "value"]]
         return pd.DataFrame(
             {
                 "event_type": out["event_type"].to_numpy(),
@@ -405,9 +427,29 @@ def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    if two_level:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        chunked = e.withColumn(
+            "chunk",
+            ((F.row_number().over(w) - 1) / F.lit(level1_chunk)).cast(
+                "long"
+            ),
+        )
+        e = (
+            chunked.groupBy("event_type", "chunk")
+            .applyInPandas(
+                lambda pdf: pick(pdf, True),
+                "event_id long, event_type string, ts timestamp, value double",
+            )
+        )
     return e.groupBy("event_type").applyInPandas(
-        lttb, "event_type string, ts_us long, value double, pick_order long"
+        lambda pdf: pick(pdf, False),
+        "event_type string, ts_us long, value double, pick_order long",
     )
 
 
