@@ -127,7 +127,11 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.cast("long").alias("weight"),
             key.alias("sample_key"),
         )
-        .orderBy("sample_key", "doc_id")
+        # NULLS LAST pins Spark to DuckDB's ASC default: a NULL text
+        # (NULL md5 -> NULL key) must lose, not win, the sample slots
+        .orderBy(
+            F.asc_nulls_last("sample_key"), F.asc_nulls_last("doc_id")
+        )
         .limit(_WEIGHTED_K)
     )
 
