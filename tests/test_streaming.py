@@ -898,3 +898,27 @@ def test_statestore_reader_inspects_checkpoint_state(spark):
     assert rows == {0: 7, 1: 7, 2: 6}  # 20 events round-robin over 3 users
     meta = spark.read.format("state-metadata").load(ckpt)
     assert meta.count() >= 1  # operator metadata surfaced too
+
+
+def test_windowed_distinct_users_stream(spark, events_dir):
+    """Streaming DAU shape: HLL-state distinct users per tumbling
+    window — at fixture cardinality (2 users) the 1%-rsd sketch is
+    exact, and the duplicate event inflates n_events but not
+    n_active."""
+    from twitter_etl_spark.streaming import windowed_distinct_users
+
+    out = _run_to_memory(
+        spark,
+        windowed_distinct_users(_events_stream(spark, events_dir)),
+        "t_dau",
+        "complete",
+    ).collect()
+    by_w = {
+        (r["window_start"].hour, r["window_start"].minute): r for r in out
+    }
+    # 00:00 window: users 1 and 2 active (events 1, 2, 5, 5dup)
+    assert by_w[(0, 0)]["n_active"] == 2
+    assert by_w[(0, 0)]["n_events"] == 4
+    # 00:10 and 01:00 windows: user 1 only
+    assert by_w[(0, 10)]["n_active"] == 1
+    assert by_w[(1, 0)]["n_active"] == 1

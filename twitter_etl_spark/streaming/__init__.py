@@ -19,6 +19,7 @@ from .microbatch import (
 from .stateful import running_user_totals
 from .windows import (
     sessionized_stream,
+    windowed_distinct_users,
     sliding_counts,
     stream_stream_join,
     streaming_dedup,
@@ -35,4 +36,5 @@ __all__ = [
     "sessionized_stream",
     "stream_stream_join",
     "streaming_dedup",
+    "windowed_distinct_users",
 ]
