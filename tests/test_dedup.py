@@ -321,3 +321,39 @@ def test_sample_weighted_is_deterministic_and_replicated(spark):
     # it reads the same files; determinism is hash-only)
     again = q_sample_weighted(spark, SF_ORACLE).collect()
     assert got == again
+
+
+def test_containment_catches_subsumed_doc_jaccard_misses(spark, tmp_path):
+    """The motivating case: doc 1 fully embedded in the much longer
+    doc 2 scores containment 1.0 while its Jaccard is far below the
+    0.3 report threshold — the subset-detection gap containment
+    closes."""
+    import pandas as pd
+
+    from twitter_etl_spark.queries.dedup import (
+        q_dedup_containment,
+        q_dedup_ngram_jaccard,
+    )
+
+    short = " ".join(f"tok{i}" for i in range(10))
+    long = short + " " + " ".join(f"pad{i}" for i in range(60))
+    other = " ".join(f"zzz{i}" for i in range(12))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [short, long, other],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(short), len(long), len(other)],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+    cont = {(r.doc_a, r.doc_b): r for r in q_dedup_containment(spark, sf).collect()}
+    assert (1, 2) in cont
+    assert cont[(1, 2)].contain_a_in_b == 1.0  # all of doc 1's shingles
+    assert cont[(1, 2)].contain_b_in_a < 0.2
+    jac = {(r.doc_a, r.doc_b) for r in q_dedup_ngram_jaccard(spark, sf).collect()}
+    assert (1, 2) not in jac  # jaccard-only dedup misses the subset

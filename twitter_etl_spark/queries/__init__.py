@@ -113,10 +113,11 @@ _MODULES = (
 #            r2-stale names displaced from the r7 prefix; slot 43 =
 #            q_dedup_exact_substring (new in r8); slot 44 =
 #            q_sample_weighted (new in r8); slot 45 =
-#            q_behavior_dau_wau_mau (new in r8); slots 46-50 = the
-#            oldest r3-stale scalar-fn/dedup names (q_fn_json,
-#            q_fn_map and q_fn_math re-certs wait for r9 — displaced
-#            by the new ops).
+#            q_behavior_dau_wau_mau (new in r8); slot 46 =
+#            q_dedup_containment (new in r8); slots 47-50 = the
+#            oldest r3-stale scalar-fn/dedup names (q_fn_date,
+#            q_fn_json, q_fn_map and q_fn_math re-certs wait for r9
+#            — displaced by the new ops).
 #            tests/test_cli.py::test_cert_prefix_contract pins the
 #            arithmetic (exactly 50, rows-only allowlisted, every
 #            registry name certified-or-queued) so this comment can
@@ -175,12 +176,13 @@ _CERT_PREFIX = (
     "q_sample_weighted",
     # -- slot 45: new in r8 (DAU/WAU/MAU engagement triple)
     "q_behavior_dau_wau_mau",
-    # -- slots 46-50: oldest r3-stale re-certs
+    # -- slot 46: new in r8 (asymmetric shingle containment)
+    "q_dedup_containment",
+    # -- slots 47-50: oldest r3-stale re-certs
     "q_dedup_normalized",
     "q_fn_array",
     "q_fn_case",
     "q_fn_cast",
-    "q_fn_date",
 )
 
 _BY_MODULE: dict = {}

@@ -192,6 +192,76 @@ def q_dedup_ngram_jaccard(
     )
 
 
+#: minimum directional containment reported by q_dedup_containment.
+CONTAIN_MIN = 0.5
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs — C(A→B) = |A∩B| / |A| —
+    the quote/subset detector (RefinedWeb/MassiveText-style): a
+    short doc fully embedded in a longer one scores ~1.0 on
+    containment while its Jaccard can be arbitrarily small (the
+    union is dominated by the long doc), so Jaccard-only dedup
+    systematically misses subsumed documents.
+
+    Same inverted-index machinery as q_dedup_ngram_jaccard (distinct
+    3-gram shingles → df-capped posting lists → upper-triangle
+    in-bucket pair generation → intersection counts); only the final
+    metric differs: both directions are emitted and a pair survives
+    when either containment ≥ ``CONTAIN_MIN``. Scale profile is
+    identical to the Jaccard twin — cost follows shingle
+    co-occurrence under the df cap, never |D|²."""
+    d = _spread(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", _tokens().alias("toks")
+        )
+    )
+    sh = d.select("doc_id", _shingles().alias("s")).select(
+        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("sh_key")
+    )
+    buckets = (
+        sh.groupBy("sh_key")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias(
+                "docs"
+            )
+        )
+        .filter(F.size("docs").between(2, MAX_SHINGLE_DF))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.n_sh").alias("n_a"),
+        F.col("p.b.n_sh").alias("n_b"),
+    ).agg(F.count(F.lit(1)).alias("n_inter"))
+    c_ab = F.round(F.col("n_inter") / F.col("n_a"), 6)
+    c_ba = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+        )
+        .filter(
+            F.greatest("contain_a_in_b", "contain_b_in_a") >= CONTAIN_MIN
+        )
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (rows-only: MLlib hash family
     is engine-specific). This is the 100 TB path: shingle sets ->
@@ -555,6 +625,7 @@ QUERIES = {
     "q_dedup_url_canonical": q_dedup_url_canonical,
     "q_dedup_normalized": q_dedup_normalized,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_containment": q_dedup_containment,
     "q_dedup_paragraph": q_dedup_paragraph,
     "q_dedup_minhash": q_dedup_minhash,  # rows-only
     "q_dedup_simhash": q_dedup_simhash,  # rows-only
@@ -632,6 +703,26 @@ ORACLE = {
         "SELECT t.doc_id, coalesce(k.text_dedup, '') AS text_dedup, "
         "coalesce(k.kept_spans, 0)::BIGINT AS kept_spans, t.total_spans "
         "FROM totals t LEFT JOIN kept k USING (doc_id)"
+    ),
+    "q_dedup_containment": (
+        "WITH t AS (SELECT doc_id, " + _SQL_TOKENS + " AS toks FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "  range(1, greatest(len(toks) - 2, 0) + 1), "
+        "  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM t), "
+        "ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh), "
+        "keep AS (SELECT shingle FROM ex GROUP BY shingle "
+        "         HAVING count(*) <= 128), "
+        "exk AS (SELECT ex.* FROM ex JOIN keep USING (shingle)), "
+        "inter AS ("
+        "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, "
+        "         b.n_sh AS n_b, count(*) AS n_inter "
+        "  FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "  GROUP BY 1, 2, 3, 4) "
+        "SELECT doc_a, doc_b, "
+        "round(n_inter * 1.0 / n_a, 6) AS contain_a_in_b, "
+        "round(n_inter * 1.0 / n_b, 6) AS contain_b_in_a "
+        "FROM inter WHERE greatest(round(n_inter * 1.0 / n_a, 6), "
+        "round(n_inter * 1.0 / n_b, 6)) >= 0.5"
     ),
     "q_dedup_ngram_jaccard": (
         "WITH t AS (SELECT doc_id, " + _SQL_TOKENS + " AS toks FROM documents), "
