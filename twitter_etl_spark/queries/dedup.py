@@ -112,6 +112,69 @@ def ngram_jaccard_dropped_shingles(
     )
 
 
+def _shingle_intersections(
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int = MAX_SHINGLE_DF,
+    digest_keys: bool = False,
+) -> DataFrame:
+    """Shared inverted-index intersection pipeline for the shingle
+    near-dup family: distinct 3-gram shingles → df-capped posting
+    lists → upper-triangle in-bucket pair generation → per-pair
+    intersection counts. Returns (doc_a, doc_b, n_a, n_b, n_inter)
+    with doc_a < doc_b.
+
+    Posting-list pair generation: group the inverted index by
+    shingle key, emit in-bucket pairs via higher-order functions —
+    shingles are computed and shuffled ONCE (a self-join computes
+    and shuffles them twice): measured ~2x faster. The df cap drops
+    stop-shingle buckets before the quadratic step, so no single
+    collect_list row can exceed max_df entries; hot-corpus recall
+    falls back to the MinHash-LSH twin (q_dedup_minhash), whose
+    banding never materializes a bucket product. Use
+    ngram_jaccard_dropped_shingles to audit the drop. size >= 2:
+    singleton buckets (the vast majority of shingles) generate zero
+    pairs — dropping them skips the pair transform/flatten/explode
+    machinery for most of the index. Upper-triangle generation
+    (struct sort is doc_id-major, so positional pairs are already
+    doc_a < doc_b): n(n-1)/2 structs per bucket instead of n² with
+    half filtered away — same rewrite as q_dedup_minhash_banded's
+    bucket stage."""
+    d = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    )
+    key = (
+        F.xxhash64(F.col("shingle")) if digest_keys else F.col("shingle")
+    ).alias("sh_key")
+    sh = d.select("doc_id", _shingles().alias("s")).select(
+        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("shingle")
+    ).select("doc_id", "n_sh", key)
+    buckets = (
+        sh.groupBy("sh_key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs"))
+        .filter(F.size("docs").between(2, max_df))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.n_sh").alias("n_a"),
+        F.col("p.b.n_sh").alias("n_b"),
+    ).agg(F.count(F.lit(1)).alias("n_inter"))
+
+
 def q_dedup_ngram_jaccard(
     spark: SparkSession,
     sf_dir: str,
@@ -135,55 +198,7 @@ def q_dedup_ngram_jaccard(
     byte saving when no network is involved, so string stays the
     local default; flip it on clusters. Both variants are
     oracle-checked at sf0.01 (no collisions there, identical)."""
-    d = _spread(
-        table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
-    )
-    key = (
-        F.xxhash64(F.col("shingle")) if digest_keys else F.col("shingle")
-    ).alias("sh_key")
-    sh = d.select("doc_id", _shingles().alias("s")).select(
-        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("shingle")
-    ).select("doc_id", "n_sh", key)
-    # Posting-list pair generation: group the inverted index by
-    # shingle key, emit in-bucket pairs via higher-order functions —
-    # shingles are computed and shuffled ONCE (a self-join computes
-    # and shuffles them twice): measured ~2x faster. The df cap
-    # below drops stop-shingle buckets before the quadratic step, so
-    # no single collect_list row can exceed max_df entries;
-    # hot-corpus recall falls back to the MinHash-LSH twin
-    # (q_dedup_minhash), whose banding never materializes a bucket
-    # product. Use ngram_jaccard_dropped_shingles to audit the drop.
-    # size >= 2: singleton buckets (the vast majority of shingles)
-    # generate zero pairs — dropping them here skips the pair
-    # transform/flatten/explode machinery for most of the index
-    buckets = (
-        sh.groupBy("sh_key")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs"))
-        .filter(F.size("docs").between(2, max_df))
-    )
-    # upper-triangle pair generation (struct sort is doc_id-major, so
-    # positional pairs are already doc_a < doc_b): n(n-1)/2 structs
-    # built per bucket instead of n^2 with half filtered away — same
-    # rewrite as q_dedup_minhash_banded's bucket stage
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("docs"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    inter = pairs.groupBy(
-        F.col("p.a.doc_id").alias("doc_a"),
-        F.col("p.b.doc_id").alias("doc_b"),
-        F.col("p.a.n_sh").alias("n_a"),
-        F.col("p.b.n_sh").alias("n_b"),
-    ).agg(F.count(F.lit(1)).alias("n_inter"))
+    inter = _shingle_intersections(spark, sf_dir, max_df, digest_keys)
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
         inter.withColumn("jaccard", F.round(jac, 6))
@@ -211,42 +226,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     when either containment ≥ ``CONTAIN_MIN``. Scale profile is
     identical to the Jaccard twin — cost follows shingle
     co-occurrence under the df cap, never |D|²."""
-    d = _spread(
-        table(spark, sf_dir, "documents").select(
-            "doc_id", _tokens().alias("toks")
-        )
-    )
-    sh = d.select("doc_id", _shingles().alias("s")).select(
-        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("sh_key")
-    )
-    buckets = (
-        sh.groupBy("sh_key")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias(
-                "docs"
-            )
-        )
-        .filter(F.size("docs").between(2, MAX_SHINGLE_DF))
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("docs"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    inter = pairs.groupBy(
-        F.col("p.a.doc_id").alias("doc_a"),
-        F.col("p.b.doc_id").alias("doc_b"),
-        F.col("p.a.n_sh").alias("n_a"),
-        F.col("p.b.n_sh").alias("n_b"),
-    ).agg(F.count(F.lit(1)).alias("n_inter"))
+    inter = _shingle_intersections(spark, sf_dir)
     c_ab = F.round(F.col("n_inter") / F.col("n_a"), 6)
     c_ba = F.round(F.col("n_inter") / F.col("n_b"), 6)
     return (
