@@ -359,3 +359,36 @@ def test_interval_join_is_equi_on_bins_not_bnlj(spark):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p  # AQE may broadcast the tiny fixture side
     )
+
+
+def test_plan_snapshot_matches(spark):
+    """Plan-drift tripwire (r8): every query's physical-plan operator
+    fingerprint must match the committed PLAN_SNAPSHOT.json. A
+    mismatch means a plan silently changed shape (a broadcast decayed
+    to sort-merge, an exchange appeared, a Python stage crept in) —
+    exactly the class of regression the r7 bench-drift investigation
+    could not distinguish from host noise. If the change is
+    intentional, regenerate with ``python tools/gen_plan_snapshot.py``
+    and commit the diff alongside the code."""
+    import json
+    import os
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, os.path.join(root, "tools"))
+    import gen_plan_snapshot as gps
+
+    committed = json.load(open(os.path.join(root, "PLAN_SNAPSHOT.json")))
+    drift = {}
+    for name in sorted(ALL_QUERIES):
+        if name in gps.SKIP:
+            continue
+        plan = _plan(spark, name)
+        got = gps.fingerprint(plan)
+        want = committed.get(name)
+        if got != want:
+            drift[name] = {"committed": want, "actual": got}
+    assert not drift, (
+        "plan fingerprints drifted (regenerate tools/gen_plan_snapshot.py "
+        f"if intentional): {json.dumps(drift, indent=1)[:2000]}"
+    )
