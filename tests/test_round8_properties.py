@@ -1,0 +1,146 @@
+"""Property tests for the round-8 operators (SURVEY.md §5.2 model):
+
+- the strict funnel agrees with a sequential pure-Python
+  greedy-earliest matcher on Hypothesis-generated event logs
+  (including ties, missing steps, and out-of-order arrivals);
+- shingle containment agrees with brute-force Python set math on
+  random token documents (values AND the ≥0.5 report cut).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,  # Spark job latency is not a property failure
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+_TYPES = ["view", "click", "purchase", "other"]
+
+# (user, event_type, minute) logs: few users, colliding timestamps
+# on purpose (minute range 0-5 forces ties), every step optional
+_LOG = st.lists(
+    st.tuples(
+        st.integers(1, 4),
+        st.sampled_from(_TYPES),
+        st.integers(0, 5),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _funnel_reference(rows):
+    """Sequential greedy-earliest matcher: first view; first click
+    at-or-after it; first purchase at-or-after that click."""
+    by_user: dict = {}
+    for u, t, m in rows:
+        by_user.setdefault(u, []).append((m, t))
+    n_users = len(by_user)
+    n_view = n_click = n_purchase = 0
+    for evs in by_user.values():
+        views = sorted(m for m, t in evs if t == "view")
+        if not views:
+            continue
+        n_view += 1
+        t_view = views[0]
+        clicks = sorted(m for m, t in evs if t == "click" and m >= t_view)
+        if not clicks:
+            continue
+        n_click += 1
+        t_click = clicks[0]
+        purch = sorted(m for m, t in evs if t == "purchase" and m >= t_click)
+        if purch:
+            n_purchase += 1
+    return n_users, n_view, n_click, n_purchase
+
+
+@given(_LOG)
+@settings(**_SETTINGS)
+def test_funnel_strict_matches_sequential_reference(spark, rows):
+    from twitter_etl_spark.queries.behavior import funnel_strict_counts
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(minutes=m), u, t, 1.0)
+            for i, (u, t, m) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    got = funnel_strict_counts(df).first()
+    assert (
+        got.n_users,
+        got.n_view,
+        got.n_click_strict,
+        got.n_purchase_strict,
+    ) == _funnel_reference(rows)
+
+
+# token documents over a tiny alphabet so shingle overlap is common;
+# include docs shorter than the 3-gram window (empty shingle sets)
+_DOCS = st.lists(
+    st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _containment_reference(docs):
+    """Brute-force distinct-3-gram-shingle containment over all doc
+    pairs sharing at least one shingle (df cap unreachable at this
+    corpus size)."""
+    sets = {
+        i: {
+            " ".join(toks[k : k + 3])
+            for k in range(max(len(toks) - 2, 0))
+        }
+        for i, toks in enumerate(docs)
+    }
+    out = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            c_ab = round(inter / len(sets[a]), 6)
+            c_ba = round(inter / len(sets[b]), 6)
+            if max(c_ab, c_ba) >= 0.5:
+                out[(a, b)] = (c_ab, c_ba)
+    return out
+
+
+@given(_DOCS)
+@settings(**_SETTINGS)
+def test_containment_matches_bruteforce_reference(spark, docs):
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.dedup import (
+        CONTAIN_MIN,
+        _tokens,
+        shingle_intersections_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    ).select("doc_id", _tokens().alias("toks"))
+    inter = shingle_intersections_frame(df)
+    c_ab = F.round(F.col("n_inter") / F.col("n_a"), 6)
+    c_ba = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    got = {
+        (r.doc_a, r.doc_b): (r.c_ab, r.c_ba)
+        for r in inter.select(
+            "doc_a", "doc_b", c_ab.alias("c_ab"), c_ba.alias("c_ba")
+        )
+        .filter(F.greatest("c_ab", "c_ba") >= CONTAIN_MIN)
+        .collect()
+    }
+    assert got == _containment_reference(docs)

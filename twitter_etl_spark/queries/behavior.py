@@ -72,7 +72,16 @@ def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     every later step stays NULL. The per-user roll-up reuses the
     window's hash partitioning (no second shuffle), then a 1-row
     conditional count."""
-    e = table(spark, sf_dir, "events")
+    return funnel_strict_counts(table(spark, sf_dir, "events"))
+
+
+def funnel_strict_counts(e: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`q_funnel_strict` (any frame with
+    user_id/event_type/ts). Greedy-earliest matching is COMPLETE: if
+    any view ≤ click ≤ purchase triple exists for a user, then the
+    first view ≤ that click, so a first qualifying click exists and
+    is ≤ that click, and that purchase still qualifies after it —
+    no ordered triple is ever missed."""
     w = Window.partitionBy("user_id")
     staged = (
         e.select("user_id", "event_type", "ts")

@@ -143,6 +143,16 @@ def _shingle_intersections(
     d = _spread(
         table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
     )
+    return shingle_intersections_frame(d, max_df, digest_keys)
+
+
+def shingle_intersections_frame(
+    d: DataFrame,
+    max_df: int = MAX_SHINGLE_DF,
+    digest_keys: bool = False,
+) -> DataFrame:
+    """Frame-level core of :func:`_shingle_intersections` (any frame
+    with doc_id + a ``toks`` token array)."""
     key = (
         F.xxhash64(F.col("shingle")) if digest_keys else F.col("shingle")
     ).alias("sh_key")
