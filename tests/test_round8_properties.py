@@ -144,3 +144,111 @@ def test_containment_matches_bruteforce_reference(spark, docs):
         .collect()
     }
     assert got == _containment_reference(docs)
+
+
+def _dau_reference(rows):
+    """Python DAU/WAU/MAU: per observed day, distinct users active in
+    the trailing 1/7/28 days."""
+    udays = {(u, d) for u, d in rows}
+    days = sorted({d for _, d in udays})
+    out = {}
+    for anchor in days:
+        dau = {u for u, d in udays if d == anchor}
+        wau = {u for u, d in udays if 0 <= anchor - d <= 6}
+        mau = {u for u, d in udays if 0 <= anchor - d <= 27}
+        out[anchor] = (len(dau), len(wau), len(mau))
+    return out
+
+
+_ACTIVITY = st.lists(
+    st.tuples(st.integers(1, 5), st.integers(0, 40)),  # (user, day-offset)
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_ACTIVITY)
+@settings(**_SETTINGS)
+def test_dau_wau_mau_matches_reference(spark, rows):
+    from twitter_etl_spark.queries.behavior import q_behavior_dau_wau_mau
+
+    base = dt.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                dt.datetime(2024, 1, 1, 12)
+                + dt.timedelta(days=d, minutes=i),
+                u,
+                "click",
+                1.0,
+            )
+            for i, (u, d) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    import os
+    import tempfile
+
+    sf = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    got = {
+        (dt.date.fromisoformat(r.day) - base).days: (r.dau, r.wau, r.mau)
+        for r in q_behavior_dau_wau_mau(spark, sf).collect()
+    }
+    assert got == _dau_reference(rows)
+
+
+_TOKDOCS = st.lists(
+    st.lists(st.sampled_from(list("xyz")), min_size=0, max_size=20),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _substring_reference(docs, w=8):
+    """Brute-force sliding w-token window counts, cross-doc only."""
+    from collections import defaultdict
+
+    occ = defaultdict(int)
+    holders = defaultdict(set)
+    for i, toks in enumerate(docs):
+        for k in range(len(toks) - w + 1):
+            g = " ".join(toks[k : k + w])
+            occ[g] += 1
+            holders[g].add(i)
+    return {
+        g: (len(holders[g]), occ[g]) for g in occ if len(holders[g]) >= 2
+    }
+
+
+@given(_TOKDOCS)
+@settings(**_SETTINGS)
+def test_exact_substring_matches_reference(spark, docs):
+    import hashlib
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.dedup import (
+        _SUBSTR_TOKENS,
+        q_dedup_exact_substring,
+    )
+
+    sf = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [
+            (i, " ".join(toks), "en", "s", len(toks))
+            for i, toks in enumerate(docs)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r.gram_hash: (r.n_docs, r.n_occ)
+        for r in q_dedup_exact_substring(spark, sf).collect()
+    }
+    want = {
+        hashlib.md5(g.encode()).hexdigest(): v
+        for g, v in _substring_reference(docs, _SUBSTR_TOKENS).items()
+    }
+    assert got == want
