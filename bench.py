@@ -57,6 +57,13 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_graph_jaccard",
     "q_text_bpe_pairs",
+    # new in r8 — tracked from birth so no round ever ships
+    # unbenched shuffle work again
+    "q_funnel_strict",
+    "q_dedup_exact_substring",
+    "q_dedup_containment",
+    "q_sample_weighted",
+    "q_behavior_dau_wau_mau",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no
