@@ -64,6 +64,11 @@ HEADLINE = [
     "q_dedup_containment",
     "q_sample_weighted",
     "q_behavior_dau_wau_mau",
+    "q_agg_countmin",
+    "q_dedup_bloom",
+    "q_sim_lsh_rhp",
+    "q_dedup_minhash_est",
+    "q_text_bigram_lm",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

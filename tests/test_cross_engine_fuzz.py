@@ -95,3 +95,51 @@ def test_accented_stopwords_follow_reference_semantics(spark):
     ).collect()
     bad = {r["t"]: (r["got"], r["want"]) for r in out if r["got"] != r["want"]}
     assert not bad, bad
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """q_text_bigram_lm against a pure-Python add-0.5 bigram LM on
+    the smoke fixture: same vocabulary, same conditional counts,
+    same fixed-point rounding chain."""
+    import math
+    from collections import Counter
+
+    from conftest import SF_SMOKE
+    from twitter_etl_spark.queries.webcorpus import (
+        _BIGRAM_ALPHA,
+        q_text_bigram_lm,
+    )
+    from twitter_etl_spark.tables import table
+
+    docs = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+    c2: Counter = Counter()
+    vocab = set()
+    for toks in docs.values():
+        vocab.update(toks)
+        c2.update(zip(toks, toks[1:]))
+    c1: Counter = Counter()
+    for (p, _), n in c2.items():
+        c1[p] += n
+    v = len(vocab)
+
+    def fp(p, c):
+        pr = (c2[(p, c)] + _BIGRAM_ALPHA) / (c1[p] + _BIGRAM_ALPHA * v)
+        return math.floor(round(-math.log(pr), 6) * 1e6 + 0.5)
+
+    expected = {}
+    for doc_id, toks in docs.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        expected[doc_id] = (
+            len(bgs),
+            round(sum(fp(p, c) for p, c in bgs) / len(bgs) / 1e6, 4),
+        )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neglogp2"])
+        for r in q_text_bigram_lm(spark, SF_SMOKE).collect()
+    }
+    assert got == expected

@@ -357,3 +357,47 @@ def test_containment_catches_subsumed_doc_jaccard_misses(spark, tmp_path):
     assert cont[(1, 2)].contain_b_in_a < 0.2
     jac = {(r.doc_a, r.doc_b) for r in q_dedup_ngram_jaccard(spark, sf).collect()}
     assert (1, 2) not in jac  # jaccard-only dedup misses the subset
+
+
+def test_bloom_no_false_negatives_and_split_parity(spark):
+    """q_dedup_bloom: a bloom filter can false-positive but NEVER
+    false-negative — every exact duplicate must be flagged — and its
+    batch universe is exactly q_dedup_incremental's (same re-crawl
+    split), so the two membership strategies are comparable row for
+    row."""
+    from conftest import SF_SMOKE
+
+    from twitter_etl_spark.queries.dedup import q_dedup_bloom
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        rows = q_dedup_bloom(spark, sf).collect()
+        assert rows
+        assert not any(
+            r["exact_dup"] == 1 and r["bloom_hit"] == 0 for r in rows
+        ), "bloom filters have no false negatives"
+        # the re-crawled 20% guarantees true hits exist
+        assert any(r["exact_dup"] == 1 for r in rows)
+
+
+def test_minhash_est_error_bounded_and_pairs_match_exact(spark):
+    """q_dedup_minhash_est: the estimator's pair set is exactly the
+    exact-Jaccard near-dup pair set (same pipeline, same threshold),
+    every estimate lands in [0,1], and the K=64 estimation error
+    stays within ~2 sigma (sqrt(J(1-J))/8 ~ 0.057 at J=0.3) on the
+    deterministic fixture."""
+    from conftest import SF_ORACLE
+
+    from twitter_etl_spark.queries.dedup import (
+        q_dedup_minhash_est,
+        q_dedup_ngram_jaccard,
+    )
+
+    est = q_dedup_minhash_est(spark, SF_ORACLE).collect()
+    assert est
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_ngram_jaccard(spark, SF_ORACLE).collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in est} == exact
+    assert all(0.0 <= r["jaccard_est"] <= 1.0 for r in est)
+    assert all(r["abs_err"] <= 0.12 for r in est)

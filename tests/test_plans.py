@@ -95,6 +95,7 @@ _SINGLE_PARTITION_OK = {
     "q_text_heavyhitters",
     "q_text_tfidf",
     "q_text_unigram_logprob",
+    "q_text_bigram_lm",  # 1-row vocab-size agg, broadcast onto the model
     "q_text_ccnet_bucket",  # inherits unigram_logprob's 1-row total agg
     "q_text_zipf",
     "q_retrieval_rrf",  # rank windows ride the two LIMIT-20 arm frames

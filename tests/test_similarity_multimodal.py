@@ -205,3 +205,30 @@ def test_kmeans_matches_numpy_replica(spark):
             round(float(np.linalg.norm(cents[c])), 4),
             abs_tol=2e-4,
         )
+
+
+def test_rhp_lsh_refine_sound_and_recall_pinned(spark):
+    """q_sim_lsh_rhp: every emitted pair really clears the cosine
+    threshold (candidate generation may be approximate; the refine
+    is exact), and the banded geometry recovers >= 75% of the exact
+    label-blocked twin's pairs at the oracle scale — the measured
+    recall for 8x4 banding in this fixture's weak (theta ~ 69 deg)
+    regime, deterministic because the hyperplanes are fixed
+    literals."""
+    from tests.conftest import SF_ORACLE
+    from twitter_etl_spark.queries.similarity import (
+        _RHP_THRESHOLD,
+        q_sim_embedding_neardup,
+        q_sim_lsh_rhp,
+    )
+
+    got = q_sim_lsh_rhp(spark, SF_ORACLE).collect()
+    assert got
+    assert all(r["cos_sim"] >= _RHP_THRESHOLD for r in got)
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_sim_embedding_neardup(spark, SF_ORACLE).collect()
+    }
+    found = {(r["vec_a"], r["vec_b"]) for r in got}
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.75, f"recall {recall:.3f} below the 8x4-band pin"

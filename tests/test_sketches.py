@@ -181,3 +181,19 @@ def test_topk_sketch_exact_in_regime(spark):
         )
         want = {(r["o_orderpriority"], r["n"]) for r in exact}
         assert got == want, (sf, got, want)
+
+
+def test_countmin_one_sided_error_with_real_collisions(spark):
+    """Count-min estimates never undercount (min over depth rows of
+    hashed cells >= true count), and the deliberately-narrow width
+    (16 < vocab 31) forces at least one REAL collision overcount —
+    the sketch's error model actually exercises at fixture scale."""
+    from twitter_etl_spark.queries.sketches import q_agg_countmin
+
+    rows = q_agg_countmin(spark, SF_SMOKE).collect()
+    assert rows, "probe set must be non-empty"
+    assert all(r["cm_est"] >= r["n_true"] for r in rows)
+    assert all(r["overcount"] == r["cm_est"] - r["n_true"] for r in rows)
+    assert any(r["overcount"] > 0 for r in rows), (
+        "width below vocab must produce at least one collision"
+    )

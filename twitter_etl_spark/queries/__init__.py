@@ -114,10 +114,14 @@ _MODULES = (
 #            q_dedup_exact_substring (new in r8); slot 44 =
 #            q_sample_weighted (new in r8); slot 45 =
 #            q_behavior_dau_wau_mau (new in r8); slot 46 =
-#            q_dedup_containment (new in r8); slots 47-50 = the
-#            oldest r3-stale scalar-fn/dedup names (q_fn_date,
-#            q_fn_json, q_fn_map and q_fn_math re-certs wait for r9
-#            — displaced by the new ops).
+#            q_dedup_containment (new in r8); slots 46-50 = the five
+#            ops new in late r8 (q_agg_countmin, q_dedup_bloom,
+#            q_sim_lsh_rhp, q_dedup_minhash_est, q_text_bigram_lm —
+#            every new op certs in its birth round), so the
+#            displaced re-certs (q_agg_approx_distinct rows-only,
+#            q_dedup_normalized, q_fn_array, q_fn_case, q_fn_cast)
+#            join q_fn_date, q_fn_json, q_fn_map and q_fn_math in
+#            the r9 queue.
 #            tests/test_cli.py::test_cert_prefix_contract pins the
 #            arithmetic (exactly 50, rows-only allowlisted, every
 #            registry name certified-or-queued) so this comment can
@@ -169,7 +173,6 @@ _CERT_PREFIX = (
     "q_sort_multi",
     "q_join_cross",
     "q_join_right",
-    "q_agg_approx_distinct",
     # -- slot 43: new in r8 (Lee-et-al-style exact-substring dedup)
     "q_dedup_exact_substring",
     # -- slot 44: new in r8 (Efraimidis-Spirakis weighted sampling)
@@ -178,11 +181,15 @@ _CERT_PREFIX = (
     "q_behavior_dau_wau_mau",
     # -- slot 46: new in r8 (asymmetric shingle containment)
     "q_dedup_containment",
-    # -- slots 47-50: oldest r3-stale re-certs
-    "q_dedup_normalized",
-    "q_fn_array",
-    "q_fn_case",
-    "q_fn_cast",
+    # -- slots 46-50: new in late r8 (certifiable sketch/membership/
+    #    LSH/estimator/LM — the deterministic-md5/integer-literal
+    #    trick upgrades traditionally rows-only families to hash
+    #    certs)
+    "q_agg_countmin",
+    "q_dedup_bloom",
+    "q_sim_lsh_rhp",
+    "q_dedup_minhash_est",
+    "q_text_bigram_lm",
 )
 
 _BY_MODULE: dict = {}

@@ -734,3 +734,259 @@ ORACLE = {
         "FROM inter WHERE round(n_inter * 1.0 / (n_a + n_b - n_inter), 6) >= 0.3"
     ),
 }
+
+
+# Bloom-filter geometry for the approximate-membership twin of
+# q_dedup_incremental: m bits, k hashes. At the sf0.1 base
+# (~4k distinct digests) the fill is 1-exp(-k*n/m) ~ 0.26, giving
+# a ~0.1% false-positive rate — small but NONZERO by design, so the
+# false-positive column below actually exercises. Production sizes
+# m ~ 1.44 * n * log2(1/p) bits and re-builds as n grows.
+_BLOOM_M = 1 << 16
+_BLOOM_K = 5
+
+
+def _bloom_pos(j_col: Column, digest_col: Column) -> Column:
+    """Bit position j for a digest: 60-bit md5 prefix of "j:digest"
+    mod m — engine-independent integer math (q_dedup_simhash_md5
+    idiom)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", j_col.cast("string"), digest_col)),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_BLOOM_M),
+    )
+
+
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter for incremental dedup —
+    the approximate-membership twin of ``q_dedup_incremental``
+    (same base/batch re-crawl split): every batch document is
+    checked against a bloom filter built from the base corpus's
+    content digests, alongside the exact answer, so the output
+    exposes the filter's false positives row by row (``bloom_hit=1,
+    exact_dup=0``) and its guaranteed zero false negatives
+    (Bloom 1970, CACM — public; [EXT] crawler front-door surface,
+    reference scope: main.R:105 dedups within one chunk only).
+
+    Deterministic end to end: bit positions are md5-prefix integers,
+    the filter is the SET of positions (a relation, not a bitmap
+    object), so the DuckDB oracle rebuilds the identical filter and
+    the cert is a hash match — the same trick that makes
+    ``q_agg_countmin`` certifiable.
+
+    Scale: the base side collapses to at most m (=65536) distinct
+    bit-position rows — CONSTANT in corpus size, vs the full digest
+    index ``q_dedup_incremental`` ships — and broadcasts to every
+    batch task ("one filter, every executor"); the batch side is a
+    per-row projection of k positions plus one broadcast-join +
+    per-doc hash agg, no corpus-wide exchange at all. The exact_dup
+    comparison column (a digest anti-join) is fixture-scale
+    validation of the FP rate; production keeps only the bloom
+    verdict and routes hits to the exact index."""
+    from .sampling import hash_bucket
+
+    d = table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        hash_bucket(F.col("text")).alias("bk"),
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)))
+    base = b.where(F.col("bk") < 80).select("digest").distinct()
+    bits = (
+        base.select(ks.alias("j"), "digest")
+        .select(_bloom_pos(F.col("j"), F.col("digest")).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch = b.where(F.col("bk") >= 80).select("doc_id", "digest").unionAll(
+        b.where(F.col("bk") < 20).select(
+            (F.col("doc_id") + F.lit(_INCR_RECRAWL_SHIFT)).alias("doc_id"),
+            "digest",
+        )
+    )
+    probed = (
+        batch.select("doc_id", "digest", ks.alias("j"))
+        .withColumn("pos", _bloom_pos(F.col("j"), F.col("digest")))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "digest")
+        .agg(
+            (F.sum(F.coalesce("hit", F.lit(0))) == _BLOOM_K)
+            .cast("int")
+            .alias("bloom_hit")
+        )
+    )
+    exact = base.withColumn("exact_dup", F.lit(1))
+    return (
+        probed.join(exact, "digest", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("exact_dup", F.lit(0)).alias("exact_dup"),
+        )
+    )
+
+
+QUERIES["q_dedup_bloom"] = q_dedup_bloom
+
+_BLOOM_POS_SQL = (
+    "(('0x' || substr(md5(j::VARCHAR || ':' || digest), 1, 15))::UBIGINT"
+    f" % {_BLOOM_M})::BIGINT"
+)
+
+ORACLE["q_dedup_bloom"] = (
+    "WITH b AS (SELECT doc_id, md5(text) AS digest, "
+    "(('0x' || substr(md5(text), 1, 8))::UBIGINT % 100) AS bk FROM documents), "
+    f"js AS (SELECT unnest(range({_BLOOM_K})) AS j), "
+    "base AS (SELECT DISTINCT digest FROM b WHERE bk < 80), "
+    f"bits AS (SELECT DISTINCT {_BLOOM_POS_SQL} AS pos "
+    "  FROM base CROSS JOIN js), "
+    "batch AS ("
+    "  SELECT doc_id, digest FROM b WHERE bk >= 80 "
+    "  UNION ALL "
+    f"  SELECT doc_id + {_INCR_RECRAWL_SHIFT}, digest FROM b WHERE bk < 20), "
+    "probed AS (SELECT doc_id, digest, "
+    f"  (count(bits.pos) = {_BLOOM_K})::INT AS bloom_hit "
+    f"  FROM (SELECT doc_id, digest, {_BLOOM_POS_SQL} AS pos "
+    "        FROM batch CROSS JOIN js) p "
+    "  LEFT JOIN bits ON p.pos = bits.pos "
+    "  GROUP BY doc_id, digest) "
+    "SELECT doc_id, bloom_hit, "
+    "(digest IN (SELECT digest FROM base))::INT AS exact_dup "
+    "FROM probed"
+)
+
+
+#: MinHash signature length for the estimator audit. Estimator
+#: std-dev is sqrt(J(1-J))/sqrt(K) ~ 0.057 at J=0.3 with K=64 —
+#: large enough to see real per-pair error in the output, small
+#: enough that the signature build (K md5s per distinct shingle
+#: instance) stays a linear pass.
+_MH_EST_K = 64
+
+
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATION audited against the exact value
+    (Broder 1997, SEQUENCES — public): per near-dup pair (exact
+    3-gram Jaccard >= 0.3, same df-capped pipeline as
+    ``q_dedup_ngram_jaccard``), the K=64-slot MinHash estimate —
+    fraction of slots where the two docs' min-hashes agree — and
+    its absolute error. This certifies the ESTIMATOR itself, which
+    the rest of the MinHash family takes on faith: banded LSH
+    (``q_dedup_minhash_banded``) certifies candidate generation but
+    refines with exact Jaccard, and the MLlib twin
+    (``q_dedup_minhash``) is rows-only. Per-slot hashes are md5
+    prefixes ("j:shingle"), so both engines build the identical
+    signature matrix and the cert is a hash match.
+
+    Scale: signatures are ONE linear pass — explode distinct
+    shingles x K slot hashes, hash-agg min per (doc, slot); the
+    per-(doc,slot) min collapses map-side, so the exchange carries
+    at most docs x K rows (the signature matrix you would persist
+    as the corpus sketch). Estimation touches only candidate pairs
+    x K signature rows via two id-keyed joins — never all pairs,
+    never document text. The exact-Jaccard column is fixture-scale
+    audit; production keeps the estimate and drops the exact
+    pipeline."""
+    inter = _shingle_intersections(spark, sf_dir)
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
+    pairs = (
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )
+    d = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    )
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sig = (
+        sh.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_MH_EST_K - 1))).alias("j"),
+            "shingle",
+        )
+        .select(
+            "doc_id",
+            "j",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("j").cast("string"), "shingle")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("mh"))
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "j", F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "j", F.col("mh").alias("mh_b"))
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "j"])
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(
+            F.round(
+                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / _MH_EST_K, 6
+            ).alias("jaccard_est")
+        )
+    )
+    return est.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        "jaccard_est",
+        F.round(F.abs(F.col("jaccard") - F.col("jaccard_est")), 6).alias("abs_err"),
+    )
+
+
+QUERIES["q_dedup_minhash_est"] = q_dedup_minhash_est
+
+_MH_SLOT_SQL = (
+    "(('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)"
+    "::BIGINT"
+)
+
+ORACLE["q_dedup_minhash_est"] = (
+    "WITH t AS (SELECT doc_id, " + _SQL_TOKENS + " AS toks FROM documents), "
+    "shl AS (SELECT doc_id, list_distinct(list_transform("
+    "  range(1, greatest(len(toks) - 2, 0) + 1), "
+    "  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM t), "
+    "ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM shl), "
+    "keep AS (SELECT shingle FROM ex GROUP BY shingle "
+    "         HAVING count(*) <= 128), "
+    "exk AS (SELECT ex.* FROM ex JOIN keep USING (shingle)), "
+    "inter AS ("
+    "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, "
+    "         b.n_sh AS n_b, count(*) AS n_inter "
+    "  FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "  GROUP BY 1, 2, 3, 4), "
+    "pairs AS (SELECT doc_a, doc_b, "
+    "  round(n_inter * 1.0 / (n_a + n_b - n_inter), 6) AS jaccard "
+    "  FROM inter "
+    "  WHERE round(n_inter * 1.0 / (n_a + n_b - n_inter), 6) >= 0.3), "
+    f"js AS (SELECT unnest(range({_MH_EST_K})) AS j), "
+    f"sig AS (SELECT doc_id, j, min({_MH_SLOT_SQL})::BIGINT AS mh "
+    "  FROM (SELECT doc_id, unnest(s) AS shingle FROM shl) e "
+    "  CROSS JOIN js GROUP BY doc_id, j), "
+    "est AS (SELECT p.doc_a, p.doc_b, p.jaccard, "
+    f"  round(sum((sa.mh = sb.mh)::INT) * 1.0 / {_MH_EST_K}, 6) AS jaccard_est "
+    "  FROM pairs p "
+    "  JOIN sig sa ON sa.doc_id = p.doc_a "
+    "  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.j = sa.j "
+    "  GROUP BY 1, 2, 3) "
+    "SELECT doc_a, doc_b, jaccard, jaccard_est, "
+    "round(abs(jaccard - jaccard_est), 6) AS abs_err FROM est"
+)

@@ -405,3 +405,180 @@ ORACLE = {
         "FROM e0 LEFT JOIN dropped d ON e0.vec_id = d.d_id"
     ),
 }
+
+
+# ---------------------------------------------------------------
+# Deterministic random-hyperplane LSH (Charikar 2002, STOC — the
+# SimHash family lifted to embedding space; public). Unlike
+# q_sim_ann_lsh (MLlib, engine-internal hash family, rows-only),
+# the hyperplanes here are fixed integer literals embedded in BOTH
+# engines, so the bucketing — and therefore the whole query — is
+# oracle-certifiable.
+#
+# Geometry honesty: a hyperplane splits a cos>=t pair with
+# probability acos(t)/pi, so the per-bit agreement for this
+# fixture's near-dup regime (t=0.35, theta ~ 69.5 deg) is only
+# ~0.61 vs 0.5 for a random pair — RHP-LSH separates WEAKLY at low
+# thresholds (its sweet spot is near-dup 0.9+, where agreement is
+# 0.86/bit). 8 bands x 4 bits is tuned for measurable recall in
+# that weak regime (expected ~1-(1-0.61^4)^8 ~ 0.70 of true pairs
+# collide in >= 1 band; the unit test pins the achieved recall
+# against the exact q_sim_embedding_neardup twin). Production at
+# 0.9+ would widen bands (fewer, longer) to cut candidates.
+#
+# Quantization: embeddings scale to integers (x1000 round-half-up)
+# and planes are integers in [-4, 4], so every dot product is
+# integer-valued and exact in BOTH engines' double arithmetic
+# (|dot| << 2^53) — no sign-boundary float divergence by
+# construction.
+_RHP_BANDS = 8
+_RHP_BITS = 4
+_RHP_DIM = 64
+_RHP_MAX_BUCKET = 1024
+_RHP_THRESHOLD = 0.35
+
+
+def _rhp_planes() -> list[list[int]]:
+    import random
+
+    rng = random.Random(20240814)
+    return [
+        [rng.randint(-4, 4) for _ in range(_RHP_DIM)]
+        for _ in range(_RHP_BANDS * _RHP_BITS)
+    ]
+
+
+RHP_PLANES = _rhp_planes()
+
+
+def q_sim_lsh_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs, oracle-certified: sign
+    bits of 32 fixed integer hyperplanes, banded 8x4 into bucket
+    keys; candidate pairs meet ONLY inside a (band, value) bucket
+    (capped at ``_RHP_MAX_BUCKET``), then exact cosine refine at
+    ``_RHP_THRESHOLD``. Output shape matches the exact blocked twin
+    ``q_sim_embedding_neardup`` minus the label column — recall vs
+    that twin is the quality metric (see geometry note above).
+
+    Scale: signature computation is a per-row projection (32
+    integer dots); the only shuffles are the bucket-count cap agg
+    and the in-bucket self-join keyed on (band, value) — never
+    all-pairs; the refine re-joins vectors BY ID so the banded
+    exchange carries 8 small rows per vector, not 8 copies of the
+    vector. Hot buckets (a dead direction in embedding space) are
+    capped exactly like the banded-MinHash path."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)),
+        ).alias("eq"),
+    )
+    e = e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+    def plane_dot(plane: list[int]):
+        arr = F.array(*[F.lit(float(w)) for w in plane])
+        return F.aggregate(
+            F.zip_with(F.col("eq"), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    band_vals = []
+    for b in range(_RHP_BANDS):
+        expr = F.lit(0)
+        for i in range(_RHP_BITS):
+            bit = F.when(
+                plane_dot(RHP_PLANES[b * _RHP_BITS + i]) > 0,
+                F.lit(1 << (_RHP_BITS - 1 - i)),
+            ).otherwise(F.lit(0))
+            expr = expr + bit
+        band_vals.append(expr.cast("int").alias(f"b{b}"))
+
+    sig = e.select("vec_id", *band_vals)
+    buckets = sig.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(_RHP_BANDS)])).alias(
+            "band", "val"
+        ),
+    )
+    counts = buckets.groupBy("band", "val").agg(F.count(F.lit(1)).alias("n"))
+    keep = counts.filter(F.col("n") <= _RHP_MAX_BUCKET).select("band", "val")
+    bk = buckets.join(F.broadcast(keep), ["band", "val"])
+    cand = (
+        bk.alias("a")
+        .join(bk.alias("b"), ["band", "val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _RHP_THRESHOLD)
+    )
+
+
+QUERIES["q_sim_lsh_rhp"] = q_sim_lsh_rhp
+
+
+def _rhp_sql() -> str:
+    def plane_dot_sql(plane: list[int]) -> str:
+        lit = "[" + ", ".join(f"{float(w)!r}" for w in plane) + "]"
+        return f"list_dot_product(eq, {lit})"
+
+    bands = []
+    for b in range(_RHP_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN {plane_dot_sql(RHP_PLANES[b * _RHP_BITS + i])} > 0 "
+            f"THEN {1 << (_RHP_BITS - 1 - i)} ELSE 0 END)"
+            for i in range(_RHP_BITS)
+        )
+        bands.append(f"({bits})::INT AS b{b}")
+    band_cols = ", ".join(bands)
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, b{b} AS val FROM sig"
+        for b in range(_RHP_BANDS)
+    )
+    cos = (
+        "round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6)"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, "
+        + _V
+        + " AS v, "
+        "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS eq "
+        "FROM embeddings), "
+        "en AS (SELECT vec_id, v, eq, sqrt(list_dot_product(v, v)) AS nrm FROM e), "
+        f"sig AS (SELECT vec_id, {band_cols} FROM en), "
+        f"bk0 AS ({unions}), "
+        "keep AS (SELECT band, val FROM bk0 GROUP BY band, val "
+        f"         HAVING count(*) <= {_RHP_MAX_BUCKET}), "
+        "bk AS (SELECT bk0.* FROM bk0 JOIN keep USING (band, val)), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "  FROM bk a JOIN bk b ON a.band = b.band AND a.val = b.val "
+        "  AND a.vec_id < b.vec_id) "
+        f"SELECT vec_a, vec_b, {cos} AS cos_sim "
+        "FROM cand JOIN en ea ON cand.vec_a = ea.vec_id "
+        "JOIN en eb ON cand.vec_b = eb.vec_id "
+        f"WHERE {cos} >= {_RHP_THRESHOLD!r}"
+    )
+
+
+ORACLE["q_sim_lsh_rhp"] = _rhp_sql()

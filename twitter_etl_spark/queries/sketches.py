@@ -191,3 +191,114 @@ def q_agg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_agg_topk_sketch"] = q_agg_topk_sketch  # rows-only
+
+
+# Count-min geometry (Cormode & Muthukrishnan 2005, J.Algorithms —
+# public): depth rows x width buckets. Error bound: each estimate
+# overcounts by at most 2N/width with probability 1 - 2^-depth.
+# The fixture vocabulary is 31 tokens, so width is set BELOW vocab
+# (16) to force real bucket collisions — the point of the exercise
+# is visible, audited collision overcounts, not a vanishing error;
+# production sizes width to N*eps. Hash family: per-depth md5
+# prefixes — the same engine-independent integer idiom as
+# q_dedup_simhash_md5, so the oracle replays the EXACT sketch, not
+# an approximation of it.
+_CM_DEPTH = 3
+_CM_WIDTH = 16
+_CM_TOPK = 20
+
+
+def _cm_bucket(depth_col, token_col):
+    """Row-i bucket for a token: 60-bit md5 prefix of "i:token" mod
+    width. Engine-independent (md5 + integer mod on both sides)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", depth_col.cast("string"), token_col)),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_CM_WIDTH),
+    )
+
+
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the document token stream, probed for
+    the true top-``_CM_TOPK`` tokens: per token, the exact count,
+    the sketch estimate (min over depth rows of the hashed cell),
+    and the overcount — always >= 0, the sketch's one-sided error,
+    auditable row by row ([EXT] §2.4 sketch family; reference scope:
+    main.R:97-101 tokenizes but keeps only exact counts).
+
+    Deterministic end to end (md5 bucket hashes, integer sums), so
+    the DuckDB oracle rebuilds the identical sketch and the cert is
+    a hash match — unlike HLL/topk whose internal tie-breaks force
+    rows-only checks.
+
+    Scale: the sketch build never keys a shuffle on the token — each
+    token instance emits ``_CM_DEPTH`` (row, bucket) pairs and the
+    hash-agg collapses them map-side to at most depth*width partial
+    cells PER TASK, so the exchange is bounded by 1024 rows x tasks
+    regardless of corpus size (the vocab never materializes; a
+    viral token is just a hot cell, already one row per task). The
+    probe side joins the 1024-cell sketch broadcast. The exact
+    top-k comparison column is fixture-scale validation — at 100 TB
+    you would probe with a known query set instead."""
+    d = _spread(table(spark, sf_dir, "documents").select(_tokens().alias("toks")))
+    toks = d.select(F.explode("toks").alias("token"))
+    depths = F.explode(
+        F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))
+    )
+    cells = (
+        toks.select("token", depths.alias("i"))
+        .select("i", _cm_bucket(F.col("i"), F.col("token")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .orderBy(F.col("n_true").desc(), F.col("token"))
+        .limit(_CM_TOPK)
+    )
+    probes = top.select("token", "n_true", depths.alias("i")).withColumn(
+        "bucket", _cm_bucket(F.col("i"), F.col("token"))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("token", "n_true")
+        .agg(F.min("cell").alias("cm_est"))
+        .select(
+            "token",
+            "n_true",
+            "cm_est",
+            (F.col("cm_est") - F.col("n_true")).alias("overcount"),
+        )
+    )
+
+
+QUERIES["q_agg_countmin"] = q_agg_countmin
+
+_CM_BUCKET_SQL = (
+    "(('0x' || substr(md5(i::VARCHAR || ':' || token), 1, 15))::UBIGINT"
+    f" % {_CM_WIDTH})::BIGINT"
+)
+
+ORACLE["q_agg_countmin"] = (
+    "WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) "
+    "  AS token FROM documents), "
+    f"ds AS (SELECT unnest(range({_CM_DEPTH})) AS i), "
+    f"cells AS (SELECT i, {_CM_BUCKET_SQL} AS bucket, "
+    "  count(*)::BIGINT AS cell FROM toks CROSS JOIN ds "
+    "  GROUP BY 1, 2), "
+    "top AS (SELECT token, count(*)::BIGINT AS n_true FROM toks "
+    f"  GROUP BY token ORDER BY n_true DESC, token LIMIT {_CM_TOPK}), "
+    f"probes AS (SELECT token, n_true, i, {_CM_BUCKET_SQL} AS bucket "
+    "  FROM top CROSS JOIN ds) "
+    "SELECT token, n_true, min(cell)::BIGINT AS cm_est, "
+    "(min(cell) - n_true)::BIGINT AS overcount "
+    "FROM probes JOIN cells USING (i, bucket) GROUP BY token, n_true"
+)

@@ -442,3 +442,90 @@ ORACLE["q_text_ccnet_bucket"] = (
     "CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END "
     "AS bucket FROM j"
 )
+
+
+#: add-k smoothing constant for the bigram LM (Lidstone; k=0.5 is
+#: Jeffreys-Perks). Exact binary float (2^-1), so the SQL literal
+#: and the Spark lit are bit-identical by construction.
+_BIGRAM_ALPHA = 0.5
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per document (KenLM-style scoring one
+    order up from ``q_text_unigram_logprob``): p(cur|prev) estimated
+    from the corpus itself with add-0.5 smoothing, score = mean
+    −ln p over the doc's bigrams — the cheap fluency signal CCNet
+    uses a real KenLM for; shuffled-word-order junk scores high here
+    even when its unigram profile is clean.
+
+    Same determinism contract as the unigram twin: each bigram's
+    −ln p is FIXED-POINT (round 6, ×1e6, BIGINT floor) before the
+    per-doc sum, so the distributed reduction is exact integer math.
+
+    Scale: bigram extraction is a per-row zip of shifted slices
+    (codegen'd, no UDF); the model is ONE hash agg keyed on the
+    bigram (vocab² ceiling, Heaps-bounded in practice — the
+    conditional C1 re-derives from C2 by a prev-keyed re-agg of the
+    MODEL, never a second corpus pass); scoring joins the un-hinted
+    model map so AQE broadcasts it only while it is genuinely
+    small. Docs with < 2 tokens have no bigrams and drop out —
+    same inner-join semantics on both engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    cnt = F.greatest(F.size(toks) - 1, F.lit(0))
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, cnt),
+                F.slice(toks, 2, cnt),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.cur")
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    v = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    a = F.lit(_BIGRAM_ALPHA)
+    fp = F.floor(
+        F.round(
+            -F.log((F.col("c2") + a) / (F.col("c1") + a * F.col("v"))), 6
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    model = (
+        c2.join(c1, "prev")
+        .crossJoin(F.broadcast(v))
+        .select("prev", "cur", fp.alias("fp"))
+    )
+    scored = big.join(model, ["prev", "cur"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("fp") / F.count(F.lit(1)) / 1e6, 4).alias("avg_neglogp2"),
+    )
+
+
+QUERIES["q_text_bigram_lm"] = q_text_bigram_lm
+
+ORACLE["q_text_bigram_lm"] = (
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') "
+    "  AS toks FROM documents), "
+    "big AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS prev, "
+    "  unnest(toks[2:len(toks)]) AS cur FROM t WHERE len(toks) >= 2), "
+    "c2 AS (SELECT prev, cur, count(*)::BIGINT AS c2 FROM big "
+    "  GROUP BY prev, cur), "
+    "c1 AS (SELECT prev, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY prev), "
+    "v AS (SELECT count(DISTINCT w)::BIGINT AS v FROM ("
+    "  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w "
+    "  FROM documents)), "
+    "model AS (SELECT prev, cur, "
+    f"  floor(round(-ln((c2 + {_BIGRAM_ALPHA!r}) / "
+    f"  (c1 + {_BIGRAM_ALPHA!r} * v)), 6) * 1e6 + 0.5)::BIGINT AS fp "
+    "  FROM c2 JOIN c1 USING (prev) CROSS JOIN v) "
+    "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+    "round(sum(fp)::BIGINT / count(*) / 1e6, 4) AS avg_neglogp2 "
+    "FROM big JOIN model USING (prev, cur) GROUP BY doc_id"
+)
