@@ -69,6 +69,8 @@ HEADLINE = [
     "q_sim_lsh_rhp",
     "q_dedup_minhash_est",
     "q_text_bigram_lm",
+    "q_agg_linear_count",
+    "q_agg_histo_percentile",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

@@ -197,3 +197,37 @@ def test_countmin_one_sided_error_with_real_collisions(spark):
     assert any(r["overcount"] > 0 for r in rows), (
         "width below vocab must produce at least one collision"
     )
+
+
+def test_linear_count_tracks_exact_within_regime(spark):
+    """Linear counting at fill ~0.3 or below: the estimate must sit
+    within 5% of the exact distinct count, the bitmap can never hold
+    more positions than there are distinct values (or bits), and the
+    estimator is monotone >= filled (collision correction only adds)."""
+    from tests.conftest import SF_ORACLE
+    from twitter_etl_spark.queries.sketches import _LC_M, q_agg_linear_count
+
+    rows = q_agg_linear_count(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["filled"] <= min(_LC_M, r["n_exact"])
+        assert r["lc_est"] >= r["filled"]
+        assert abs(r["lc_est"] - r["n_exact"]) <= 0.05 * r["n_exact"], r
+
+
+def test_histo_percentile_error_bounded_by_bucket_width(spark):
+    """The histogram interpolation can miss the exact percentile by
+    at most ~one bucket width (the value is pinned INSIDE the
+    cumulative-crossing bucket); both probe points and all segments
+    must be present."""
+    from tests.conftest import SF_ORACLE
+    from twitter_etl_spark.queries.sketches import (
+        _HP_W,
+        q_agg_histo_percentile,
+    )
+
+    rows = q_agg_histo_percentile(spark, SF_ORACLE).collect()
+    segs = {r["c_mktsegment"] for r in rows}
+    assert len(rows) == 2 * len(segs)
+    assert {r["p"] for r in rows} == {0.5, 0.9}
+    assert all(r["abs_err"] <= _HP_W for r in rows)

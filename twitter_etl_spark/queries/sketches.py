@@ -302,3 +302,201 @@ ORACLE["q_agg_countmin"] = (
     "(min(cell) - n_true)::BIGINT AS overcount "
     "FROM probes JOIN cells USING (i, bucket) GROUP BY token, n_true"
 )
+
+
+# Linear (probabilistic) counting geometry (Whang, Vander-Zanden &
+# Taylor 1990, TODS — public): an m-bit presence bitmap per group;
+# n̂ = -m·ln(V) where V is the fraction of bits still empty. m is a
+# power of two so (m - filled)/m is an exact dyadic rational —
+# both engines feed ln() the bit-identical double. At the sf0.1
+# group cardinality (1500 distinct users) the fill is ~0.31,
+# squarely in linear counting's accurate regime (load < 2).
+_LC_M = 1 << 12
+
+
+def q_agg_linear_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct estimate per event type, next to the
+    exact count — the CERTIFIABLE twin of ``q_agg_hll_distinct``
+    (DataSketches HLL, engine-internal, rows-only): the bit
+    positions are md5-prefix integers, so both engines fill the
+    identical bitmap and the estimate hash-certifies; the
+    exact-vs-estimate gap is an audited output column.
+
+    Scale: the per-group state is at most m (=4096) distinct
+    position rows — bounded regardless of user-id cardinality, the
+    same reason ``q_agg_bitmap_distinct`` stores bitmaps; here the
+    bitmap is spelled as a relation (distinct positions) so the
+    whole query stays certifiable. The distinct-position agg
+    collapses map-side to ≤ m rows per task; production would keep
+    the m-bit bitmap itself as mergeable rollup state (OR-merge,
+    rollup.py pattern) and apply the -m·ln(V) estimator at read
+    time. Estimator bias at this fill is < 1% (the output shows
+    it); HLL wins only when groups approach or exceed m, where
+    linear counting saturates — that crossover is the documented
+    swap point."""
+    e = table(spark, sf_dir, "events")
+    pos = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(_LC_M),
+    )
+    per_group = (
+        e.select("event_type", pos.alias("pos"), "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("pos").alias("filled"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+    )
+    est = F.round(
+        F.lit(-float(_LC_M))
+        * F.log((F.lit(_LC_M) - F.col("filled")) / F.lit(float(_LC_M))),
+        4,
+    )
+    return per_group.select(
+        "event_type",
+        "n_exact",
+        "filled",
+        est.alias("lc_est"),
+    )
+
+
+QUERIES["q_agg_linear_count"] = q_agg_linear_count
+
+ORACLE["q_agg_linear_count"] = (
+    "WITH p AS (SELECT event_type, user_id, "
+    "(('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT "
+    f" % {_LC_M})::BIGINT AS pos FROM events), "
+    "g AS (SELECT event_type, count(DISTINCT pos)::BIGINT AS filled, "
+    "count(DISTINCT user_id)::BIGINT AS n_exact FROM p GROUP BY event_type) "
+    "SELECT event_type, n_exact, filled, "
+    f"round(-{float(_LC_M)!r} * ln(({_LC_M} - filled) / {float(_LC_M)!r}), 4) "
+    "AS lc_est FROM g"
+)
+
+
+# Equi-width histogram percentile geometry: 64 buckets over the
+# fixed business range [-1000, 10000] of c_acctbal. The width
+# 11000/64 = 171.875 is an exact dyadic rational, so bucket
+# assignment — floor((x - lo)/w) — computes bit-identically in
+# both engines' doubles.
+_HP_B = 64
+_HP_LO = -1000.0
+_HP_W = 171.875
+
+
+def q_agg_histo_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-interpolated percentile estimates (p50/p90 of
+    account balance per market segment) next to the exact
+    percentile — the CERTIFIABLE twin of ``q_agg_approx_percentile``
+    (t-digest, engine-internal, rows-only): the equi-width histogram
+    is deterministic, so both engines build the identical sketch
+    and the estimate hash-certifies, with the estimation error an
+    audited output column (bounded by one bucket width, 171.875).
+
+    Estimator: first bucket whose cumulative count reaches
+    t = p·n, then linear interpolation inside the bucket —
+    ``lo + w·(bucket + (t − cum_before)/cnt)``.
+
+    Scale: the histogram is ONE hash agg to ≤ segments × 64 cells
+    (map-side partials make the exchange constant-size, the same
+    contract as ``q_agg_countmin``); the cumulative window runs
+    over ≤ 64 rows per segment, never the data. Exact percentiles
+    — which buffer each group in one reducer — are the fixture-
+    scale audit column; at 100 TB you ship ONLY the histogram, and
+    tighten buckets instead of buffering values. This two-level
+    (cheap global sketch + exact audit) is the same posture as
+    ``q_dedup_bloom``'s exact_dup column."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    bucket = F.least(
+        F.floor((F.col("c_acctbal") - _HP_LO) / _HP_W), F.lit(_HP_B - 1)
+    ).cast("int")
+    hist = c.groupBy("c_mktsegment", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hc = hist.withColumn("cum", F.sum("cnt").over(w))
+    seg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("e50"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("e90"),
+    )
+    ps = seg.select(
+        "c_mktsegment",
+        "n",
+        F.explode(F.array(F.lit(0.5), F.lit(0.9))).alias("p"),
+        "e50",
+        "e90",
+    ).select(
+        "c_mktsegment",
+        "n",
+        "p",
+        F.when(F.col("p") == 0.5, F.col("e50")).otherwise(F.col("e90")).alias(
+            "exact"
+        ),
+    )
+    sel = (
+        ps.join(hc, "c_mktsegment")
+        .filter(F.col("cum") >= F.col("p") * F.col("n"))
+        .groupBy("c_mktsegment", "p", "n", "exact")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    est = F.round(
+        F.lit(_HP_LO)
+        + F.lit(_HP_W)
+        * (
+            F.col("bucket")
+            + (F.col("p") * F.col("n") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt")
+        ),
+        4,
+    )
+    return (
+        sel.join(hc, ["c_mktsegment", "bucket"])
+        .select(
+            "c_mktsegment",
+            "p",
+            "exact",
+            est.alias("hist_est"),
+            F.round(F.abs(est - F.col("exact")), 4).alias("abs_err"),
+        )
+    )
+
+
+QUERIES["q_agg_histo_percentile"] = q_agg_histo_percentile
+
+_HP_EST_SQL = (
+    f"round({_HP_LO!r} + {_HP_W!r} * (sel.bucket + "
+    "(sel.p * sel.n - (hc.cum - hc.cnt)) * 1.0 / hc.cnt), 4)"
+)
+
+ORACLE["q_agg_histo_percentile"] = (
+    "WITH h AS (SELECT c_mktsegment, "
+    f"least(floor((c_acctbal - ({_HP_LO!r})) / {_HP_W!r}), {_HP_B - 1})::INT "
+    "  AS bucket, count(*)::BIGINT AS cnt FROM customer GROUP BY 1, 2), "
+    "hc AS (SELECT *, sum(cnt) OVER (PARTITION BY c_mktsegment "
+    "  ORDER BY bucket)::BIGINT AS cum FROM h), "
+    "seg AS (SELECT c_mktsegment, count(*)::BIGINT AS n, "
+    "  round(quantile_cont(c_acctbal, 0.5), 4) AS e50, "
+    "  round(quantile_cont(c_acctbal, 0.9), 4) AS e90 "
+    "  FROM customer GROUP BY 1), "
+    "ps AS (SELECT c_mktsegment, n, p, "
+    "  CASE WHEN p = 0.5 THEN e50 ELSE e90 END AS exact "
+    "  FROM seg CROSS JOIN (SELECT unnest([0.5, 0.9]) AS p)), "
+    "sel AS (SELECT ps.c_mktsegment, ps.p, ps.n, ps.exact, "
+    "  min(hc.bucket) AS bucket FROM ps JOIN hc "
+    "  ON hc.c_mktsegment = ps.c_mktsegment AND hc.cum >= ps.p * ps.n "
+    "  GROUP BY 1, 2, 3, 4) "
+    "SELECT sel.c_mktsegment, sel.p, sel.exact, "
+    f"{_HP_EST_SQL} AS hist_est, "
+    f"round(abs({_HP_EST_SQL} - sel.exact), 4) AS abs_err "
+    "FROM sel JOIN hc ON hc.c_mktsegment = sel.c_mktsegment "
+    "AND hc.bucket = sel.bucket"
+)
