@@ -71,6 +71,8 @@ HEADLINE = [
     "q_text_bigram_lm",
     "q_agg_linear_count",
     "q_agg_histo_percentile",
+    "q_agg_ams_f2",
+    "q_agg_lc_setops",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

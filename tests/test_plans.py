@@ -79,6 +79,9 @@ _SINGLE_PARTITION_OK = {
     # global sketch agg: partials merge to ONE tiny frequent-items
     # sketch (bounded state), same class as q_agg_global's 1-row agg
     "q_agg_topk_sketch",
+    # 1-row sketch-merge agg over the per-user flag frame (bounded
+    # state: two m-bit bitmaps + three counters)
+    "q_agg_lc_setops",
     # 1-row quintile-threshold agg over the per-user frame, broadcast
     # back — the scale-safe replacement for a global ntile sort
     "q_behavior_rfm",

@@ -231,3 +231,36 @@ def test_histo_percentile_error_bounded_by_bucket_width(spark):
     assert len(rows) == 2 * len(segs)
     assert {r["p"] for r in rows} == {0.5, 0.9}
     assert all(r["abs_err"] <= _HP_W for r in rows)
+
+
+def test_ams_f2_median_of_means_unbiased_regime(spark):
+    """AMS F2 with 6x8 median-of-means must land within 20% of the
+    exact second moment on every language (raw-median form measured
+    ~45-57% low — the bias the geometry comment documents)."""
+    from tests.conftest import SF_ORACLE
+    from twitter_etl_spark.queries.sketches import q_agg_ams_f2
+
+    rows = q_agg_ams_f2(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["f2_exact"] > 0
+        assert r["rel_err"] <= 0.2, r
+
+
+def test_lc_setops_algebra_consistent(spark):
+    """LC set algebra: the union estimate can never exceed the sum
+    of the parts, inclusion-exclusion reproduces each exact count
+    within 5% at the fixture fill, and the fixture split is
+    genuinely non-degenerate (A != B != A∩B)."""
+    from tests.conftest import SF_ORACLE
+    from twitter_etl_spark.queries.sketches import q_agg_lc_setops
+
+    r = q_agg_lc_setops(spark, SF_ORACLE).collect()[0]
+    assert r["n_inter"] < min(r["n_a"], r["n_b"])  # non-degenerate
+    assert r["lc_union"] <= r["lc_a"] + r["lc_b"] + 1e-9
+    for est, exact in (
+        (r["lc_a"], r["n_a"]),
+        (r["lc_b"], r["n_b"]),
+        (r["lc_inter"], r["n_inter"]),
+    ):
+        assert abs(est - exact) <= 0.05 * exact, (est, exact)

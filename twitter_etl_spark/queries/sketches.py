@@ -500,3 +500,217 @@ ORACLE["q_agg_histo_percentile"] = (
     "FROM sel JOIN hc ON hc.c_mktsegment = sel.c_mktsegment "
     "AND hc.bucket = sel.bucket"
 )
+
+
+# AMS tug-of-war geometry (Alon, Matias & Szegedy 1996, STOC —
+# public): 48 independent ±1 sign hashes in the paper's
+# median-of-means arrangement — 6 groups of 8; each (Σ f_v·s_i(v))²
+# is unbiased for F2 = Σ f_v², the group mean cuts the variance 8×,
+# the median over groups tames outlier groups. (A first draft took
+# the median over RAW estimators and measured rel_err ~0.45-0.57:
+# s_i is ~Normal(0, √F2) here, so s² is ~χ²₁·F2 whose MEDIAN is
+# 0.455·F2 — the median-of-raw-squares estimator is biased to less
+# than half the true value. The group means are the unbiasing step,
+# not an optimization.) |s_i| ≤ stream length, so squares fit
+# BIGINT with ~8 decimal orders to spare at sf0.1.
+_AMS_D = 48
+_AMS_GROUP = 8
+
+
+def q_agg_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F2) sketch of the per-language token
+    frequency vector, next to the exact Σf² — F2 is the
+    self-join-size / skew statistic a planner wants before choosing
+    a join strategy, and the classic streaming lower-bound example.
+    Certifiable like its siblings: the sign hashes are md5-prefix
+    parity bits, so both engines run the identical tug-of-war and
+    the estimate — median over 6 group means, Spark ``percentile``
+    ≡ DuckDB ``quantile_cont`` — hash-certifies; the relative error
+    column audits the sketch's variance in the output.
+
+    Scale: the sketch pass never keys a shuffle on the token — each
+    instance emits 48 (lang, i, ±1) rows that collapse map-side to
+    48 partial sums per task (the countmin contract, narrower
+    state); the exact-F2 audit column is the expensive one
+    (vocab-keyed agg) and exists only for fixture-scale
+    validation."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    sign = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("i").cast("string"), "token")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        * 2
+        - 1
+    )
+    sums = (
+        toks.select(
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.lit(_AMS_D - 1))).alias("i"),
+            "token",
+        )
+        .select("lang", "i", sign.alias("s"))
+        .groupBy("lang", "i")
+        .agg(F.sum("s").alias("si"))
+    )
+    gmeans = sums.groupBy(
+        "lang", (F.col("i") / _AMS_GROUP).cast("int").alias("g")
+    ).agg(F.avg(F.col("si") * F.col("si")).alias("gm"))
+    est = gmeans.groupBy("lang").agg(
+        F.round(F.percentile("gm", F.lit(0.5)), 1).alias("f2_est")
+    )
+    exact = (
+        toks.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .groupBy("lang")
+        .agg(F.sum(F.col("f") * F.col("f")).alias("f2_exact"))
+    )
+    return exact.join(est, "lang").select(
+        "lang",
+        "f2_exact",
+        "f2_est",
+        F.round(
+            F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+QUERIES["q_agg_ams_f2"] = q_agg_ams_f2
+
+ORACLE["q_agg_ams_f2"] = (
+    "WITH toks AS (SELECT lang, "
+    "unnest(string_split_regex(trim(text), '\\s+')) AS token "
+    "FROM documents), "
+    f"ds AS (SELECT unnest(range({_AMS_D})) AS i), "
+    "sums AS (SELECT lang, i, sum("
+    "  (('0x' || substr(md5(i::VARCHAR || ':' || token), 1, 15))::UBIGINT "
+    "  % 2)::BIGINT * 2 - 1)::BIGINT AS si "
+    "  FROM toks CROSS JOIN ds GROUP BY lang, i), "
+    "gm AS (SELECT lang, (i // 8)::INT AS g, avg(si * si) AS gm "
+    "  FROM sums GROUP BY lang, g), "
+    "est AS (SELECT lang, round(quantile_cont(gm, 0.5), 1) AS f2_est "
+    "  FROM gm GROUP BY lang), "
+    "ex AS (SELECT lang, sum(f * f)::BIGINT AS f2_exact FROM ("
+    "  SELECT lang, token, count(*)::BIGINT AS f FROM toks "
+    "  GROUP BY lang, token) GROUP BY lang) "
+    "SELECT ex.lang, f2_exact, f2_est, "
+    "round(abs(f2_est - f2_exact) / f2_exact, 4) AS rel_err "
+    "FROM ex JOIN est ON ex.lang = est.lang"
+)
+
+
+def q_agg_lc_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra ON the linear-counting sketch (one row): distinct
+    big-ticket purchasers (value > 80), high-value error users,
+    their union and intersection — estimated
+    purely from ``q_agg_linear_count``'s m-bit bitmaps — beside the
+    exact counts. The union estimate applies the estimator to the
+    OR of the two bitmaps (exact sketch algebra: the OR **is** the
+    union's bitmap — why LC/HLL state is mergeable rollup state);
+    the intersection comes from inclusion-exclusion over three
+    estimates, the lossy step whose error the output audits
+    (Whang et al. 1990 §4; same certifiable-md5 contract as the
+    whole late-r8 sketch family).
+
+    Scale: ONE shuffle keyed on user_id collapses events to a
+    per-user flag pair (map-side partial — a user's million events
+    collapse before the exchange); the final agg is a 1-row sketch
+    merge (bounded state, the q_agg_global class). Production
+    stores the two m-bit bitmaps and does the OR at read time —
+    this query is that read, spelled as a relation."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+        & (F.col("value") > 80)
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == "error").cast("int")).alias("in_b"),
+        )
+        .withColumn(
+            "pos",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(_LC_M),
+            ),
+        )
+    )
+
+    def lc(filled):
+        return F.round(
+            F.lit(-float(_LC_M))
+            * F.log((F.lit(_LC_M) - filled) / F.lit(float(_LC_M))),
+            4,
+        )
+
+    agg = per_user.agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+        F.countDistinct(F.when(F.col("in_a") == 1, F.col("pos"))).alias("fa"),
+        F.countDistinct(F.when(F.col("in_b") == 1, F.col("pos"))).alias("fb"),
+        F.countDistinct("pos").alias("fu"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        lc(F.col("fa")).alias("lc_a"),
+        lc(F.col("fb")).alias("lc_b"),
+        lc(F.col("fu")).alias("lc_union"),
+        F.round(
+            lc(F.col("fa")) + lc(F.col("fb")) - lc(F.col("fu")), 4
+        ).alias("lc_inter"),
+    )
+
+
+QUERIES["q_agg_lc_setops"] = q_agg_lc_setops
+
+_LC_SQL = (
+    f"round(-{float(_LC_M)!r} * ln(({_LC_M} - {{f}}) / {float(_LC_M)!r}), 4)"
+)
+
+ORACLE["q_agg_lc_setops"] = (
+    "WITH pu AS (SELECT user_id, "
+    "max((event_type = 'purchase')::INT) AS in_a, "
+    "max((event_type = 'error')::INT) AS in_b, "
+    "(('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT "
+    f" % {_LC_M})::BIGINT AS pos "
+    "FROM events WHERE event_type IN ('purchase', 'error') "
+    "AND value > 80 "
+    "GROUP BY user_id), "
+    "a AS (SELECT sum(in_a)::BIGINT AS n_a, sum(in_b)::BIGINT AS n_b, "
+    "sum(in_a * in_b)::BIGINT AS n_inter, "
+    "count(DISTINCT CASE WHEN in_a = 1 THEN pos END)::BIGINT AS fa, "
+    "count(DISTINCT CASE WHEN in_b = 1 THEN pos END)::BIGINT AS fb, "
+    "count(DISTINCT pos)::BIGINT AS fu FROM pu) "
+    "SELECT n_a, n_b, n_inter, "
+    + _LC_SQL.format(f="fa")
+    + " AS lc_a, "
+    + _LC_SQL.format(f="fb")
+    + " AS lc_b, "
+    + _LC_SQL.format(f="fu")
+    + " AS lc_union, round("
+    + _LC_SQL.format(f="fa")
+    + " + "
+    + _LC_SQL.format(f="fb")
+    + " - "
+    + _LC_SQL.format(f="fu")
+    + ", 4) AS lc_inter FROM a"
+)
