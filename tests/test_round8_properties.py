@@ -252,3 +252,118 @@ def test_exact_substring_matches_reference(spark, docs):
         for g, v in _substring_reference(docs, _SUBSTR_TOKENS).items()
     }
     assert got == want
+
+
+def _countmin_reference(docs):
+    """Pure-Python count-min replay: same md5 row hashes, same
+    width/depth/top-k constants as q_agg_countmin."""
+    import hashlib
+    from collections import Counter
+
+    from twitter_etl_spark.queries.sketches import (
+        _CM_DEPTH,
+        _CM_TOPK,
+        _CM_WIDTH,
+    )
+
+    def bucket(i, token):
+        h = hashlib.md5(f"{i}:{token}".encode()).hexdigest()[:15]
+        return int(h, 16) % _CM_WIDTH
+
+    counts = Counter()
+    cells = Counter()
+    for toks in docs:
+        # replicate Spark split(trim(text), \s+): an empty document
+        # yields ONE empty-string token, not zero tokens
+        import re
+
+        for t in re.split(r"\s+", " ".join(toks).strip()):
+            counts[t] += 1
+            for i in range(_CM_DEPTH):
+                cells[(i, bucket(i, t))] += 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_CM_TOPK]
+    return {
+        t: (n, min(cells[(i, bucket(i, t))] for i in range(_CM_DEPTH)))
+        for t, n in top
+    }
+
+
+@given(_DOCS)
+@settings(**_SETTINGS)
+def test_countmin_matches_python_reference(spark, docs):
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.sketches import q_agg_countmin
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["token"]: (r["n_true"], r["cm_est"])
+        for r in q_agg_countmin(spark, d).collect()
+    }
+    assert got == _countmin_reference(docs)
+
+
+def _bloom_reference(docs):
+    """Pure-Python bloom replay of q_dedup_bloom: same split, same
+    k positions, same m."""
+    import hashlib
+
+    from twitter_etl_spark.queries.dedup import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _INCR_RECRAWL_SHIFT,
+    )
+
+    def bk(text):
+        return int(hashlib.md5(text.encode()).hexdigest()[:8], 16) % 100
+
+    def digest(text):
+        return hashlib.md5(text.encode()).hexdigest()
+
+    def positions(dg):
+        return {
+            int(hashlib.md5(f"{j}:{dg}".encode()).hexdigest()[:15], 16)
+            % _BLOOM_M
+            for j in range(_BLOOM_K)
+        }
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    base_digests = {digest(t) for _, t in rows if bk(t) < 80}
+    bits = set()
+    for dg in base_digests:
+        bits |= positions(dg)
+    batch = [(i, digest(t)) for i, t in rows if bk(t) >= 80] + [
+        (i + _INCR_RECRAWL_SHIFT, digest(t)) for i, t in rows if bk(t) < 20
+    ]
+    return {
+        doc_id: (
+            int(positions(dg) <= bits),
+            int(dg in base_digests),
+        )
+        for doc_id, dg in batch
+    }
+
+
+@given(_DOCS)
+@settings(**_SETTINGS)
+def test_bloom_matches_python_reference(spark, docs):
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.dedup import q_dedup_bloom
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["bloom_hit"], r["exact_dup"])
+        for r in q_dedup_bloom(spark, d).collect()
+    }
+    assert got == _bloom_reference(docs)
