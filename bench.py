@@ -73,6 +73,7 @@ HEADLINE = [
     "q_agg_histo_percentile",
     "q_agg_ams_f2",
     "q_agg_lc_setops",
+    "q_ts_cusum",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

@@ -367,3 +367,55 @@ def test_bloom_matches_python_reference(spark, docs):
         for r in q_dedup_bloom(spark, d).collect()
     }
     assert got == _bloom_reference(docs)
+
+
+def _cusum_reference(rows, target, scale=10**4):
+    """Pure-Python Page recursion S_t = max(0, S_{t-1} + (x - target))
+    in the same fixed-point arithmetic as q_ts_cusum."""
+    import math
+
+    out = []
+    s = 0
+    for x in rows:
+        inc = math.floor(round(x - target, 4) * scale + 0.5)
+        s = max(0, s + inc)
+        out.append(round(s / scale, 4))
+    return out
+
+
+@given(
+    st.lists(
+        st.floats(0, 500, allow_nan=False, width=32), min_size=1, max_size=60
+    )
+)
+@settings(**_SETTINGS)
+def test_cusum_closed_form_equals_page_recursion(spark, values):
+    """The window closed form (cumsum − min(0, running-min cumsum))
+    must reproduce the sequential max-reset recursion exactly — the
+    identity that lets two stock window frames replace a
+    row-by-row loop."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.timeseries import (
+        _CUSUM_TARGET,
+        q_ts_cusum,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "purchase", float(v), "{}")
+        for i, v in enumerate(values)
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = [
+        r["cusum"]
+        for r in q_ts_cusum(spark, d).orderBy("event_id").collect()
+    ]
+    assert got == _cusum_reference([float(v) for v in values], _CUSUM_TARGET)

@@ -454,3 +454,86 @@ def q_ts_lttb(
 
 
 QUERIES["q_ts_lttb"] = q_ts_lttb  # rows-only: sequential per-series scan
+
+
+#: CUSUM reference level and alarm threshold (Page 1954 one-sided
+#: positive-drift form). The fixture's value median is ~35, so a
+#: target of 40 makes most increments negative (the statistic
+#: resets toward 0) while heavy-tailed spikes (max ~490) drive real
+#: excursions past the alarm at every SF.
+_CUSUM_TARGET = 40.0
+_CUSUM_H = 200.0
+
+
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user over purchase
+    events (Page 1954, Biometrika — public): the classic recursion
+    ``S_t = max(0, S_{t-1} + (x_t − target))`` spelled CLOSED-FORM
+    as ``S_t = cumsum_t − min(0, running-min(cumsum))`` — the
+    max-reset recursion is exactly "distance above the lowest
+    cumulative level seen so far", so two stock window frames
+    replace what looks like an inherently sequential loop (no UDF,
+    no recursion; both engines plan plain running aggregates).
+
+    Exact-arithmetic contract: increments are fixed-pointed to
+    BIGINT (round 4, ×1e4) before ANY window sum, so cumsum,
+    running-min and their difference are integer math end to end;
+    ordering is (ts, event_id)-tie-broken.
+
+    Scale: two window passes over the same (user, time) partition
+    order — one Exchange + one sort feeds BOTH frames; per-user
+    state is O(1) per row. At 100 TB the partition key is the
+    entity id, the same shape as q_win_running."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    inc = F.floor(
+        F.round(F.col("value") - F.lit(_CUSUM_TARGET), 4) * 1e4 + F.lit(0.5)
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rows = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        inc.alias("inc"),
+    ).withColumn("cs", F.sum("inc").over(w))
+    rows = rows.withColumn(
+        "floor_cs", F.least(F.lit(0).cast("bigint"), F.min("cs").over(w))
+    )
+    cusum = (F.col("cs") - F.col("floor_cs")) / 1e4
+    return rows.select(
+        "user_id",
+        "event_id",
+        "ts_epoch",
+        F.round(cusum, 4).alias("cusum"),
+        (cusum > _CUSUM_H).cast("int").alias("alarm"),
+    )
+
+
+QUERIES["q_ts_cusum"] = q_ts_cusum
+ORACLE["q_ts_cusum"] = (
+    "WITH e AS (SELECT user_id, event_id, "
+    # floor before the BIGINT cast: DuckDB double->int casts ROUND,
+    # Spark unix_timestamp floors sub-second timestamps
+    "  floor(epoch(ts))::BIGINT AS ts_epoch, "
+    f"  CAST(floor(round(value - {_CUSUM_TARGET!r}, 4) * 1e4 + 0.5) "
+    "    AS BIGINT) AS inc, ts "
+    "  FROM events WHERE event_type = 'purchase'), "
+    "c AS (SELECT user_id, event_id, ts_epoch, "
+    "  sum(inc) OVER w AS cs FROM e "
+    "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "    ROWS UNBOUNDED PRECEDING)), "
+    "f AS (SELECT user_id, event_id, ts_epoch, cs, "
+    "  least(0, min(cs) OVER (PARTITION BY user_id ORDER BY ts_epoch, "
+    "    event_id ROWS UNBOUNDED PRECEDING)) AS floor_cs FROM c) "
+    "SELECT user_id, event_id, ts_epoch, "
+    "round((cs - floor_cs) / 1e4, 4) AS cusum, "
+    f"((cs - floor_cs) / 1e4 > {_CUSUM_H!r})::INT AS alarm FROM f"
+)
