@@ -74,6 +74,7 @@ HEADLINE = [
     "q_agg_ams_f2",
     "q_agg_lc_setops",
     "q_ts_cusum",
+    "q_agg_hll_md5",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

