@@ -75,6 +75,7 @@ HEADLINE = [
     "q_agg_lc_setops",
     "q_ts_cusum",
     "q_agg_hll_md5",
+    "q_join_bloom",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

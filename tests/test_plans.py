@@ -396,3 +396,14 @@ def test_plan_snapshot_matches(spark):
         "plan fingerprints drifted (regenerate tools/gen_plan_snapshot.py "
         f"if intentional): {json.dumps(drift, indent=1)[:2000]}"
     )
+
+
+def test_bloom_join_prefilter_before_shuffle(spark):
+    """q_join_bloom must keep the bit-set prefilter a BROADCAST
+    join (the filter broadcasts even when the dim cannot) feeding a
+    SHUFFLE_HASH main join (the modeled no-broadcast regime) — if
+    the prefilter itself decayed to a shuffle, the pruning would
+    happen after the exchange it exists to shrink."""
+    p = _plan(spark, "q_join_bloom")
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" in p

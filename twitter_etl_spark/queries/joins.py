@@ -330,3 +330,66 @@ ORACLE = {
         "GROUP BY alert_id"
     ),
 }
+
+
+# Bloom semi-join prefilter geometry: m = 2^16 bit positions, one
+# md5 hash (a k=1 Bloom filter IS a hash-bucket presence filter —
+# one broadcast join per probe row instead of a k-way explode). At
+# the sf0.1 dim subset (403 selective parts) fill is ~0.6%, so the
+# prefilter passes ~2.6% of the fact side into the shuffle.
+_JB_M = 1 << 16
+
+
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact-dim join — revenue by brand for
+    size-15 parts, with the fact side pruned BEFORE the join
+    exchange by a broadcast bit-position filter built from the
+    selective dim subset (the classic selective-star-join trick;
+    Spark's runtime row-group bloom does this adaptively, this is
+    the explicit engine-independent spelling). The main join takes
+    a SHUFFLE_HASH hint to model the 100 TB regime where the full
+    dim no longer broadcasts (q_join_salted precedent) — the point
+    is that the BIT SET still broadcasts when the dim cannot: ≤ m
+    rows of one long, regardless of dim width or count.
+
+    The oracle is the SAME join WITHOUT the filter: certifying
+    equality proves the prefilter is transparent — a Bloom filter
+    admits false positives (the exact join removes them) but never
+    drops a qualifying row. Per-row cost on the fact side is one
+    md5 + one broadcast hash probe; the filter cuts shuffle input
+    ~40x at fixture selectivity."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+
+    def pos(key) -> Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(_JB_M),
+        )
+
+    bits = p.select(pos(F.col("p_partkey")).alias("pos")).distinct()
+    pre = li.withColumn("pos", pos(F.col("l_partkey"))).join(
+        F.broadcast(bits), "pos"
+    )
+    joined = pre.join(
+        p.hint("shuffle_hash"), pre.l_partkey == p.p_partkey
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+QUERIES["q_join_bloom"] = q_join_bloom
+
+ORACLE["q_join_bloom"] = (
+    # deliberately NO bloom: the unfiltered join is the semantic
+    # contract the prefilter must preserve
+    "SELECT p_brand, count(*)::BIGINT AS n_items, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE p_size = 15 GROUP BY p_brand"
+)
