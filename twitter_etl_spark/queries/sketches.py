@@ -503,8 +503,8 @@ ORACLE["q_agg_histo_percentile"] = (
 
 
 # AMS tug-of-war geometry (Alon, Matias & Szegedy 1996, STOC —
-# public): 48 independent ±1 sign hashes in the paper's
-# median-of-means arrangement — 6 groups of 8; each (Σ f_v·s_i(v))²
+# public): 48 ±1 sign hashes (the low 48 bits of one 60-bit md5
+# prefix per token) in the paper's median-of-means arrangement — 6 groups of 8; each (Σ f_v·s_i(v))²
 # is unbiased for F2 = Σ f_v², the group mean cuts the variance 8×,
 # the median over groups tames outlier groups. (A first draft took
 # the median over RAW estimators and measured rel_err ~0.45-0.57:
@@ -524,51 +524,56 @@ def q_agg_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     a join strategy, and the classic streaming lower-bound example.
     Certifiable like its siblings: the sign hashes are md5-prefix
     parity bits, so both engines run the identical tug-of-war and
-    the estimate — median over 6 group means, Spark ``percentile``
-    ≡ DuckDB ``quantile_cont`` — hash-certifies; the relative error
-    column audits the sketch's variance in the output.
+    the estimate — median over 6 group means, spelled closed-form
+    as the average of the middle two sorted means (≡ quantile_cont
+    at even n) — hash-certifies; the relative error column audits
+    the sketch's variance in the output.
 
-    Scale: the sketch pass never keys a shuffle on the token — each
-    instance emits 48 (lang, i, ±1) rows that collapse map-side to
-    48 partial sums per task (the countmin contract, narrower
-    state); the exact-F2 audit column is the expensive one
-    (vocab-keyed agg) and exists only for fixture-scale
-    validation."""
+    Scale: the sketch pass never keys a shuffle on the token — ONE
+    md5 per instance, 48 sign sums as columns of a single
+    lang-keyed hash agg (map-side partials: 48 longs per lang per
+    task cross the wire); the exact-F2 audit column is the
+    expensive one (vocab-keyed agg) and exists only for
+    fixture-scale validation."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     )
-    sign = (
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("i").cast("string"), "token")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(2),
-        )
-        * 2
-        - 1
+    # ONE md5 per token instance; the 48 sign hashes are its low 48
+    # bits (a first spelling hashed 48x per instance — 13M md5 calls
+    # at sf0.1, 10.0 s wall; this one runs in ~1 s. Same estimator
+    # family: md5 bits are pairwise-independent enough for AMS).
+    h = F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long")
+    sums = toks.select("lang", h.alias("h")).groupBy("lang").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{i}")
+            for i in range(_AMS_D)
+        ]
     )
-    sums = (
-        toks.select(
-            "lang",
-            F.explode(F.sequence(F.lit(0), F.lit(_AMS_D - 1))).alias("i"),
-            "token",
-        )
-        .select("lang", "i", sign.alias("s"))
-        .groupBy("lang", "i")
-        .agg(F.sum("s").alias("si"))
+    gms = [
+        (
+            sum(
+                (F.col(f"s{b * _AMS_GROUP + k}")
+                 * F.col(f"s{b * _AMS_GROUP + k}")
+                 for k in range(_AMS_GROUP)),
+                F.lit(0).cast("long"),
+            )
+            / float(_AMS_GROUP)
+        ).alias(f"g{b}")
+        for b in range(_AMS_D // _AMS_GROUP)
+    ]
+    sorted_g = F.array_sort(
+        F.array(*[F.col(f"g{b}") for b in range(_AMS_D // _AMS_GROUP)])
     )
-    gmeans = sums.groupBy(
-        "lang", (F.col("i") / _AMS_GROUP).cast("int").alias("g")
-    ).agg(F.avg(F.col("si") * F.col("si")).alias("gm"))
-    est = gmeans.groupBy("lang").agg(
-        F.round(F.percentile("gm", F.lit(0.5)), 1).alias("f2_est")
+    # median of 6 group means, closed-form (avg of the middle two —
+    # identical to quantile_cont at even n, no percentile call)
+    est = sums.select("lang", *gms).select(
+        "lang",
+        F.round(
+            (sorted_g.getItem(2) + sorted_g.getItem(3)) / 2, 1
+        ).alias("f2_est"),
     )
     exact = (
         toks.groupBy("lang", "token")
@@ -588,19 +593,32 @@ def q_agg_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_agg_ams_f2"] = q_agg_ams_f2
 
+_AMS_SUMS_SQL = ", ".join(
+    f"sum(((h >> {i}) & 1) * 2 - 1)::BIGINT AS s{i}" for i in range(_AMS_D)
+)
+_AMS_GMS_SQL = ", ".join(
+    "("
+    + " + ".join(
+        f"s{b * _AMS_GROUP + k} * s{b * _AMS_GROUP + k}"
+        for k in range(_AMS_GROUP)
+    )
+    + f") / {float(_AMS_GROUP)!r} AS g{b}"
+    for b in range(_AMS_D // _AMS_GROUP)
+)
+_AMS_ARR_SQL = (
+    "list_sort([" + ", ".join(f"g{b}" for b in range(_AMS_D // _AMS_GROUP)) + "])"
+)
+
 ORACLE["q_agg_ams_f2"] = (
     "WITH toks AS (SELECT lang, "
     "unnest(string_split_regex(trim(text), '\\s+')) AS token "
     "FROM documents), "
-    f"ds AS (SELECT unnest(range({_AMS_D})) AS i), "
-    "sums AS (SELECT lang, i, sum("
-    "  (('0x' || substr(md5(i::VARCHAR || ':' || token), 1, 15))::UBIGINT "
-    "  % 2)::BIGINT * 2 - 1)::BIGINT AS si "
-    "  FROM toks CROSS JOIN ds GROUP BY lang, i), "
-    "gm AS (SELECT lang, (i // 8)::INT AS g, avg(si * si) AS gm "
-    "  FROM sums GROUP BY lang, g), "
-    "est AS (SELECT lang, round(quantile_cont(gm, 0.5), 1) AS f2_est "
-    "  FROM gm GROUP BY lang), "
+    "hs AS (SELECT lang, "
+    "(('0x' || substr(md5(token), 1, 15))::UBIGINT)::BIGINT AS h FROM toks), "
+    f"sums AS (SELECT lang, {_AMS_SUMS_SQL} FROM hs GROUP BY lang), "
+    f"gm AS (SELECT lang, {_AMS_GMS_SQL} FROM sums), "
+    f"arr AS (SELECT lang, {_AMS_ARR_SQL} AS a FROM gm), "
+    "est AS (SELECT lang, round((a[3] + a[4]) / 2, 1) AS f2_est FROM arr), "
     "ex AS (SELECT lang, sum(f * f)::BIGINT AS f2_exact FROM ("
     "  SELECT lang, token, count(*)::BIGINT AS f FROM toks "
     "  GROUP BY lang, token) GROUP BY lang) "
