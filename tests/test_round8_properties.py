@@ -419,3 +419,103 @@ def test_cusum_closed_form_equals_page_recursion(spark, values):
         for r in q_ts_cusum(spark, d).orderBy("event_id").collect()
     ]
     assert got == _cusum_reference([float(v) for v in values], _CUSUM_TARGET)
+
+
+def _hll_reference(values):
+    """Pure-Python replay of q_agg_hll_md5's estimator (p=8, 60-bit
+    md5 prefix, integer register sum, small-range LC branch)."""
+    import hashlib
+    import math
+
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = [0] * m
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        j = h >> 52
+        w = h & ((1 << 52) - 1)
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        regs[j] = max(regs[j], rho)
+    s = sum(1 << (52 - r) for r in regs)
+    e_raw = alpha * m * m * float(1 << 52) / s
+    v0 = regs.count(0)
+    if e_raw <= 2.5 * m and v0 > 0:
+        return round(m * math.log(m / v0), 4)
+    return round(e_raw, 4)
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=300),
+    st.sampled_from(["click", "view"]),
+)
+@settings(**_SETTINGS)
+def test_hll_md5_matches_python_reference(spark, user_ids, etype):
+    """The certified HyperLogLog must reproduce a from-scratch
+    Python implementation register for register — index split, rho
+    rank, integer register sum, branch decision, rounding."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.sketches import q_agg_hll_md5
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base, int(u), etype, 1.0, "{}")
+        for i, u in enumerate(user_ids)
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = q_agg_hll_md5(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_exact"] == len(set(user_ids))
+    assert r["hll_est"] == _hll_reference(set(user_ids))
+
+
+def test_hll_registers_merge_like_rollup_state(spark):
+    """The mergeability claim, proven on the real fixture: building
+    registers from two disjoint halves of the events table and
+    max-merging them must give EXACTLY the registers of the whole —
+    the property that lets an incremental rollup absorb a new
+    partition by register-max instead of a re-scan."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from twitter_etl_spark.tables import table
+
+    e = table(spark, SF_SMOKE, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = e.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        F.shiftright(h, 52).alias("j"),
+        (h.bitwiseAND(F.lit((1 << 52) - 1))).alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(53)).otherwise(
+            F.lit(53) - F.length(F.conv(F.col("w"), 10, 2))
+        ),
+    )
+    whole = {
+        (r["event_type"], r["j"]): r["m"]
+        for r in rows.groupBy("event_type", "j")
+        .agg(F.max("rho").alias("m"))
+        .collect()
+    }
+    halves = (
+        rows.groupBy("event_type", "half", "j")
+        .agg(F.max("rho").alias("m"))
+        .groupBy("event_type", "j")
+        .agg(F.max("m").alias("m"))
+    )
+    merged = {
+        (r["event_type"], r["j"]): r["m"] for r in halves.collect()
+    }
+    assert merged == whole
