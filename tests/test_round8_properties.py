@@ -519,3 +519,96 @@ def test_hll_registers_merge_like_rollup_state(spark):
         (r["event_type"], r["j"]): r["m"] for r in halves.collect()
     }
     assert merged == whole
+
+
+def _lsh_rhp_reference(vecs):
+    """Pure-Python replay of q_sim_lsh_rhp: quantize, sign bits
+    against the fixed integer hyperplanes, 8x4 banding, in-bucket
+    pairs, sequential-fold cosine refine."""
+    import math
+
+    from twitter_etl_spark.queries.similarity import (
+        RHP_PLANES,
+        _RHP_BANDS,
+        _RHP_BITS,
+        _RHP_THRESHOLD,
+    )
+
+    def quant(v):
+        return [math.floor(float(x) * 1000 + 0.5) for x in v]
+
+    def bands(v):
+        eq = quant(v)
+        out = []
+        for b in range(_RHP_BANDS):
+            val = 0
+            for i in range(_RHP_BITS):
+                plane = RHP_PLANES[b * _RHP_BITS + i]
+                dot = 0.0
+                for x, w in zip(eq, plane):
+                    dot += x * w
+                if dot > 0:
+                    val += 1 << (_RHP_BITS - 1 - i)
+            out.append((b, val))
+        return out
+
+    sigs = {vid: bands(v) for vid, v in vecs.items()}
+    cand = set()
+    ids = sorted(vecs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if set(sigs[a]) & set(sigs[b]):
+                cand.add((a, b))
+
+    def cos(a, b):
+        va = [float(x) for x in vecs[a]]
+        vb = [float(x) for x in vecs[b]]
+        dot = na = nb = 0.0
+        for x, y in zip(va, vb):
+            dot += x * y
+        for x in va:
+            na += x * x
+        for y in vb:
+            nb += y * y
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    return {
+        (a, b): cos(a, b)
+        for a, b in cand
+        if cos(a, b) >= _RHP_THRESHOLD
+    }
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-0.5, 0.5, allow_nan=False, width=32),
+            min_size=64,
+            max_size=64,
+        ).filter(lambda v: any(abs(x) > 1e-3 for x in v)),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_lsh_rhp_matches_python_reference(spark, vecs):
+    """The certified RHP-LSH must reproduce a from-scratch Python
+    replay pair for pair and cosine for cosine — quantization,
+    hyperplane signs, band values, bucket joins, refine order."""
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.similarity import q_sim_lsh_rhp
+
+    vmap = {i: v for i, v in enumerate(vecs)}
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in vmap.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in q_sim_lsh_rhp(spark, d).collect()
+    }
+    assert got == _lsh_rhp_reference(vmap)
