@@ -922,3 +922,33 @@ def test_windowed_distinct_users_stream(spark, events_dir):
     # 00:10 and 01:00 windows: user 1 only
     assert by_w[(0, 10)]["n_active"] == 1
     assert by_w[(1, 0)]["n_active"] == 1
+
+
+def test_windowed_countmin_stream(spark, events_dir):
+    """Streaming count-min: cells are bounded (≤ depth × width per
+    window), sum to the window's event count on every depth row,
+    and probing user 1's buckets in the 00:00 window recovers an
+    estimate ≥ its true count (one-sided error, same hash family as
+    the batch sketch)."""
+    import hashlib
+
+    from twitter_etl_spark.streaming import windowed_countmin
+
+    out = _run_to_memory(
+        spark,
+        windowed_countmin(_events_stream(spark, events_dir)),
+        "t_cm",
+        "complete",
+    ).collect()
+    zero = [r for r in out if r["window_start"].minute == 0
+            and r["window_start"].hour == 0]
+    assert len(zero) <= 3 * 16
+    for i in range(3):
+        assert sum(r["cell"] for r in zero if r["i"] == i) == 4
+    cells = {(r["i"], r["bucket"]): r["cell"] for r in zero}
+
+    def bucket(i, k):
+        return int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:15], 16) % 16
+
+    est = min(cells.get((i, bucket(i, "1")), 0) for i in range(3))
+    assert est >= 2  # user 1 has 2 events in the 00:00 window

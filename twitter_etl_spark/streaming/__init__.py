@@ -19,6 +19,7 @@ from .microbatch import (
 from .stateful import running_user_totals
 from .windows import (
     sessionized_stream,
+    windowed_countmin,
     windowed_distinct_users,
     sliding_counts,
     stream_stream_join,
@@ -36,5 +37,6 @@ __all__ = [
     "sessionized_stream",
     "stream_stream_join",
     "streaming_dedup",
+    "windowed_countmin",
     "windowed_distinct_users",
 ]

@@ -164,3 +164,49 @@ def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def windowed_countmin(
+    stream: DataFrame,
+    width: str = "10 minutes",
+    watermark: str = "1 hour",
+    depth: int = 3,
+    sketch_width: int = 16,
+) -> DataFrame:
+    """Streaming count-min cells per tumbling window: the frequency
+    sketch of ``user_id`` activity whose state is O(windows × depth
+    × sketch_width) REGARDLESS of user cardinality — the streaming
+    twin of ``q_agg_countmin`` (same md5 row hashes, so a batch
+    probe of these cells equals the batch sketch on the same data).
+    Exact per-user windowed counts would key streaming state on the
+    user — unbounded; the sketch bounds it the same way
+    ``windowed_distinct_users``'s HLL bounds distinct-count state.
+    Cells sum across micro-batches (count-min's merge IS +), so
+    each emitted row is the final cell for its window once the
+    watermark closes it; a serving layer estimates any user's rate
+    as min over depth rows of its hashed cells."""
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
+    rows = stream.withWatermark("ts", watermark).select(
+        "ts", d, F.col("user_id").cast("string").alias("k")
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("i").cast("string"), "k")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(sketch_width),
+    )
+    return (
+        rows.select("ts", "i", bucket.alias("bucket"))
+        .groupBy(F.window("ts", width).alias("w"), "i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "i",
+            "bucket",
+            "cell",
+        )
+    )
