@@ -556,3 +556,39 @@ def test_hll_rollup_accuracy_under_overlapping_increments(spark, tmp_path):
         assert abs(got[k] - want[k]) <= max(2, 0.05 * want[k]), (k, got[k], want[k])
     state = read_version(spark, d)
     assert state.count() == len(want)  # one sketch row per group
+
+
+def test_register_rollup_equals_oneshot_sketch(spark, tmp_path):
+    """Certifiable-register HLL rollup: absorbing 3 OVERLAPPING
+    increments by register-max must reproduce the one-shot
+    q_agg_hll_md5 estimate over the full table EXACTLY (same hash,
+    same registers, same estimator — not just 'within tolerance'),
+    with state bounded at <= groups x 256 relation rows."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.sketches import _HLL_M, q_agg_hll_md5
+    from twitter_etl_spark.rollup import (
+        read_register_rollup,
+        update_register_rollup,
+    )
+    from twitter_etl_spark.sinks import read_version
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, sf, "events")
+    d = str(tmp_path / "reg")
+    for part in range(3):
+        update_register_rollup(
+            spark, d, ev.filter(F.col("event_id") % 3 <= part)
+        )
+    got = {
+        r["event_type"]: r["hll_est"]
+        for r in read_register_rollup(spark, d).collect()
+    }
+    want = {
+        r["event_type"]: r["hll_est"]
+        for r in q_agg_hll_md5(spark, sf).collect()
+    }
+    assert got == want
+    state = read_version(spark, d)
+    assert state.count() <= len(want) * _HLL_M

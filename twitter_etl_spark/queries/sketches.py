@@ -749,6 +749,60 @@ _HLL_M = 1 << _HLL_P
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
 
 
+def hll_register_rows(df: DataFrame, key: str, *groups: str) -> DataFrame:
+    """Per-row HLL decomposition of ``key`` under ``groups``:
+    (groups..., j, rho) from the 60-bit md5 prefix — the shared
+    core of :func:`q_agg_hll_md5` and the certifiable register
+    rollup (rollup.py). Max-aggregate rho per (groups, j) to get
+    the mergeable register state."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return df.select(
+        *groups,
+        F.col(key),
+        F.shiftright(h, 52).alias("j"),
+        (h.bitwiseAND(F.lit((1 << 52) - 1))).alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(53)).otherwise(
+            F.lit(53) - F.length(F.conv(F.col("w"), 10, 2))
+        ),
+    )
+
+
+def hll_estimate_registers(
+    spark: SparkSession, regs: DataFrame, *groups: str
+) -> DataFrame:
+    """Flajolet estimator over sparse register rows (groups..., j,
+    m_j): densify to all m registers per group (broadcast range
+    join), integer register sum, small-range linear-counting
+    branch. Returns (groups..., hll_est)."""
+    glist = list(groups)
+    dense = (
+        regs.select(*glist).distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(_HLL_M).select(F.col("id").cast("long").alias("j"))
+            )
+        )
+        .join(regs, glist + ["j"], "left")
+        .withColumn("m0", F.coalesce("m_j", F.lit(0)))
+    )
+    agg = dense.groupBy(*glist).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m0)")).alias("s"),
+        F.sum((F.col("m0") == 0).cast("long")).alias("v"),
+    )
+    e_raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 52)) / F.col("s")
+    )
+    est = F.when(
+        (e_raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+    ).otherwise(e_raw)
+    return agg.select(*glist, F.round(est, 4).alias("hll_est"))
+
+
 def q_agg_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTUAL HyperLogLog algorithm, hash-certified: distinct
     users per event type from 256 max-rho registers over a fixed
@@ -766,49 +820,17 @@ def q_agg_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     group is built by a broadcast range join. The exact count
     column is the fixture-scale audit, as throughout this family."""
     e = table(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    rows = e.select(
-        "event_type",
-        "user_id",
-        F.shiftright(h, 52).alias("j"),
-        (h.bitwiseAND(F.lit((1 << 52) - 1))).alias("w"),
-    ).withColumn(
-        "rho",
-        F.when(F.col("w") == 0, F.lit(53)).otherwise(
-            F.lit(53) - F.length(F.conv(F.col("w"), 10, 2))
-        ),
-    )
+    rows = hll_register_rows(e, "user_id", "event_type")
     regs = rows.groupBy("event_type", "j").agg(F.max("rho").alias("m_j"))
     exact = rows.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
-    dense = (
-        exact.select("event_type")
-        .crossJoin(
-            F.broadcast(
-                spark.range(_HLL_M).select(F.col("id").cast("long").alias("j"))
-            )
-        )
-        .join(regs, ["event_type", "j"], "left")
-        .withColumn("m0", F.coalesce("m_j", F.lit(0)))
-    )
-    agg = dense.groupBy("event_type").agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m0)")).alias("s"),
-        F.sum((F.col("m0") == 0).cast("long")).alias("v"),
-    )
-    e_raw = (
-        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 52)) / F.col("s")
-    )
-    est = F.when(
-        (e_raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
-    ).otherwise(e_raw)
-    out = agg.join(exact, "event_type").select(
+    out = hll_estimate_registers(spark, regs, "event_type").join(
+        exact, "event_type"
+    ).select(
         "event_type",
         "n_exact",
-        F.round(est, 4).alias("hll_est"),
+        "hll_est",
     )
     return out.select(
         "event_type",

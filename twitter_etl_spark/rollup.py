@@ -165,3 +165,52 @@ def read_hll_rollup(
         "event_type",
         F.expr("hll_sketch_estimate(hll)").alias("approx_distinct_users"),
     )
+
+
+# Certifiable-register variant of the HLL rollup: the state is the
+# RELATION (event_type, j, m_j) — 256 max-rho registers per group
+# from the fixed md5 hash of queries/sketches.py::q_agg_hll_md5 —
+# so unlike the DataSketches binary state it is engine-independent,
+# diffable, and the read path is the hash-certified Flajolet
+# estimator. Merge = max per (event_type, j): absorbing a batch
+# touches |rollup| + |batch registers| rows, never history, and the
+# register-max algebra is pinned by
+# tests/test_round8_properties.py::test_hll_registers_merge_like_rollup_state.
+
+_REG_STATE_COLS = ("event_type", "j", "m_j")
+
+
+def update_register_rollup(
+    spark: SparkSession, rollup_dir: str, new_events: DataFrame
+) -> int:
+    """Absorb one event batch into the certifiable-register HLL
+    rollup; returns the published version."""
+    from .queries.sketches import hll_register_rows
+
+    fresh = (
+        hll_register_rows(new_events, "user_id", "event_type")
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_REG_STATE_COLS)
+        state = prev.unionByName(fresh.select(*_REG_STATE_COLS))
+    else:
+        state = fresh
+    merged = state.groupBy("event_type", "j").agg(
+        F.max("m_j").alias("m_j")
+    )
+    return publish_version(merged.select(*_REG_STATE_COLS), rollup_dir)
+
+
+def read_register_rollup(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """Estimated distinct users per event type from the stored
+    registers — identical math to q_agg_hll_md5's estimator, so a
+    rollup read over N absorbed batches equals the one-shot sketch
+    over their union."""
+    from .queries.sketches import hll_estimate_registers
+
+    st = read_version(spark, rollup_dir, version)
+    return hll_estimate_registers(spark, st, "event_type")
