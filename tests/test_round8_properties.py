@@ -612,3 +612,101 @@ def test_lsh_rhp_matches_python_reference(spark, vecs):
         for r in q_sim_lsh_rhp(spark, d).collect()
     }
     assert got == _lsh_rhp_reference(vmap)
+
+
+def _linear_count_reference(user_ids):
+    """Pure-Python replay of q_agg_linear_count's estimator."""
+    import hashlib
+    import math
+
+    from twitter_etl_spark.queries.sketches import _LC_M
+
+    pos = {
+        int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % _LC_M
+        for u in set(user_ids)
+    }
+    filled = len(pos)
+    return (
+        len(set(user_ids)),
+        filled,
+        round(-float(_LC_M) * math.log((_LC_M - filled) / float(_LC_M)), 4),
+    )
+
+
+@given(st.lists(st.integers(0, 5_000), min_size=1, max_size=200))
+@settings(**_SETTINGS)
+def test_linear_count_matches_python_reference(spark, user_ids):
+    import datetime as dt
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.sketches import q_agg_linear_count
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base, int(u), "view", 1.0, "{}") for i, u in enumerate(user_ids)
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = q_agg_linear_count(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_exact"], r["filled"], r["lc_est"]) == _linear_count_reference(
+        user_ids
+    )
+
+
+def _ams_reference(docs):
+    """Pure-Python replay of q_agg_ams_f2 (single-md5 bit-slice
+    signs, 6x8 median-of-means, closed-form even median)."""
+    import hashlib
+    import re
+
+    from twitter_etl_spark.queries.sketches import _AMS_D, _AMS_GROUP
+
+    toks = []
+    for ts in docs:
+        toks.extend(re.split(r"\s+", " ".join(ts).strip()))
+    sums = [0] * _AMS_D
+    f2 = {}
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        f2[t] = f2.get(t, 0) + 1
+        for i in range(_AMS_D):
+            sums[i] += ((h >> i) & 1) * 2 - 1
+    gms = sorted(
+        sum(sums[b * _AMS_GROUP + k] ** 2 for k in range(_AMS_GROUP))
+        / float(_AMS_GROUP)
+        for b in range(_AMS_D // _AMS_GROUP)
+    )
+    # Spark/DuckDB round() is half-UP; Python's is banker's — and
+    # the group means are exact eighths, so x.25 boundaries are HIT
+    import math as _math
+
+    est = _math.floor(((gms[2] + gms[3]) / 2) * 10 + 0.5) / 10
+    exact = sum(n * n for n in f2.values())
+    return exact, est
+
+
+@given(_DOCS)
+@settings(**_SETTINGS)
+def test_ams_f2_matches_python_reference(spark, docs):
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.sketches import q_agg_ams_f2
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, " ".join(toks), "xx") for i, toks in enumerate(docs)],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = q_agg_ams_f2(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    exact, est = _ams_reference(docs)
+    assert (r["f2_exact"], r["f2_est"]) == (exact, est)
