@@ -710,3 +710,56 @@ def test_ams_f2_matches_python_reference(spark, docs):
     r = out[0]
     exact, est = _ams_reference(docs)
     assert (r["f2_exact"], r["f2_est"]) == (exact, est)
+
+
+def _histo_percentile_reference(vals):
+    """Pure-Python replay of q_agg_histo_percentile for one segment
+    (integer-valued balances keep interpolated exacts off rounding
+    boundaries)."""
+    import math
+
+    from twitter_etl_spark.queries.sketches import _HP_B, _HP_LO, _HP_W
+
+    n = len(vals)
+    hist = {}
+    for x in vals:
+        b = min(int(math.floor((x - _HP_LO) / _HP_W)), _HP_B - 1)
+        hist[b] = hist.get(b, 0) + 1
+    out = {}
+    sv = sorted(vals)
+    for p in (0.5, 0.9):
+        # exact: Spark percentile / DuckDB quantile_cont, (n-1)p rank
+        rank = p * (n - 1)
+        lo = int(math.floor(rank))
+        frac = rank - lo
+        exact = sv[lo] + frac * (sv[min(lo + 1, n - 1)] - sv[lo])
+        t = p * n
+        cum = 0
+        for b in sorted(hist):
+            prev = cum
+            cum += hist[b]
+            if cum >= t:
+                est = _HP_LO + _HP_W * (b + (t - prev) / hist[b])
+                break
+        out[p] = (round(exact, 4), round(est, 4))
+    return out
+
+
+@given(st.lists(st.integers(-999, 9999), min_size=1, max_size=120))
+@settings(**_SETTINGS)
+def test_histo_percentile_matches_python_reference(spark, balances):
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.sketches import q_agg_histo_percentile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, "SEG", float(v)) for i, v in enumerate(balances)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    ).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    got = {
+        r["p"]: (r["exact"], r["hist_est"])
+        for r in q_agg_histo_percentile(spark, d).collect()
+    }
+    assert got == _histo_percentile_reference([float(v) for v in balances])
