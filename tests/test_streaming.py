@@ -952,3 +952,38 @@ def test_windowed_countmin_stream(spark, events_dir):
 
     est = min(cells.get((i, bucket(i, "1")), 0) for i in range(3))
     assert est >= 2  # user 1 has 2 events in the 00:00 window
+
+
+def test_windowed_hll_registers_match_batch_sketch(spark, events_dir):
+    """End-to-end certifiable-sketch handoff: register rows emitted
+    by the STREAM for the 00:00 window must equal the registers the
+    BATCH sketch computes over the same rows — the property that
+    lets a streaming job feed rollup.update_register_rollup and a
+    reader get q_agg_hll_md5's exact estimate."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.sketches import hll_register_rows
+    from twitter_etl_spark.streaming import windowed_hll_registers
+
+    out = _run_to_memory(
+        spark,
+        windowed_hll_registers(_events_stream(spark, events_dir)),
+        "t_hllreg",
+        "complete",
+    ).collect()
+    got = {
+        (r["j"], r["m_j"])
+        for r in out
+        if r["window_start"].hour == 0 and r["window_start"].minute == 0
+    }
+    batch = spark.createDataFrame(
+        [(1,), (1,), (2,), (2,)], "user_id long"  # events 1,2,5,5dup
+    )
+    want = {
+        (r["j"], r["m"])
+        for r in hll_register_rows(batch, "user_id")
+        .groupBy("j")
+        .agg(F.max("rho").alias("m"))
+        .collect()
+    }
+    assert got == want

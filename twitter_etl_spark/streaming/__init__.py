@@ -20,6 +20,7 @@ from .stateful import running_user_totals
 from .windows import (
     sessionized_stream,
     windowed_countmin,
+    windowed_hll_registers,
     windowed_distinct_users,
     sliding_counts,
     stream_stream_join,
@@ -38,5 +39,6 @@ __all__ = [
     "stream_stream_join",
     "streaming_dedup",
     "windowed_countmin",
+    "windowed_hll_registers",
     "windowed_distinct_users",
 ]

@@ -210,3 +210,26 @@ def windowed_countmin(
             "cell",
         )
     )
+
+
+def windowed_hll_registers(
+    stream: DataFrame, width: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming HLL register rows per tumbling window: (window,
+    j, m_j) from the SAME fixed md5 hash as the batch sketch
+    (queries/sketches.py::q_agg_hll_md5), so the emitted state is
+    directly absorbable by the certifiable register rollup
+    (rollup.py::update_register_rollup) — stream once, max-merge
+    into history, read the hash-certified estimator. State is
+    O(windows × 256) regardless of user cardinality; max merges
+    across micro-batches exactly like the batch halves test pins."""
+    from ..queries.sketches import hll_register_rows
+
+    rows = hll_register_rows(
+        stream.withWatermark("ts", watermark), "user_id", "ts"
+    )
+    return (
+        rows.groupBy(F.window("ts", width).alias("w"), "j")
+        .agg(F.max("rho").alias("m_j"))
+        .select(F.col("w.start").alias("window_start"), "j", "m_j")
+    )
