@@ -76,6 +76,7 @@ HEADLINE = [
     "q_ts_cusum",
     "q_agg_hll_md5",
     "q_join_bloom",
+    "q_stat_ks_binned",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

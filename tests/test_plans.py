@@ -82,6 +82,8 @@ _SINGLE_PARTITION_OK = {
     # 1-row sketch-merge agg over the per-user flag frame (bounded
     # state: two m-bit bitmaps + three counters)
     "q_agg_lc_setops",
+    # cumulative window over the fixed 64-bucket grid, never the data
+    "q_stat_ks_binned",
     # 1-row quintile-threshold agg over the per-user frame, broadcast
     # back — the scale-safe replacement for a global ntile sort
     "q_behavior_rfm",

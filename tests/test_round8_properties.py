@@ -763,3 +763,62 @@ def test_histo_percentile_matches_python_reference(spark, balances):
         for r in q_agg_histo_percentile(spark, d).collect()
     }
     assert got == _histo_percentile_reference([float(v) for v in balances])
+
+
+def _ks_reference(vals_a, vals_b):
+    """Pure-Python replay of q_stat_ks_binned (integer ECDF cross
+    products, min-bucket tie-break)."""
+    import math
+
+    from twitter_etl_spark.queries.sketches import _HP_B, _HP_LO, _HP_W
+
+    def binned(vals):
+        h = [0] * _HP_B
+        for x in vals:
+            h[min(int(math.floor((x - _HP_LO) / _HP_W)), _HP_B - 1)] += 1
+        out = []
+        c = 0
+        for n in h:
+            c += n
+            out.append(c)
+        return out
+
+    ca, cb = binned(vals_a), binned(vals_b)
+    n_a, n_b = ca[-1], cb[-1]
+    best = max(
+        range(_HP_B),
+        key=lambda i: (abs(ca[i] * n_b - cb[i] * n_a), -i),
+    )
+    d = abs(ca[best] * n_b - cb[best] * n_a)
+    return (n_a, n_b, best, round(d / (n_a * n_b), 6))
+
+
+@given(
+    st.lists(st.integers(-999, 9999), min_size=1, max_size=80),
+    st.lists(st.integers(-999, 9999), min_size=1, max_size=80),
+)
+@settings(**_SETTINGS)
+def test_ks_binned_matches_python_reference(spark, a_vals, b_vals):
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.sketches import q_stat_ks_binned
+
+    rows = [(i, "AUTOMOBILE", float(v)) for i, v in enumerate(a_vals)] + [
+        (10_000 + i, "MACHINERY", float(v)) for i, v in enumerate(b_vals)
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "c_custkey long, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    out = q_stat_ks_binned(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r["n_a"],
+        r["n_b"],
+        r["argmax_bucket"],
+        r["ks_stat"],
+    ) == _ks_reference(
+        [float(v) for v in a_vals], [float(v) for v in b_vals]
+    )

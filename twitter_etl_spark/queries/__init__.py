@@ -114,18 +114,20 @@ _MODULES = (
 #            q_dedup_exact_substring (new in r8); slot 44 =
 #            q_sample_weighted (new in r8); slot 45 =
 #            q_behavior_dau_wau_mau (new in r8); slot 46 =
-#            q_dedup_containment (new in r8); slots 39-50 = the
-#            twelve ops new in late r8 (q_agg_countmin,
+#            q_dedup_containment (new in r8); slots 38-50 = the
+#            thirteen ops new in late r8 (q_agg_countmin,
 #            q_dedup_bloom, q_sim_lsh_rhp, q_dedup_minhash_est,
 #            q_text_bigram_lm, q_agg_linear_count,
 #            q_agg_histo_percentile, q_agg_ams_f2, q_agg_lc_setops,
-#            q_ts_cusum, q_agg_hll_md5, q_join_bloom — every new op
-#            certs in its birth round), so the displaced re-certs
+#            q_ts_cusum, q_agg_hll_md5, q_join_bloom,
+#            q_stat_ks_binned — every new op certs in its birth
+#            round), so the displaced re-certs
 #            (q_agg_approx_distinct rows-only, q_dedup_normalized,
 #            q_fn_array, q_fn_case, q_fn_cast, q_join_cross,
 #            q_join_right, q_except, q_sort_multi, q_intersect,
-#            q_union_distinct, q_union_all) join q_fn_date,
-#            q_fn_json, q_fn_map and q_fn_math in the r9 queue.
+#            q_union_distinct, q_union_all, q_limit_topk) join
+#            q_fn_date, q_fn_json, q_fn_map and q_fn_math in the
+#            r9 queue (17 names).
 #            tests/test_cli.py::test_cert_prefix_contract pins the
 #            arithmetic (exactly 50, rows-only allowlisted, every
 #            registry name certified-or-queued) so this comment can
@@ -168,8 +170,8 @@ _CERT_PREFIX = (
     "q_ts_lttb",
     # -- slot 33: semantics changed in r8 (lat-adaptive lon ring)
     "q_geo_grid_join",
-    # -- slots 34-42: r2-stale re-certs (displaced from the r7 prefix)
-    "q_limit_topk",
+    # (slots 34-42 of the early-r8 plan were r2-stale re-certs; all
+    # nine were displaced one by one as the late-r8 ops landed)
     # -- slot 43: new in r8 (Lee-et-al-style exact-substring dedup)
     "q_dedup_exact_substring",
     # -- slot 44: new in r8 (Efraimidis-Spirakis weighted sampling)
@@ -194,6 +196,7 @@ _CERT_PREFIX = (
     "q_ts_cusum",
     "q_agg_hll_md5",
     "q_join_bloom",
+    "q_stat_ks_binned",
 )
 
 _BY_MODULE: dict = {}

@@ -873,3 +873,99 @@ ORACLE["q_agg_hll_md5"] = (
     "round(abs(est.hll_est - ex.n_exact) / ex.n_exact, 4) AS rel_err "
     "FROM ex JOIN est ON ex.event_type = est.event_type"
 )
+
+
+def q_stat_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the
+    AUTOMOBILE and MACHINERY balance distributions, computed on the
+    64-bucket equi-width grid (the ``q_agg_histo_percentile``
+    geometry) — the batch-vs-batch drift detector a training-data
+    pipeline runs between crawls (distribution shift gate). Binned
+    KS is exact ON THE BINS (it lower-bounds the pointwise KS by at
+    most one bin's mass) and is the scale-safe spelling: exact KS
+    needs global order statistics of the union — a full sort — while
+    this is ONE hash agg to ≤ 2×64 cells plus a 64-row window.
+
+    Integer-exact cross-engine: the ECDF difference is compared as
+    ``|cum_a·n_b − cum_b·n_a|`` (BIGINT — no float ECDFs), so the
+    argmax bucket and the tie-break are integer decisions; only the
+    final normalized statistic divides, once, and rounds at 6.
+
+    Scale: counts collapse map-side; the cumulative window runs
+    over the 64-row grid, never the data (single-partition exchange
+    allowlisted for exactly that reason)."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
+    )
+    bucket = F.least(
+        F.floor((F.col("c_acctbal") - _HP_LO) / _HP_W), F.lit(_HP_B - 1)
+    ).cast("int")
+    counts = c.groupBy(bucket.alias("bucket")).agg(
+        F.sum((F.col("c_mktsegment") == "AUTOMOBILE").cast("long")).alias("ca"),
+        F.sum((F.col("c_mktsegment") == "MACHINERY").cast("long")).alias("cb"),
+    )
+    grid = (
+        spark.range(_HP_B)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "bucket",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = cum.agg(F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b"))
+    diff = cum.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("d"),
+    )
+    return (
+        diff.orderBy(F.col("d").desc(), F.col("bucket"))
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("bucket").alias("argmax_bucket"),
+            F.round(F.col("d") / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "ks_stat"
+            ),
+        )
+    )
+
+
+QUERIES["q_stat_ks_binned"] = q_stat_ks_binned
+
+ORACLE["q_stat_ks_binned"] = (
+    "WITH c AS (SELECT c_mktsegment, "
+    f"least(floor((c_acctbal - ({_HP_LO!r})) / {_HP_W!r}), {_HP_B - 1})::INT "
+    "  AS bucket FROM customer "
+    "  WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')), "
+    "cnt AS (SELECT bucket, "
+    "  sum((c_mktsegment = 'AUTOMOBILE')::INT)::BIGINT AS ca, "
+    "  sum((c_mktsegment = 'MACHINERY')::INT)::BIGINT AS cb "
+    "  FROM c GROUP BY bucket), "
+    f"grid AS (SELECT g.bucket, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb "
+    f"  FROM (SELECT unnest(range({_HP_B}))::INT AS bucket) g "
+    "  LEFT JOIN cnt ON cnt.bucket = g.bucket), "
+    "cum AS (SELECT bucket, "
+    "  sum(ca) OVER (ORDER BY bucket)::BIGINT AS cum_a, "
+    "  sum(cb) OVER (ORDER BY bucket)::BIGINT AS cum_b FROM grid), "
+    "tot AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b FROM cum), "
+    "d AS (SELECT bucket, n_a, n_b, "
+    "  abs(cum_a * n_b - cum_b * n_a)::BIGINT AS d FROM cum CROSS JOIN tot) "
+    "SELECT n_a, n_b, bucket AS argmax_bucket, "
+    "round(d * 1.0 / (n_a * n_b), 6) AS ks_stat "
+    "FROM d ORDER BY d DESC, bucket LIMIT 1"
+)
