@@ -592,3 +592,40 @@ def test_register_rollup_equals_oneshot_sketch(spark, tmp_path):
     assert got == want
     state = read_version(spark, d)
     assert state.count() <= len(want) * _HLL_M
+
+
+def test_bloom_rollup_no_false_negatives_across_increments(spark, tmp_path):
+    """Persistent bloom rollup: after absorbing 2 batches, every
+    absorbed document probes hit=1 (no false negatives, the bloom
+    guarantee), and a disjoint batch mostly probes hit=0 (bounded
+    false positives at this fill). State stays <= m rows."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.dedup import _BLOOM_M
+    from twitter_etl_spark.rollup import (
+        probe_bloom_rollup,
+        update_bloom_rollup,
+    )
+    from twitter_etl_spark.sinks import read_version
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 != 0)
+    unseen = docs.filter(F.col("doc_id") % 3 == 0)
+    d = str(tmp_path / "bloom")
+    update_bloom_rollup(spark, d, seen.filter(F.col("doc_id") % 2 == 0))
+    update_bloom_rollup(spark, d, seen.filter(F.col("doc_id") % 2 == 1))
+    hits = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in probe_bloom_rollup(spark, d, seen).collect()
+    }
+    assert all(v == 1 for v in hits.values()), "bloom false negative"
+    miss = [
+        r["bloom_hit"]
+        for r in probe_bloom_rollup(spark, d, unseen).collect()
+    ]
+    # texts are unique at sf0.001, so unseen digests are genuinely
+    # new; at ~2% fill the FP rate is far below 50%
+    assert sum(miss) < len(miss) / 2
+    assert read_version(spark, d).count() <= _BLOOM_M

@@ -214,3 +214,66 @@ def read_register_rollup(
 
     st = read_version(spark, rollup_dir, version)
     return hll_estimate_registers(spark, st, "event_type")
+
+
+# Bloom-filter rollup: the crawler's PERSISTENT membership filter.
+# State = the relation of set bit positions (<= m rows of one long,
+# q_dedup_bloom's geometry) — absorbing a batch unions new
+# positions (set-OR, the bloom merge), so the steady-state
+# incremental-dedup prefilter never re-reads history and its read
+# side is exactly the broadcast bit set q_dedup_bloom probes.
+
+_BLOOM_STATE_COLS = ("pos",)
+
+
+def update_bloom_rollup(
+    spark: SparkSession, rollup_dir: str, new_docs: DataFrame
+) -> int:
+    """Absorb one document batch's content digests into the
+    persistent bloom filter; returns the published version."""
+    from .queries.dedup import _BLOOM_K, _bloom_pos
+
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+    fresh = (
+        new_docs.select(F.md5("text").alias("digest"))
+        .distinct()
+        .select(ks, "digest")
+        .select(_bloom_pos(F.col("j"), F.col("digest")).alias("pos"))
+        .distinct()
+    )
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_BLOOM_STATE_COLS)
+        state = prev.unionByName(fresh).distinct()
+    else:
+        state = fresh
+    return publish_version(state.select(*_BLOOM_STATE_COLS), rollup_dir)
+
+
+def probe_bloom_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    docs: DataFrame,
+    version: int | None = None,
+) -> DataFrame:
+    """Check a candidate batch against the persistent filter:
+    (doc_id, bloom_hit) — hit=1 means PROBABLY seen (route to the
+    exact digest index), hit=0 means DEFINITELY new (skip the
+    expensive check; blooms have no false negatives)."""
+    from .queries.dedup import _BLOOM_K, _bloom_pos
+
+    bits = read_version(spark, rollup_dir, version).withColumn(
+        "hit", F.lit(1)
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .select("doc_id", "digest", ks)
+        .withColumn("pos", _bloom_pos(F.col("j"), F.col("digest")))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.coalesce("hit", F.lit(0))) == _BLOOM_K)
+            .cast("int")
+            .alias("bloom_hit")
+        )
+    )
