@@ -13,6 +13,22 @@ import datetime as dt
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
+
+def _round_half_up(x, n):
+    """Spark F.round / DuckDB round semantics: HALF_UP (ties away from
+    zero). Python's builtin round() is half-to-even, which diverges on
+    exactly-representable midpoints (e.g. -97.65625 at 4 decimals,
+    reachable because the histogram bucket width is dyadic)."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-n)
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            q, rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 _SETTINGS = dict(
     max_examples=10,
     deadline=None,  # Spark job latency is not a property failure
@@ -110,8 +126,8 @@ def _containment_reference(docs):
             inter = len(sets[a] & sets[b])
             if not inter:
                 continue
-            c_ab = round(inter / len(sets[a]), 6)
-            c_ba = round(inter / len(sets[b]), 6)
+            c_ab = _round_half_up(inter / len(sets[a]), 6)
+            c_ba = _round_half_up(inter / len(sets[b]), 6)
             if max(c_ab, c_ba) >= 0.5:
                 out[(a, b)] = (c_ab, c_ba)
     return out
@@ -377,9 +393,9 @@ def _cusum_reference(rows, target, scale=10**4):
     out = []
     s = 0
     for x in rows:
-        inc = math.floor(round(x - target, 4) * scale + 0.5)
+        inc = math.floor(_round_half_up(x - target, 4) * scale + 0.5)
         s = max(0, s + inc)
-        out.append(round(s / scale, 4))
+        out.append(_round_half_up(s / scale, 4))
     return out
 
 
@@ -440,8 +456,8 @@ def _hll_reference(values):
     e_raw = alpha * m * m * float(1 << 52) / s
     v0 = regs.count(0)
     if e_raw <= 2.5 * m and v0 > 0:
-        return round(m * math.log(m / v0), 4)
-    return round(e_raw, 4)
+        return _round_half_up(m * math.log(m / v0), 4)
+    return _round_half_up(e_raw, 4)
 
 
 @given(
@@ -571,7 +587,7 @@ def _lsh_rhp_reference(vecs):
             na += x * x
         for y in vb:
             nb += y * y
-        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+        return _round_half_up(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
 
     return {
         (a, b): cos(a, b)
@@ -629,7 +645,7 @@ def _linear_count_reference(user_ids):
     return (
         len(set(user_ids)),
         filled,
-        round(-float(_LC_M) * math.log((_LC_M - filled) / float(_LC_M)), 4),
+        _round_half_up(-float(_LC_M) * math.log((_LC_M - filled) / float(_LC_M)), 4),
     )
 
 
@@ -741,7 +757,7 @@ def _histo_percentile_reference(vals):
             if cum >= t:
                 est = _HP_LO + _HP_W * (b + (t - prev) / hist[b])
                 break
-        out[p] = (round(exact, 4), round(est, 4))
+        out[p] = (_round_half_up(exact, 4), _round_half_up(est, 4))
     return out
 
 
@@ -790,7 +806,7 @@ def _ks_reference(vals_a, vals_b):
         key=lambda i: (abs(ca[i] * n_b - cb[i] * n_a), -i),
     )
     d = abs(ca[best] * n_b - cb[best] * n_a)
-    return (n_a, n_b, best, round(d / (n_a * n_b), 6))
+    return (n_a, n_b, best, _round_half_up(d / (n_a * n_b), 6))
 
 
 @given(
