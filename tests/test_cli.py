@@ -81,19 +81,17 @@ def test_cert_prefix_all_oracle_backed():
     """The first 50 registry entries are what the driver certifies
     each round — a rows-only name there normally wastes a cert slot
     on the weaker check, so every prefix name must have an oracle
-    UNLESS it is in the deliberate allowlist: the r8 prefix spends 3
-    slots on the rows-only queries that had never appeared in any
-    CORRECTNESS file, so the driver's rows>0 check finally sees them,
-    plus the one r2-era rows-only re-cert (r6 verdict #2)."""
+    UNLESS it is in the deliberate allowlist: the r9 prefix rotates
+    the full r2/r3-stale cohort (r8 verdict #2), which includes the
+    4 rows-only names whose last driver rows>0 check is r2/r3."""
     from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
 
     deliberate_rows_only = {
-        # r8 first-cert rows-only wave (approximate sketches + LTTB)
-        "q_agg_hll_distinct",
-        "q_agg_topk_sketch",
-        "q_ts_lttb",
-        # r2-stale rows-only re-cert
+        # r2/r3-stale rows-only re-certs (part of the 45-name cohort)
         "q_agg_approx_distinct",
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_sim_ann_lsh",
     }
     prefix = list(ALL_QUERIES)[:50]
     missing = [
@@ -138,3 +136,42 @@ def test_cert_prefix_contract():
         n for n in ALL_QUERIES if n not in seen and n not in _CERT_PREFIX
     ]
     assert not unqueued, unqueued
+
+
+def test_cert_prefix_staleness_policy():
+    """r8 verdict #2: rotation must not silently skip the stalest
+    re-certs. Policy: after reserving slots for never-certified (new)
+    ops, every remaining slot goes to the names whose most recent
+    green driver row is OLDEST. Tie-tolerant form: the newest cert
+    round inside the prefix may not exceed the oldest cert round
+    outside it (ties at the boundary round are broken arbitrarily).
+
+    Intentional forcing function: when the driver lands the next
+    CORRECTNESS_r{N}.json, this test goes red until the next round
+    rotates the prefix — rotation debt can no longer accumulate
+    silently the way the r2/r3 cohort did for five rounds."""
+    import glob
+    import json
+
+    from twitter_etl_spark.queries import ALL_QUERIES, _CERT_PREFIX
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    last: dict = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        for name, row in json.load(open(f)).items():
+            green = (row.get("err") is None and row.get("rows_match")) or (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    in_prefix = [last[n] for n in _CERT_PREFIX if n in last]
+    outside = [
+        last[n] for n in ALL_QUERIES if n in last and n not in _CERT_PREFIX
+    ]
+    if in_prefix and outside:
+        assert max(in_prefix) <= min(outside), (
+            f"prefix holds a cert from r{max(in_prefix)} while a staler "
+            f"r{min(outside)} name waits outside — rotate oldest-first"
+        )
