@@ -1,9 +1,13 @@
 """Benchmark runner (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. Output: a full-detail JSON line (also
+written to BENCH_DETAIL.json), then a FINAL compact JSON line
 ``{"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}``.
+"queries": {name: sec}, "sf": ...}`` sized to fit the driver's
+2000-char tail-capture window (per-query timings degrade to the
+legacy-18 subset, then to totals-only, before the line can outgrow
+the window).
 
 Each query is fully materialized via a noop sink (measures compute,
 not driver collect). A small warmup primes the JVM/codegen so the
@@ -157,24 +161,49 @@ def main() -> int:
     for name in SIDECAR:
         sidecar[name], _ = _time_best(ALL_QUERIES[name], spark, sf_dir)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_runs": N_RUNS,
-                "spread": spread,
-                "legacy18_seconds": legacy,
-                "tpch22_seconds": round(sum(tpch.values()), 3),
-                "tpch_queries": tpch,
-                "tpch_spread": tpch_spread,
-                "sidecar_rows_only": sidecar,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_runs": N_RUNS,
+        "spread": spread,
+        "legacy18_seconds": legacy,
+        "tpch22_seconds": round(sum(tpch.values()), 3),
+        "tpch_queries": tpch,
+        "tpch_spread": tpch_spread,
+        "sidecar_rows_only": sidecar,
+    }
+    # The driver tail-captures the LAST 2000 chars of stdout and
+    # parses the JSON line it finds there; by r8 the full-detail line
+    # outgrew that window and BENCH_r08.json recorded parsed:null.
+    # Contract since r9: full detail goes to a file AND a preceding
+    # line; the FINAL line is a compact summary guaranteed to fit the
+    # window (per-query timings included only while they fit).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as fh:
+        json.dump(detail, fh)
+    print(json.dumps(detail))
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_runs": N_RUNS,
+        "legacy18_seconds": legacy,
+        "tpch22_seconds": detail["tpch22_seconds"],
+        "n_headline": len(timings),
+        "detail": "BENCH_DETAIL.json",
+        "queries": timings,
+    }
+    if len(json.dumps(compact)) > 1800:
+        compact["queries"] = {n: timings[n] for n in HEADLINE[:18]}
+    if len(json.dumps(compact)) > 1800:
+        del compact["queries"]
+    print(json.dumps(compact))
     return 0
 
 
