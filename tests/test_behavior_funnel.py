@@ -92,6 +92,17 @@ def test_rfm_approx_path_matches_exact_on_smoke(spark):
     assert all(
         1 <= s <= 5 for scores in approx.values() for s in scores
     )
+    # r8 verdict #5: the runnable path must aggregate thresholds with
+    # the mergeable t-digest, not the buffer-every-value exact
+    # percentile whose final reducer holds all user metrics at once
+    plan = (
+        behavior.q_behavior_rfm(spark, SF_SMOKE, exact=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile_approx" in plan
+    assert "percentile(" not in plan.replace("percentile_approx(", "")
 
 
 def test_dau_wau_mau_invariants(spark):

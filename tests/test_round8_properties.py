@@ -452,8 +452,8 @@ def _hll_reference(values):
         w = h & ((1 << 52) - 1)
         rho = 53 if w == 0 else 53 - w.bit_length()
         regs[j] = max(regs[j], rho)
-    s = sum(1 << (52 - r) for r in regs)
-    e_raw = alpha * m * m * float(1 << 52) / s
+    s = sum(1 << (53 - r) for r in regs)
+    e_raw = alpha * m * m * float(1 << 53) / s
     v0 = regs.count(0)
     if e_raw <= 2.5 * m and v0 > 0:
         return _round_half_up(m * math.log(m / v0), 4)

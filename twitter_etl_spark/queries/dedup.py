@@ -867,9 +867,34 @@ ORACLE["q_dedup_bloom"] = (
 #: MinHash signature length for the estimator audit. Estimator
 #: std-dev is sqrt(J(1-J))/sqrt(K) ~ 0.057 at J=0.3 with K=64 —
 #: large enough to see real per-pair error in the output, small
-#: enough that the signature build (K md5s per distinct shingle
-#: instance) stays a linear pass.
+#: enough that the signature build stays a linear pass.
 _MH_EST_K = 64
+
+#: Mersenne prime 2^31 - 1: with a, b, h0 all < p, the 2-universal
+#: slot hash (a*h0 + b) % p peaks at ~2^62 — exact BIGINT in both
+#: engines, no decimal/hugeint widening needed.
+_MH_P = (1 << 31) - 1
+
+
+def _mh_ab() -> "list[tuple[int, int]]":
+    """Fixed (a_j, b_j) coefficients for the K slot hashes, derived
+    from md5 of a tagged counter so both engines embed the SAME
+    integer literals (a_j != 0 for 2-universality)."""
+    import hashlib
+
+    out = []
+    for j in range(_MH_EST_K):
+        a = (
+            int(hashlib.md5(f"mhest-a-{j}".encode()).hexdigest()[:15], 16)
+            % (_MH_P - 1)
+            + 1
+        )
+        b = int(hashlib.md5(f"mhest-b-{j}".encode()).hexdigest()[:15], 16) % _MH_P
+        out.append((a, b))
+    return out
+
+
+_MH_AB = _mh_ab()
 
 
 def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,19 +907,28 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rest of the MinHash family takes on faith: banded LSH
     (``q_dedup_minhash_banded``) certifies candidate generation but
     refines with exact Jaccard, and the MLlib twin
-    (``q_dedup_minhash``) is rows-only. Per-slot hashes are md5
-    prefixes ("j:shingle"), so both engines build the identical
-    signature matrix and the cert is a hash match.
+    (``q_dedup_minhash``) is rows-only. Each shingle instance is
+    digested ONCE (md5 prefix reduced mod the Mersenne prime
+    2^31-1); the K slot hashes derive from that single digest via a
+    fixed 2-universal integer family h_j = (a_j*h0 + b_j) mod p
+    (Carter-Wegman 1979, JCSS — public) with literal coefficients
+    embedded identically in both engines, so the signature matrix —
+    and therefore the cert — is still an exact hash match. (r8
+    shipped K md5s per shingle instance; the AMS F2 A/B proved
+    per-slot digesting is the bottleneck class — one digest + 3
+    integer-ops/slot measured 2.3x faster on the signature build,
+    interleaved best-of-5, SCALE.md r9; the residual cost is the
+    shared docs x K explode + min shuffle, not hashing.)
 
-    Scale: signatures are ONE linear pass — explode distinct
-    shingles x K slot hashes, hash-agg min per (doc, slot); the
-    per-(doc,slot) min collapses map-side, so the exchange carries
-    at most docs x K rows (the signature matrix you would persist
-    as the corpus sketch). Estimation touches only candidate pairs
-    x K signature rows via two id-keyed joins — never all pairs,
-    never document text. The exact-Jaccard column is fixture-scale
-    audit; production keeps the estimate and drops the exact
-    pipeline."""
+    Scale: signatures are ONE linear pass — per-shingle digest,
+    explode x K integer slot hashes, hash-agg min per (doc, slot);
+    the per-(doc,slot) min collapses map-side, so the exchange
+    carries at most docs x K rows (the signature matrix you would
+    persist as the corpus sketch). Estimation touches only
+    candidate pairs x K signature rows via two id-keyed joins —
+    never all pairs, never document text. The exact-Jaccard column
+    is fixture-scale audit; production keeps the estimate and drops
+    the exact pipeline."""
     inter = _shingle_intersections(spark, sf_dir)
     jac = F.round(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
@@ -907,26 +941,27 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
     )
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    slots = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _MH_AB
+        ]
+    )
     sig = (
         sh.select(
             "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(_MH_EST_K - 1))).alias("j"),
-            "shingle",
+            (
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast(
+                    "long"
+                )
+                % _MH_P
+            ).alias("h0"),
         )
+        .select("doc_id", "h0", F.posexplode(slots).alias("j", "ab"))
         .select(
             "doc_id",
             "j",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("j").cast("string"), "shingle")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
+            ((F.col("ab.a") * F.col("h0") + F.col("ab.b")) % _MH_P).alias("h"),
         )
         .groupBy("doc_id", "j")
         .agg(F.min("h").alias("mh"))
@@ -954,9 +989,8 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_dedup_minhash_est"] = q_dedup_minhash_est
 
-_MH_SLOT_SQL = (
-    "(('0x' || substr(md5(j::VARCHAR || ':' || shingle), 1, 15))::UBIGINT)"
-    "::BIGINT"
+_MH_AB_VALUES = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(_MH_AB)
 )
 
 ORACLE["q_dedup_minhash_est"] = (
@@ -977,10 +1011,13 @@ ORACLE["q_dedup_minhash_est"] = (
     "  round(n_inter * 1.0 / (n_a + n_b - n_inter), 6) AS jaccard "
     "  FROM inter "
     "  WHERE round(n_inter * 1.0 / (n_a + n_b - n_inter), 6) >= 0.3), "
-    f"js AS (SELECT unnest(range({_MH_EST_K})) AS j), "
-    f"sig AS (SELECT doc_id, j, min({_MH_SLOT_SQL})::BIGINT AS mh "
-    "  FROM (SELECT doc_id, unnest(s) AS shingle FROM shl) e "
-    "  CROSS JOIN js GROUP BY doc_id, j), "
+    f"js AS (SELECT * FROM (VALUES {_MH_AB_VALUES}) AS v(j, a, b)), "
+    "hv AS (SELECT doc_id, "
+    f"  (('0x' || substr(md5(shingle), 1, 15))::UBIGINT)::BIGINT % {_MH_P} "
+    "    AS h0 "
+    "  FROM (SELECT doc_id, unnest(s) AS shingle FROM shl) e), "
+    f"sig AS (SELECT doc_id, j, min((a * h0 + b) % {_MH_P})::BIGINT AS mh "
+    "  FROM hv CROSS JOIN js GROUP BY doc_id, j), "
     "est AS (SELECT p.doc_a, p.doc_b, p.jaccard, "
     f"  round(sum((sa.mh = sb.mh)::INT) * 1.0 / {_MH_EST_K}, 6) AS jaccard_est "
     "  FROM pairs p "

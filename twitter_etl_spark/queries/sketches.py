@@ -790,11 +790,14 @@ def hll_estimate_registers(
         .withColumn("m0", F.coalesce("m_j", F.lit(0)))
     )
     agg = dense.groupBy(*glist).agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m0)")).alias("s"),
+        # 53 - m0 keeps the exponent >= 0 on the rho=53 (w==0) branch:
+        # 52 - 53 = -1 silently wraps to 1<<63 in Spark and errors in
+        # DuckDB. Max total = m * 2^53 = 2^61, comfortably BIGINT.
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m0)")).alias("s"),
         F.sum((F.col("m0") == 0).cast("long")).alias("v"),
     )
     e_raw = (
-        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 52)) / F.col("s")
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)) / F.col("s")
     )
     est = F.when(
         (e_raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
@@ -844,7 +847,7 @@ def q_agg_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_agg_hll_md5"] = q_agg_hll_md5
 
-_HLL_RAW_SQL = f"({_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 52)!r} / s)"
+_HLL_RAW_SQL = f"({_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)!r} / s)"
 
 ORACLE["q_agg_hll_md5"] = (
     "WITH h AS (SELECT event_type, user_id, "
@@ -863,7 +866,7 @@ ORACLE["q_agg_hll_md5"] = (
     "coalesce(regs.m_j, 0) AS m0 FROM ex CROSS JOIN js "
     "LEFT JOIN regs ON regs.event_type = ex.event_type AND regs.j = js.j), "
     "a AS (SELECT event_type, "
-    "sum(1::BIGINT << (52 - m0))::BIGINT AS s, "
+    "sum(1::BIGINT << (53 - m0))::BIGINT AS s, "
     "sum((m0 = 0)::BIGINT)::BIGINT AS v FROM dense GROUP BY event_type), "
     "est AS (SELECT event_type, round(CASE WHEN "
     f"{_HLL_RAW_SQL} <= {2.5 * _HLL_M!r} AND v > 0 "

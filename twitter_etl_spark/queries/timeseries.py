@@ -526,12 +526,16 @@ ORACLE["q_ts_cusum"] = (
     f"  CAST(floor(round(value - {_CUSUM_TARGET!r}, 4) * 1e4 + 0.5) "
     "    AS BIGINT) AS inc, ts "
     "  FROM events WHERE event_type = 'purchase'), "
-    "c AS (SELECT user_id, event_id, ts_epoch, "
+    "c AS (SELECT user_id, event_id, ts_epoch, ts, "
     "  sum(inc) OVER w AS cs FROM e "
     "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
     "    ROWS UNBOUNDED PRECEDING)), "
+    # running-min MUST order by full-precision ts like the cumsum
+    # window and the Spark side: ts_epoch is second-truncated, so two
+    # same-user purchases inside one second whose event_id order
+    # disagrees with sub-second ts order would otherwise diverge
     "f AS (SELECT user_id, event_id, ts_epoch, cs, "
-    "  least(0, min(cs) OVER (PARTITION BY user_id ORDER BY ts_epoch, "
+    "  least(0, min(cs) OVER (PARTITION BY user_id ORDER BY ts, "
     "    event_id ROWS UNBOUNDED PRECEDING)) AS floor_cs FROM c) "
     "SELECT user_id, event_id, ts_epoch, "
     "round((cs - floor_cs) / 1e4, 4) AS cusum, "
