@@ -81,6 +81,11 @@ HEADLINE = [
     "q_agg_hll_md5",
     "q_join_bloom",
     "q_stat_ks_binned",
+    # new in r9 — tracked from birth
+    "q_stat_chi2_binned",
+    "q_sim_lsh_rhp_strict",
+    "q_agg_kmv_distinct",
+    "q_graph_adamic_adar",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

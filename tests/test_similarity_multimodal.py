@@ -232,3 +232,29 @@ def test_rhp_lsh_refine_sound_and_recall_pinned(spark):
     found = {(r["vec_a"], r["vec_b"]) for r in got}
     recall = len(found & truth) / len(truth)
     assert recall >= 0.75, f"recall {recall:.3f} below the 8x4-band pin"
+
+
+def test_lsh_rhp_strict_recalls_twins_and_prunes(spark):
+    """q_sim_lsh_rhp_strict (r8 verdict #8): the 0.9-regime config
+    must (a) emit ONLY true 0.9+ pairs — on this fixture exactly the
+    deterministic perturbed twins, since no natural pair exceeds
+    cos 0.61 — and (b) recall >= 0.9 of them (6 long 8-bit bands at
+    twin cosine ~0.95 predict ~0.96; sf0.1 measured 0.9675 with a
+    15x candidate-admission collapse vs the weak 8x4 config,
+    SCALE.md r9)."""
+    from tests.conftest import SF_ORACLE
+    from twitter_etl_spark.queries.similarity import (
+        _RHP_S_THRESHOLD,
+        _RHP_TWIN_OFFSET,
+        q_sim_lsh_rhp_strict,
+    )
+    from twitter_etl_spark.tables import table
+
+    got = q_sim_lsh_rhp_strict(spark, SF_ORACLE).collect()
+    assert got
+    assert all(r["cos_sim"] >= _RHP_S_THRESHOLD for r in got)
+    # every emitted pair is an (original, twin) pair
+    assert all(r["vec_b"] - r["vec_a"] == _RHP_TWIN_OFFSET for r in got)
+    n_vec = table(spark, SF_ORACLE, "embeddings").count()
+    recall = len(got) / n_vec
+    assert recall >= 0.9, f"strict recall {recall:.3f} below the 6x8-band pin"

@@ -280,3 +280,121 @@ def test_hll_md5_tracks_exact_and_agrees_with_datasketches_class(spark):
         assert rows
         for r in rows:
             assert r["rel_err"] <= 3 * 1.04 / (256 ** 0.5), r
+
+
+def test_chi2_binned_matches_textbook_formula(spark):
+    """q_stat_chi2_binned's D²/t identity must equal the textbook
+    Σ (O−E)²/E over the same binned table, computed independently
+    in Python from the raw balances (fixed-point granularity 1e-6
+    bounds the divergence of the two spellings)."""
+    import math
+
+    from tests.conftest import SF_ORACLE
+    from twitter_etl_spark.queries.sketches import (
+        _HP_B,
+        _HP_LO,
+        _HP_W,
+        q_stat_chi2_binned,
+    )
+    from twitter_etl_spark.tables import table
+
+    r = q_stat_chi2_binned(spark, SF_ORACLE).collect()[0]
+    rows = (
+        table(spark, SF_ORACLE, "customer")
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"))
+        .select("c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    hist: dict = {}
+    for row in rows:
+        b = min(int(math.floor((row["c_acctbal"] - _HP_LO) / _HP_W)), _HP_B - 1)
+        ca, cb = hist.get(b, (0, 0))
+        if row["c_mktsegment"] == "AUTOMOBILE":
+            hist[b] = (ca + 1, cb)
+        else:
+            hist[b] = (ca, cb + 1)
+    n_a = sum(v[0] for v in hist.values())
+    n_b = sum(v[1] for v in hist.values())
+    n = n_a + n_b
+    chi2 = 0.0
+    for ca, cb in hist.values():
+        t = ca + cb
+        ea = n_a * t / n
+        eb = n_b * t / n
+        chi2 += (ca - ea) ** 2 / ea + (cb - eb) ** 2 / eb
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    assert abs(r["chi2"] - chi2) < 1e-4
+    assert abs(r["cramers_v"] - math.sqrt(chi2 / n)) < 1e-4
+    assert 0.0 <= r["cramers_v"] <= 1.0
+
+
+def test_kmv_exercises_both_branches_and_tracks_exact(spark):
+    """KMV: the smoke fixture (15 distinct users < k=64) must take
+    the exact short-circuit (rel_err == 0); sf0.01 (150 distinct)
+    must take the estimator branch and land within 4 sigma
+    (n/sqrt(k-2) ~ 12.7%)."""
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+    from twitter_etl_spark.queries.sketches import _KMV_K, q_agg_kmv_distinct
+
+    smoke = q_agg_kmv_distinct(spark, SF_SMOKE).collect()
+    assert smoke and all(r["rel_err"] == 0.0 for r in smoke)
+    assert all(r["n_exact"] < _KMV_K for r in smoke)
+    big = q_agg_kmv_distinct(spark, SF_ORACLE).collect()
+    assert big and all(r["n_exact"] >= _KMV_K for r in big)
+    sigma = 1.0 / (_KMV_K - 2) ** 0.5
+    assert all(r["rel_err"] <= 4 * sigma for r in big), big
+    # estimator branch genuinely estimates (not the trivial equality)
+    assert any(r["kmv_est"] != r["n_exact"] for r in big)
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    """q_graph_adamic_adar vs brute-force Python over the capped
+    pivot relation: identical pair ordering and scores to 1e-5
+    (the fixed-point weights quantize at 1e-12 per pivot)."""
+    import math
+    from collections import defaultdict
+
+    from tests.conftest import SF_ORACLE
+    from twitter_etl_spark.queries.graph import (
+        AA_SCALE,
+        JACCARD_MAX_PIVOT,
+        q_graph_adamic_adar,
+    )
+    from twitter_etl_spark.tables import table
+
+    o = table(spark, SF_ORACLE, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = {
+        (r["o_custkey"], r["l_suppkey"])
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"]).collect()
+    }
+    by_cust = defaultdict(set)
+    for c, s in cs:
+        by_cust[c].add(s)
+    scores: dict = defaultdict(lambda: [0, 0, 0])
+    for c, supps in by_cust.items():
+        cd = len(supps)
+        if cd > JACCARD_MAX_PIVOT or cd < 2:
+            continue
+        waa = math.floor(AA_SCALE / math.log(cd) + 0.5)
+        wra = math.floor(AA_SCALE / cd + 0.5)
+        ss = sorted(supps)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                e = scores[(ss[i], ss[j])]
+                e[0] += 1
+                e[1] += waa
+                e[2] += wra
+    got = q_graph_adamic_adar(spark, SF_ORACLE).collect()
+    assert got
+    for r in got:
+        n, saa, sra = scores[(r["s1"], r["s2"])]
+        assert r["n_common"] == n
+        assert abs(r["aa_score"] - saa / AA_SCALE) < 1e-5
+        assert abs(r["ra_score"] - sra / AA_SCALE) < 1e-5
+    # the emitted top-50 must be the true RA top-50 cut
+    want = sorted(
+        ((v[2], k) for k, v in scores.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    assert {(k[0], k[1]) for _, k in want} == {(r["s1"], r["s2"]) for r in got}

@@ -159,11 +159,11 @@ _CERT_PREFIX = (
     "q_text_tokenize",
     "q_text_wordcount",
     # -- r9-new ops + oldest-r5 backfill
+    "q_stat_chi2_binned",
+    "q_sim_lsh_rhp_strict",
+    "q_agg_kmv_distinct",
+    "q_graph_adamic_adar",
     "q_agg_bitmap_distinct",
-    "q_agg_mergeable",
-    "q_attribution_batch",
-    "q_behavior_transitions",
-    "q_cohort_retention",
 )
 
 _BY_MODULE: dict = {}

@@ -415,3 +415,105 @@ ORACLE = {
 from .corpus import _CC_SQL as _CC_STAR_SQL  # noqa: E402
 
 ORACLE["q_graph_cc_star"] = _CC_STAR_SQL
+
+
+#: fixed-point scale for link-prediction pivot weights.
+AA_SCALE = 10**12
+AA_TOPK = 50
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the customer-supplier bipartite
+    projection: Adamic-Adar (Σ 1/ln(deg c) over common customers —
+    Adamic & Adar 2003, Social Networks) and Resource Allocation
+    (Σ 1/deg c — Zhou et al. 2007, EPJ B) scores for the top-50
+    supplier pairs. Same capped pivot relation as
+    ``q_graph_jaccard`` (pairs exist only through a shared
+    customer; power pivots dropped BEFORE pair-gen), so the rare
+    common neighbor — the signal both indices weight up — costs
+    nothing extra to find.
+
+    Cross-engine exactness: float sums over a pair's common
+    customers are order-dependent, so per-PIVOT weights are
+    fixed-pointed to BIGINT first (``floor(1e12/ln(cd) + 0.5)``,
+    ``floor(1e12/cd + 0.5)``) and pairs sum INTEGERS (the PageRank
+    idiom). The RA weight is exact by construction (one correctly-
+    rounded IEEE division); the AA weight additionally rides on
+    ln(cd) agreeing bit-for-bit across engines — cd takes at most
+    ``JACCARD_MAX_PIVOT`` small-integer values, verified stable at
+    all three fixture scales (a last-ulp ln divergence would need
+    1e12/ln(cd) within one ulp of a .5 boundary to matter).
+
+    Scale: identical exchange profile to q_graph_jaccard — one
+    orderkey join, distinct on (cust, supp), capped pivot
+    self-join, hash agg on pair keys; the weight join rides the
+    pair-gen shuffle (attached to the left side before the
+    self-join, no extra exchange). Top-k is
+    TakeOrderedAndProject under a total order."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    cdeg = cs.groupBy("cust").agg(F.count(F.lit(1)).alias("cd"))
+    w_aa = F.when(
+        F.col("cd") > 1,
+        F.floor(F.lit(float(AA_SCALE)) / F.log(F.col("cd").cast("double")) + F.lit(0.5)),
+    ).otherwise(F.lit(0)).cast("long")
+    w_ra = F.floor(
+        F.lit(float(AA_SCALE)) / F.col("cd").cast("double") + F.lit(0.5)
+    ).cast("long")
+    csk = (
+        cs.join(cdeg, "cust")
+        .where(F.col("cd") <= JACCARD_MAX_PIVOT)
+        .select("cust", "supp", w_aa.alias("w_aa"), w_ra.alias("w_ra"))
+    )
+    a = csk.select("cust", F.col("supp").alias("s1"), "w_aa", "w_ra")
+    b = csk.select("cust", F.col("supp").alias("s2"))
+    pairs = (
+        a.join(b, "cust")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("w_aa").alias("saa"),
+            F.sum("w_ra").alias("sra"),
+        )
+    )
+    return pairs.select(
+        "s1",
+        "s2",
+        "n_common",
+        F.round(F.col("saa") / AA_SCALE, 6).alias("aa_score"),
+        F.round(F.col("sra") / AA_SCALE, 6).alias("ra_score"),
+    ).orderBy(F.desc("ra_score"), "s1", "s2").limit(AA_TOPK)
+
+
+QUERIES["q_graph_adamic_adar"] = q_graph_adamic_adar
+
+ORACLE["q_graph_adamic_adar"] = (
+    "WITH cs AS ("
+    "  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp "
+    "  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), "
+    "cdeg AS (SELECT cust, count(*)::BIGINT AS cd FROM cs GROUP BY cust), "
+    "csk AS (SELECT cs.cust, cs.supp, "
+    f"  CASE WHEN cd > 1 THEN floor({float(AA_SCALE)!r} / ln(cd::DOUBLE) + 0.5) "
+    "    ELSE 0 END::BIGINT AS w_aa, "
+    f"  floor({float(AA_SCALE)!r} / cd::DOUBLE + 0.5)::BIGINT AS w_ra "
+    "  FROM cs "
+    f"  JOIN cdeg ON cs.cust = cdeg.cust AND cdeg.cd <= {JACCARD_MAX_PIVOT}), "
+    "pairs AS (SELECT a.supp AS s1, b.supp AS s2, "
+    "  count(*)::BIGINT AS n_common, sum(a.w_aa)::BIGINT AS saa, "
+    "  sum(a.w_ra)::BIGINT AS sra "
+    "  FROM csk a JOIN csk b ON a.cust = b.cust AND a.supp < b.supp "
+    "  GROUP BY 1, 2) "
+    "SELECT s1, s2, n_common, "
+    f"round(saa * 1.0 / {AA_SCALE}, 6) AS aa_score, "
+    f"round(sra * 1.0 / {AA_SCALE}, 6) AS ra_score "
+    "FROM pairs ORDER BY ra_score DESC, s1, s2 LIMIT "
+    f"{AA_TOPK}"
+)

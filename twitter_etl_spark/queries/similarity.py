@@ -582,3 +582,219 @@ def _rhp_sql() -> str:
 
 
 ORACLE["q_sim_lsh_rhp"] = _rhp_sql()
+
+
+# ---------------------------------------------------------------
+# Strict-regime RHP configuration (r8 verdict #8): the weak-
+# separation geometry note above promises that the 0.9+ near-dup
+# regime "prunes hard" with fewer, LONGER bands — this certifies
+# that claim with data instead of a formula. The fixture has no
+# cos >= 0.9 pairs (measured max 0.60), so the query SYNTHESIZES
+# them deterministically: each vector gets a twin perturbed by
+# md5-derived integer deltas in [-70, 70] per coordinate (measured
+# twin cosine 0.926-0.973 on the fixture — squarely the regime).
+# Both engines derive identical twins, so the cert stays an exact
+# hash match. Expected per-band collision at cos ~0.95 is
+# 0.899^8 ~ 0.43, recall over 6 bands ~0.96; a RANDOM pair passes
+# a band at 0.5^8 ~ 0.4% — candidate admission collapses vs the
+# ~40% of the weak 8x4 config (measured in SCALE.md r9).
+_RHP_S_BANDS = 6
+_RHP_S_BITS = 8
+_RHP_S_THRESHOLD = 0.9
+_RHP_TWIN_OFFSET = 10_000_000
+_RHP_TWIN_G = 70  # delta = md5 % (2G+1) - G
+
+
+def _rhp_strict_planes() -> list[list[int]]:
+    import random
+
+    rng = random.Random(20250814)
+    return [
+        [rng.randint(-4, 4) for _ in range(_RHP_DIM)]
+        for _ in range(_RHP_S_BANDS * _RHP_S_BITS)
+    ]
+
+
+RHP_STRICT_PLANES = _rhp_strict_planes()
+
+
+def q_sim_lsh_rhp_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHP-LSH in its PRODUCTION regime — threshold 0.9, 6 bands x
+    8 bits — over the fixture plus deterministic perturbed twins
+    (the only way to have real 0.9+ pairs here; see module note).
+    Returns the admitted-and-refined pairs (vec_a, vec_b, cos_sim
+    >= 0.9); on this fixture that is exactly the recalled twin
+    pairs, and the unit test pins recall >= 0.9 against the known
+    twin ground truth while the weak-config admission comparison is
+    recorded in SCALE.md.
+
+    Scale: identical plan shape to ``q_sim_lsh_rhp`` (projection ->
+    capped buckets -> in-bucket join -> id-keyed refine); the long
+    8-bit bands spread each band over 256 values, so bucket
+    occupancy — and with it the candidate count — collapses
+    relative to the 4-bit weak config. All dots are integer-valued
+    (quantized x1000 vectors, integer planes), exact in both
+    engines' doubles."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)),
+        ).alias("eq"),
+    )
+    delta = lambda x, i: x + (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("vec_id").cast("string"),
+                        (i + 1).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (2 * _RHP_TWIN_G + 1)
+        - _RHP_TWIN_G
+    )
+    # two-step like the oracle's subquery: aliasing vec_id + OFFSET
+    # in the SAME select lateral-shadows the vec_id the delta lambda
+    # hashes (both engines resolve the lambda against the alias)
+    twins = e.select("vec_id", F.transform("eq", delta).alias("eq")).select(
+        (F.col("vec_id") + _RHP_TWIN_OFFSET).alias("vec_id"), "eq"
+    )
+    allv = e.unionByName(twins).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("eq", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+    def plane_dot(plane: list[int]):
+        arr = F.array(*[F.lit(float(w)) for w in plane])
+        return F.aggregate(
+            F.zip_with(F.col("eq"), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    band_vals = []
+    for b in range(_RHP_S_BANDS):
+        expr = F.lit(0)
+        for i in range(_RHP_S_BITS):
+            bit = F.when(
+                plane_dot(RHP_STRICT_PLANES[b * _RHP_S_BITS + i]) > 0,
+                F.lit(1 << (_RHP_S_BITS - 1 - i)),
+            ).otherwise(F.lit(0))
+            expr = expr + bit
+        band_vals.append(expr.cast("int").alias(f"b{b}"))
+
+    sig = allv.select("vec_id", *band_vals)
+    buckets = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"b{b}") for b in range(_RHP_S_BANDS)])
+        ).alias("band", "val"),
+    )
+    counts = buckets.groupBy("band", "val").agg(F.count(F.lit(1)).alias("n"))
+    keep = counts.filter(F.col("n") <= _RHP_MAX_BUCKET).select("band", "val")
+    bk = buckets.join(F.broadcast(keep), ["band", "val"])
+    cand = (
+        bk.alias("a")
+        .join(bk.alias("b"), ["band", "val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea_eq"), F.col("eb_eq"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ea = allv.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("eq").alias("ea_eq"),
+        F.col("nrm").alias("na"),
+    )
+    eb = allv.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("eq").alias("eb_eq"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _RHP_S_THRESHOLD)
+    )
+
+
+QUERIES["q_sim_lsh_rhp_strict"] = q_sim_lsh_rhp_strict
+
+
+def _rhp_strict_sql() -> str:
+    g = _RHP_TWIN_G
+
+    def plane_dot_sql(plane: list[int]) -> str:
+        lit = "[" + ", ".join(f"{float(w)!r}" for w in plane) + "]"
+        return f"list_dot_product(eq, {lit})"
+
+    bands = []
+    for b in range(_RHP_S_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN {plane_dot_sql(RHP_STRICT_PLANES[b * _RHP_S_BITS + i])} > 0 "
+            f"THEN {1 << (_RHP_S_BITS - 1 - i)} ELSE 0 END)"
+            for i in range(_RHP_S_BITS)
+        )
+        bands.append(f"({bits})::INT AS b{b}")
+    band_cols = ", ".join(bands)
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, b{b} AS val FROM sig"
+        for b in range(_RHP_S_BANDS)
+    )
+    cos = "round(list_dot_product(ea.eq, eb.eq) / (ea.nrm * eb.nrm), 6)"
+    return (
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS eq "
+        "FROM embeddings), "
+        # inner subquery: DuckDB lateral alias binding would otherwise
+        # resolve vec_id inside the lambda to the OFFSET alias and
+        # hash the wrong id (3-row cert mismatch found this)
+        "tw AS (SELECT vec_id + "
+        f"{_RHP_TWIN_OFFSET} AS vec_id, tq AS eq FROM "
+        "(SELECT vec_id, list_transform(range(1, len(eq) + 1), i -> eq[i] + "
+        "((('0x' || substr(md5(vec_id::VARCHAR || ':' || i::VARCHAR), 1, 15))"
+        f"::UBIGINT)::BIGINT % {2 * g + 1}) - {g}) AS tq FROM e) s), "
+        "allv AS (SELECT * FROM e UNION ALL SELECT * FROM tw), "
+        "en AS (SELECT vec_id, eq, sqrt(list_dot_product(eq, eq)) AS nrm "
+        "FROM allv), "
+        f"sig AS (SELECT vec_id, {band_cols} FROM en), "
+        f"bk0 AS ({unions}), "
+        "keep AS (SELECT band, val FROM bk0 GROUP BY band, val "
+        f"         HAVING count(*) <= {_RHP_MAX_BUCKET}), "
+        "bk AS (SELECT bk0.* FROM bk0 JOIN keep USING (band, val)), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "  FROM bk a JOIN bk b ON a.band = b.band AND a.val = b.val "
+        "  AND a.vec_id < b.vec_id) "
+        f"SELECT vec_a, vec_b, {cos} AS cos_sim "
+        "FROM cand JOIN en ea ON cand.vec_a = ea.vec_id "
+        "JOIN en eb ON cand.vec_b = eb.vec_id "
+        f"WHERE {cos} >= {_RHP_S_THRESHOLD!r}"
+    )
+
+
+ORACLE["q_sim_lsh_rhp_strict"] = _rhp_strict_sql()

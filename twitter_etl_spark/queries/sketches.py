@@ -972,3 +972,168 @@ ORACLE["q_stat_ks_binned"] = (
     "round(d * 1.0 / (n_a * n_b), 6) AS ks_stat "
     "FROM d ORDER BY d DESC, bucket LIMIT 1"
 )
+
+
+def q_stat_chi2_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-squared homogeneity test between the
+    AUTOMOBILE and MACHINERY balance distributions on the same
+    64-bucket grid as ``q_stat_ks_binned`` — the drift gate that is
+    sensitive where KS is weak (mass moved in the TAILS / many
+    small per-bucket shifts; KS sees only the worst single ECDF
+    gap). Identity used: for a 2×k table the statistic reduces to
+    ``χ² = Σ_k D_k²/t_k / (n_a·n_b)`` with ``D_k = ca_k·n_b −
+    cb_k·n_a`` and ``t_k = ca_k + cb_k`` — all-integer numerators,
+    so each per-bucket term needs exactly ONE float division.
+    Cramér's V (``sqrt(χ²/N)`` for a 2×k table) rides along as the
+    scale-free [0,1] effect size.
+
+    Cross-engine exactness: D_k and t_k are BIGINT; each term is
+    fixed-pointed to BIGINT at 1e6 (floor(x·1e6 + 0.5) of an IEEE
+    double expression both engines evaluate identically) and SUMMED
+    AS INTEGERS — no float-accumulation order dependence (the
+    q_ts_cusum / q_behavior_rfm idiom). Empty buckets contribute
+    nothing, so no dense grid and no window: two hash aggs total.
+
+    Scale: counts collapse map-side to ≤ 2×64 cells; the totals
+    row broadcasts back. The data is touched once, unkeyed by
+    anything wider than the 64-bucket id — the same bounded-
+    exchange contract as the rest of the sketch family."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
+    )
+    bucket = F.least(
+        F.floor((F.col("c_acctbal") - _HP_LO) / _HP_W), F.lit(_HP_B - 1)
+    ).cast("int")
+    counts = c.groupBy(bucket.alias("bucket")).agg(
+        F.sum((F.col("c_mktsegment") == "AUTOMOBILE").cast("long")).alias("ca"),
+        F.sum((F.col("c_mktsegment") == "MACHINERY").cast("long")).alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    d = F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+    t = F.col("ca") + F.col("cb")
+    term = F.floor(
+        (d * d).cast("double") / t.cast("double") * 1e6 + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        counts.crossJoin(F.broadcast(tot))
+        .select("n_a", "n_b", term.alias("ti"))
+        .groupBy("n_a", "n_b")
+        .agg(F.sum("ti").alias("s"), F.count(F.lit(1)).alias("n_bins"))
+    )
+    chi2 = F.col("s") / 1e6 / (F.col("n_a") * F.col("n_b"))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_bins",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.col("n_a") + F.col("n_b"))), 6
+        ).alias("cramers_v"),
+    )
+
+
+QUERIES["q_stat_chi2_binned"] = q_stat_chi2_binned
+
+ORACLE["q_stat_chi2_binned"] = (
+    "WITH c AS (SELECT c_mktsegment, "
+    f"least(floor((c_acctbal - ({_HP_LO!r})) / {_HP_W!r}), {_HP_B - 1})::INT "
+    "  AS bucket FROM customer "
+    "  WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')), "
+    "cnt AS (SELECT bucket, "
+    "  sum((c_mktsegment = 'AUTOMOBILE')::INT)::BIGINT AS ca, "
+    "  sum((c_mktsegment = 'MACHINERY')::INT)::BIGINT AS cb "
+    "  FROM c GROUP BY bucket), "
+    "tot AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM cnt), "
+    "terms AS (SELECT n_a, n_b, "
+    "  floor(((ca * n_b - cb * n_a) * (ca * n_b - cb * n_a))::DOUBLE "
+    "        / (ca + cb)::DOUBLE * 1e6 + 0.5)::BIGINT AS ti "
+    "  FROM cnt CROSS JOIN tot), "
+    "a AS (SELECT n_a, n_b, sum(ti)::BIGINT AS s, count(*)::BIGINT AS n_bins "
+    "  FROM terms GROUP BY n_a, n_b) "
+    "SELECT n_a, n_b, n_bins, "
+    "round(s / 1e6 / (n_a * n_b), 6) AS chi2, "
+    "round(sqrt(s / 1e6 / (n_a * n_b) / (n_a + n_b)), 6) AS cramers_v FROM a"
+)
+
+
+# k=64: sf0.001 groups (15 distinct users) certify the exact
+# short-circuit branch, sf0.01/sf0.1 (150/1500) certify the
+# estimator branch — both branches driver-exercised, the HLL
+# small-range-straddle discipline. Estimator sigma ~ n/sqrt(k-2)
+# ~ 12.7% — visible honestly in the audited rel_err column.
+_KMV_K = 64
+_KMV_M = float(1 << 60)  # md5-prefix hash space
+
+
+def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, hash-certified:
+    distinct users per event type estimated from the k-th smallest
+    60-bit md5 hash — ``(k-1)·M/h_(k)`` (Bar-Yossef et al. 2002,
+    RANDOM; Beyer et al. 2007, SIGMOD — public). Completes the
+    distinct-sketch family with the third classical estimator
+    geometry: HLL keeps max leading-zero RANKS, linear counting
+    keeps a BITMAP, KMV keeps the k smallest VALUES — the one of
+    the three whose state also supports set-intersection estimates
+    via the k-min union trick. Groups with fewer than k distinct
+    hashes short-circuit to the exact count (the standard small-
+    range rule). Everything through h_(k) is integer-exact in both
+    engines; ONE double division forms the estimate (IEEE-identical
+    cross-engine), rel_err is the audited-error column.
+
+    Scale: the exchange carries DISTINCT (group, digest) rows —
+    the q_dedup_exact_global 32-byte-digest discipline — then a
+    per-group sort ranks them. That spelling is for the oracle's
+    benefit; the sketch you would PERSIST at 100 TB is the
+    mergeable per-partition k-min list (state = k longs per group,
+    merge = k-smallest of the union — same algebra the rollup
+    layer pins for HLL registers), which this query's output is
+    the read side of. Cite: reference main.R:96-103 dedupes on
+    content identity; KMV is that digest idiom lifted to
+    cardinality estimation."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hd = e.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hd.select(
+        "event_type", "h", F.row_number().over(w).alias("rn")
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("n_exact") < _KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * (F.lit(_KMV_M) / F.col("hk")))
+    return agg.select(
+        "event_type",
+        "n_exact",
+        F.round(est, 4).alias("kmv_est"),
+        F.round(
+            F.abs(F.round(est, 4) - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+QUERIES["q_agg_kmv_distinct"] = q_agg_kmv_distinct
+
+ORACLE["q_agg_kmv_distinct"] = (
+    "WITH hd AS (SELECT DISTINCT event_type, "
+    "(('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h "
+    "FROM events), "
+    "r AS (SELECT event_type, h, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hd), "
+    "a AS (SELECT event_type, count(*)::BIGINT AS n_exact, "
+    f"max(CASE WHEN rn = {_KMV_K} THEN h END)::BIGINT AS hk "
+    "FROM r GROUP BY event_type), "
+    "e AS (SELECT event_type, n_exact, "
+    f"CASE WHEN n_exact < {_KMV_K} THEN n_exact::DOUBLE "
+    f"ELSE {float(_KMV_K - 1)!r} * ({_KMV_M!r} / hk) END AS est FROM a) "
+    "SELECT event_type, n_exact, round(est, 4) AS kmv_est, "
+    "round(abs(round(est, 4) - n_exact) / n_exact, 4) AS rel_err FROM e"
+)
