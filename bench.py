@@ -86,6 +86,7 @@ HEADLINE = [
     "q_sim_lsh_rhp_strict",
     "q_agg_kmv_distinct",
     "q_graph_adamic_adar",
+    "q_ts_seasonal_decompose",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

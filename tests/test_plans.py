@@ -84,6 +84,15 @@ _SINGLE_PARTITION_OK = {
     "q_agg_lc_setops",
     # cumulative window over the fixed 64-bucket grid, never the data
     "q_stat_ks_binned",
+    # 1-row totals agg over <= 2x64 histogram cells + the final
+    # (n_a, n_b)-keyed term sum — both bounded by the grid (r9)
+    "q_stat_chi2_binned",
+    # calendar-axis pipeline: the 1-row min/max bounds agg, the
+    # 7-day MA window over <= span-days rows, and the 7-row dow agg
+    # are all calendar-bounded, never event-volume-bound (r9; the
+    # q_ts_gapfill contract — a 100 TB deployment adds a series key
+    # to the window partition clause)
+    "q_ts_seasonal_decompose",
     # 1-row quintile-threshold agg over the per-user frame, broadcast
     # back — the scale-safe replacement for a global ntile sort
     "q_behavior_rfm",

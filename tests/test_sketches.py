@@ -398,3 +398,61 @@ def test_adamic_adar_matches_bruteforce(spark):
         key=lambda t: (-t[0], t[1]),
     )[:50]
     assert {(k[0], k[1]) for _, k in want} == {(r["s1"], r["s2"]) for r in got}
+
+
+def test_seasonal_decompose_matches_python_reference(spark):
+    """q_ts_seasonal_decompose vs an independent Python replay of
+    the classical additive decomposition (centered 7-day MA,
+    mean-centered dow effect) on the collected daily series; also
+    pins the additive identity trend + seasonal + remainder ==
+    revenue (exact at the shared fixed-point grid, so tolerance is
+    only the three 1e-4 output roundings)."""
+    import math
+    from collections import defaultdict
+
+    from tests.conftest import SF_ORACLE
+    from twitter_etl_spark.queries.timeseries import q_ts_seasonal_decompose
+    from twitter_etl_spark.tables import table
+
+    got = {r["day"]: r for r in q_ts_seasonal_decompose(spark, SF_ORACLE).collect()}
+    assert got
+    # collect raw and reduce in Python to stay engine-independent
+    import datetime as dt
+
+    raw = (
+        table(spark, SF_ORACLE, "events")
+        .selectExpr("to_date(ts) AS day", "CAST(value AS DECIMAL(18,2)) AS v")
+        .collect()
+    )
+    cents = defaultdict(int)
+    for r in raw:
+        cents[r["day"]] += int(r["v"] * 100)
+    days = sorted(cents)
+    d0, d1 = days[0], days[-1]
+    cal = [d0 + dt.timedelta(days=k) for k in range((d1 - d0).days + 1)]
+    rev = [cents.get(d, 0) for d in cal]
+    n = len(cal)
+    interior = range(3, n - 3)
+    t7 = {k: sum(rev[k - 3 : k + 4]) for k in interior}
+    detr = {k: 7 * rev[k] - t7[k] for k in interior}
+    by_dow = defaultdict(list)
+    for k in interior:
+        by_dow[cal[k].weekday()].append(detr[k])
+    s_fp = {
+        dw: math.floor(sum(v) * 100.0 / (7.0 * len(v)) + 0.5)
+        for dw, v in by_dow.items()
+    }
+    m_fp = math.floor(sum(s_fp.values()) / 7.0 + 0.5)
+    assert len(got) == len(list(interior))
+    for k in interior:
+        day = cal[k].isoformat()
+        r = got[day]
+        trend_fp = math.floor(t7[k] * 100.0 / 7.0 + 0.5)
+        sea_fp = s_fp[cal[k].weekday()] - m_fp
+        assert abs(r["revenue"] - rev[k] / 100.0) < 1e-9, day
+        assert abs(r["trend"] - round(trend_fp / 1e4, 4)) < 1e-9, day
+        assert abs(r["seasonal"] - round(sea_fp / 1e4, 4)) < 1e-9, day
+        assert (
+            abs(r["trend"] + r["seasonal"] + r["remainder"] - r["revenue"])
+            < 3e-4
+        ), day

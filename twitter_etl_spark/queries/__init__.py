@@ -163,7 +163,7 @@ _CERT_PREFIX = (
     "q_sim_lsh_rhp_strict",
     "q_agg_kmv_distinct",
     "q_graph_adamic_adar",
-    "q_agg_bitmap_distinct",
+    "q_ts_seasonal_decompose",
 )
 
 _BY_MODULE: dict = {}

@@ -541,3 +541,126 @@ ORACLE["q_ts_cusum"] = (
     "round((cs - floor_cs) / 1e4, 4) AS cusum, "
     f"((cs - floor_cs) / 1e4 > {_CUSUM_H!r})::INT AS alarm FROM f"
 )
+
+
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue
+    (trend = centered 7-day moving average; seasonal = mean-centered
+    day-of-week effect over detrended values; remainder = the rest)
+    — ``statsmodels seasonal_decompose`` / STL-lite, the standard
+    first look at any business time series, emitted only for days
+    with a FULL 7-day window (the classic edge-NaN rule, spelled as
+    a filter).
+
+    Cross-engine exactness end to end (the PageRank/CUSUM idiom):
+    daily revenue reduces as DECIMAL(18,2) then lives as BIGINT
+    CENTS; the 7-day window sum, the detrended value
+    ``7·rev − t7``, the day-of-week sums and the final remainder
+    are ALL integer arithmetic. The only divisions form fixed-point
+    1e-4 quantities via ``floor(int·100/denom + 0.5)`` where the
+    numerator stays below 2^53 (one correctly-rounded IEEE division
+    each — deterministic, unlike a float SUM). Day-of-week is
+    Monday=0 on both engines (Spark ``weekday``, DuckDB
+    ``isodow−1``).
+
+    Scale: the event scan collapses map-side to ≤ span-days rows;
+    everything after runs on the calendar axis (the
+    ``q_ts_gapfill`` contract — the single-partition window is
+    bounded by the calendar, never the data; at 100 TB you'd add a
+    series key to the partition clause). Two scans of nothing, one
+    broadcast of 7 seasonal rows."""
+    e = _events_daily(spark, sf_dir)
+    daily = e.groupBy("day").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("rev")
+    )
+    g = (
+        _calendar(daily)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(
+                (F.col("rev") * 100).cast("long"), F.lit(0).cast("long")
+            ).alias("rev_c"),
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    w = g.select(
+        "day",
+        "rev_c",
+        F.sum("rev_c").over(w7).alias("t7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    ).filter(F.col("c7") == 7)
+    i = w.select(
+        "day",
+        "rev_c",
+        "t7",
+        (F.lit(7) * F.col("rev_c") - F.col("t7")).alias("detr"),
+        F.weekday("day").alias("dow"),
+    )
+    s = i.groupBy("dow").agg(
+        F.floor(
+            F.sum("detr").cast("double")
+            * 100.0
+            / (7.0 * F.count(F.lit(1)))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s_fp")
+    )
+    m = s.agg(
+        F.floor(F.sum("s_fp").cast("double") / 7.0 + F.lit(0.5))
+        .cast("long")
+        .alias("m_fp")
+    )
+    out = (
+        i.join(F.broadcast(s), "dow")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "day",
+            "rev_c",
+            F.floor(
+                F.col("t7").cast("double") * 100.0 / 7.0 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("trend_fp"),
+            (F.col("s_fp") - F.col("m_fp")).alias("seasonal_fp"),
+        )
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round(F.col("trend_fp") / 1e4, 4).alias("trend"),
+        F.round(F.col("seasonal_fp") / 1e4, 4).alias("seasonal"),
+        F.round(
+            (F.col("rev_c") * 100 - F.col("trend_fp") - F.col("seasonal_fp"))
+            / 1e4,
+            4,
+        ).alias("remainder"),
+    )
+
+
+QUERIES["q_ts_seasonal_decompose"] = q_ts_seasonal_decompose
+ORACLE["q_ts_seasonal_decompose"] = (
+    "WITH d AS (SELECT ts::DATE AS day, "
+    "  sum(CAST(value AS DECIMAL(18,2))) AS rev FROM events GROUP BY 1), "
+    "b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d), "
+    "cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE "
+    "  AS day FROM b), "
+    "g AS (SELECT cal.day, coalesce((rev * 100)::BIGINT, 0) AS rev_c "
+    "  FROM cal LEFT JOIN d USING (day)), "
+    "w AS (SELECT day, rev_c, sum(rev_c) OVER win AS t7, "
+    "  count(*) OVER win AS c7 FROM g "
+    "  WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), "
+    "i AS (SELECT day, rev_c, t7, 7 * rev_c - t7 AS detr, "
+    "  isodow(day) - 1 AS dow FROM w WHERE c7 = 7), "
+    "s AS (SELECT dow, floor(sum(detr)::DOUBLE * 100.0 / (7.0 * count(*)) "
+    "  + 0.5)::BIGINT AS s_fp FROM i GROUP BY dow), "
+    "m AS (SELECT floor(sum(s_fp)::DOUBLE / 7.0 + 0.5)::BIGINT AS m_fp FROM s) "
+    "SELECT strftime(i.day, '%Y-%m-%d') AS day, "
+    "round(rev_c / 100.0, 2) AS revenue, "
+    "round(floor(t7::DOUBLE * 100.0 / 7.0 + 0.5)::BIGINT / 1e4, 4) AS trend, "
+    "round((s_fp - m_fp) / 1e4, 4) AS seasonal, "
+    "round((rev_c * 100 - floor(t7::DOUBLE * 100.0 / 7.0 + 0.5)::BIGINT "
+    "  - (s_fp - m_fp)) / 1e4, 4) AS remainder "
+    "FROM i JOIN s USING (dow) CROSS JOIN m"
+)
