@@ -193,24 +193,35 @@ def main() -> int:
     ) as fh:
         json.dump(detail, fh)
     print(json.dumps(detail))
+    print(compact_line(detail))
+    return 0
+
+
+def compact_line(detail: dict) -> str:
+    """The driver-parsed final line: degrade the queries dict (full
+    -> legacy-18 -> absent) until the serialized line is under 1800
+    chars, comfortably inside the 2000-char tail window. Pinned by
+    tests/test_cli.py::test_bench_compact_line_fits_tail_window."""
+    timings = detail["queries"]
     compact = {
-        "metric": "headline_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "n_runs": N_RUNS,
-        "legacy18_seconds": legacy,
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": detail["unit"],
+        "sf": detail["sf"],
+        "n_runs": detail["n_runs"],
+        "legacy18_seconds": detail["legacy18_seconds"],
         "tpch22_seconds": detail["tpch22_seconds"],
         "n_headline": len(timings),
         "detail": "BENCH_DETAIL.json",
         "queries": timings,
     }
     if len(json.dumps(compact)) > 1800:
-        compact["queries"] = {n: timings[n] for n in HEADLINE[:18]}
+        compact["queries"] = {
+            n: timings[n] for n in HEADLINE[:18] if n in timings
+        }
     if len(json.dumps(compact)) > 1800:
         del compact["queries"]
-    print(json.dumps(compact))
-    return 0
+    return json.dumps(compact)
 
 
 if __name__ == "__main__":

@@ -175,3 +175,36 @@ def test_cert_prefix_staleness_policy():
             f"prefix holds a cert from r{max(in_prefix)} while a staler "
             f"r{min(outside)} name waits outside — rotate oldest-first"
         )
+
+
+def test_bench_compact_line_fits_tail_window():
+    """BENCH_r08 interface defect (r8 verdict #3): the driver
+    tail-captures the last 2000 stdout chars and parses the JSON
+    line it finds; the final bench line must therefore NEVER exceed
+    that window, at the current suite size or any future one. Pin
+    the degrade ladder with worst-case-width timing values."""
+    import json
+
+    import bench
+
+    timings = {n: 123.456 for n in bench.HEADLINE}
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": 9999.999,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_runs": 3,
+        "legacy18_seconds": 999.999,
+        "tpch22_seconds": 999.999,
+        "queries": timings,
+    }
+    line = bench.compact_line(detail)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    assert parsed["value"] == 9999.999
+    assert parsed["legacy18_seconds"] == 999.999
+    # a pathologically wide suite still degrades below the window
+    detail["queries"] = {f"q_{'x' * 40}_{i}": 123.456 for i in range(400)}
+    line = bench.compact_line(detail)
+    assert len(line) <= 1800
+    assert json.loads(line)["n_headline"] == 400
