@@ -451,6 +451,61 @@ def _rhp_planes() -> list[list[int]]:
 RHP_PLANES = _rhp_planes()
 
 
+def _rhp_signature(src, planes, bands: int, bits: int, slot: str):
+    """(vec_id, b0..b{bands-1}) band values — sign bits of the plane
+    projections packed per band — via ONE Arrow-batched numpy matmul
+    instead of bands×bits interpreted HOF folds per row.
+
+    BIT-IDENTICAL to the expression form by construction: vectors
+    and planes are integers, every product and partial sum is
+    integer-valued far below 2^53, so the f64 matmul is exact in ANY
+    summation order — the one situation where swapping a
+    deterministic fold for BLAS cannot move a sign. Verified
+    set-equal on the fixture and A/B'd at sf0.1 (SCALE.md r9):
+    candidate gen 3.05 s → 1.04 s (matmul) → 0.72 s (matmul +
+    one-slot cache; the signature feeds THREE consumers — the
+    bucket-cap agg and both self-join sides — and AQE's
+    ReusedExchange does not dedupe this shape, measured ~3×
+    recompute). Cached via ``cacheutil.cache_latest`` (bounded: one
+    live copy per config slot).
+
+    Scale: one narrow (vec_id, 4·bands bytes) frame per vector; the
+    matmul is embarrassingly parallel per Arrow batch; cache size is
+    |vectors| × (8 + 4·bands) bytes — the sketch you would persist
+    anyway as the corpus index."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..cacheutil import cache_latest
+
+    P = np.array(planes, dtype=np.float64).T  # dim × (bands·bits)
+    weights = np.array(
+        [1 << (bits - 1 - i) for i in range(bits)], dtype=np.int64
+    )
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType())]
+        + [T.StructField(f"b{b}", T.IntegerType()) for b in range(bands)]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["eq"].to_numpy()).astype(np.float64)
+            d = x @ P
+            sign = (d > 0).astype(np.int64).reshape(len(pdf), bands, bits)
+            vals = (sign * weights).sum(axis=2)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for b in range(bands):
+                out[f"b{b}"] = vals[:, b].astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return cache_latest(
+        slot, src.select("vec_id", "eq").mapInPandas(project, schema)
+    )
+
+
 def q_sim_lsh_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs, oracle-certified: sign
     bits of 32 fixed integer hyperplanes, banded 8x4 into bucket
@@ -461,12 +516,14 @@ def q_sim_lsh_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     that twin is the quality metric (see geometry note above).
 
     Scale: signature computation is a per-row projection (32
-    integer dots); the only shuffles are the bucket-count cap agg
-    and the in-bucket self-join keyed on (band, value) — never
-    all-pairs; the refine re-joins vectors BY ID so the banded
-    exchange carries 8 small rows per vector, not 8 copies of the
-    vector. Hot buckets (a dead direction in embedding space) are
-    capped exactly like the banded-MinHash path."""
+    integer dots, spelled as one Arrow-batched matmul since r9 —
+    see ``_rhp_signature`` for the bit-identity argument and the
+    A/B); the only shuffles are the bucket-count cap agg and the
+    in-bucket self-join keyed on (band, value) — never all-pairs;
+    the refine re-joins vectors BY ID so the banded exchange
+    carries 8 small rows per vector, not 8 copies of the vector.
+    Hot buckets (a dead direction in embedding space) are capped
+    exactly like the banded-MinHash path."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         _as_double("embedding").alias("v"),
@@ -476,27 +533,7 @@ def q_sim_lsh_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("eq"),
     )
     e = e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-
-    def plane_dot(plane: list[int]):
-        arr = F.array(*[F.lit(float(w)) for w in plane])
-        return F.aggregate(
-            F.zip_with(F.col("eq"), arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    band_vals = []
-    for b in range(_RHP_BANDS):
-        expr = F.lit(0)
-        for i in range(_RHP_BITS):
-            bit = F.when(
-                plane_dot(RHP_PLANES[b * _RHP_BITS + i]) > 0,
-                F.lit(1 << (_RHP_BITS - 1 - i)),
-            ).otherwise(F.lit(0))
-            expr = expr + bit
-        band_vals.append(expr.cast("int").alias(f"b{b}"))
-
-    sig = e.select("vec_id", *band_vals)
+    sig = _rhp_signature(e, RHP_PLANES, _RHP_BANDS, _RHP_BITS, "rhp_sig_weak")
     buckets = sig.select(
         "vec_id",
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(_RHP_BANDS)])).alias(
@@ -678,26 +715,9 @@ def q_sim_lsh_rhp_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    def plane_dot(plane: list[int]):
-        arr = F.array(*[F.lit(float(w)) for w in plane])
-        return F.aggregate(
-            F.zip_with(F.col("eq"), arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    band_vals = []
-    for b in range(_RHP_S_BANDS):
-        expr = F.lit(0)
-        for i in range(_RHP_S_BITS):
-            bit = F.when(
-                plane_dot(RHP_STRICT_PLANES[b * _RHP_S_BITS + i]) > 0,
-                F.lit(1 << (_RHP_S_BITS - 1 - i)),
-            ).otherwise(F.lit(0))
-            expr = expr + bit
-        band_vals.append(expr.cast("int").alias(f"b{b}"))
-
-    sig = allv.select("vec_id", *band_vals)
+    sig = _rhp_signature(
+        allv, RHP_STRICT_PLANES, _RHP_S_BANDS, _RHP_S_BITS, "rhp_sig_strict"
+    )
     buckets = sig.select(
         "vec_id",
         F.posexplode(
