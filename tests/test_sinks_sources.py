@@ -629,3 +629,46 @@ def test_bloom_rollup_no_false_negatives_across_increments(spark, tmp_path):
     # new; at ~2% fill the FP rate is far below 50%
     assert sum(miss) < len(miss) / 2
     assert read_version(spark, d).count() <= _BLOOM_M
+
+
+def test_kmv_rollup_equals_oneshot_sketch(spark, tmp_path):
+    """k-min rollup: absorbing 3 OVERLAPPING increments by
+    k-smallest-of-union must reproduce the one-shot
+    q_agg_kmv_distinct estimate over the full table EXACTLY (k-min
+    lists merge losslessly — same hashes, same h_(k), same
+    estimator), with state bounded at <= groups x k rows. Runs at
+    sf0.01 so the estimator branch (150 distinct > k=64) is the one
+    being reproduced, not the trivial exact branch."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.sketches import (
+        _KMV_K,
+        q_agg_kmv_distinct,
+    )
+    from twitter_etl_spark.rollup import (
+        read_kmv_rollup,
+        update_kmv_rollup,
+    )
+    from twitter_etl_spark.sinks import read_version
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.01"
+    ev = table(spark, sf, "events")
+    d = str(tmp_path / "kmv")
+    for part in range(3):
+        update_kmv_rollup(spark, d, ev.filter(F.col("event_id") % 3 <= part))
+    got = {
+        r["event_type"]: r["kmv_est"]
+        for r in read_kmv_rollup(spark, d).collect()
+    }
+    want = {
+        r["event_type"]: r["kmv_est"]
+        for r in q_agg_kmv_distinct(spark, sf).collect()
+    }
+    assert got == want
+    assert all(v != 150.0 for v in got.values())  # estimator branch
+    state = read_version(spark, d)
+    assert state.count() <= len(want) * _KMV_K
+    assert state.groupBy("event_type").count().agg(
+        F.max("count")
+    ).first()[0] <= _KMV_K

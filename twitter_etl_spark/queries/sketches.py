@@ -1067,6 +1067,40 @@ _KMV_K = 64
 _KMV_M = float(1 << 60)  # md5-prefix hash space
 
 
+def kmv_hash_rows(df: DataFrame, key: str, *groups: str) -> DataFrame:
+    """DISTINCT (groups..., h) rows of ``key``'s 60-bit md5 prefix —
+    the shared decomposition of :func:`q_agg_kmv_distinct` and the
+    mergeable k-min rollup (rollup.py::update_kmv_rollup), mirroring
+    :func:`hll_register_rows` for the HLL family."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return df.select(*groups, h.alias("h")).distinct()
+
+
+def kmv_estimate(state: DataFrame, *groups: str) -> DataFrame:
+    """(groups..., n_state, kmv_est) from distinct-hash rows (a full
+    relation OR a k-truncated rollup state — k-min lists merge
+    losslessly, so the estimate is identical either way). n_state is
+    the exact distinct count ONLY while below k; past k it is
+    clamped at the k stored values and the estimator takes over."""
+    from pyspark.sql import Window
+
+    glist = list(groups)
+    w = Window.partitionBy(*glist).orderBy("h")
+    ranked = state.select(*glist, "h", F.row_number().over(w).alias("rn"))
+    agg = ranked.filter(F.col("rn") <= _KMV_K).groupBy(*glist).agg(
+        F.count(F.lit(1)).alias("n_state"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("n_state") < _KMV_K, F.col("n_state").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * (F.lit(_KMV_M) / F.col("hk")))
+    return agg.select(
+        *glist, "n_state", F.round(est, 4).alias("kmv_est")
+    )
+
+
 def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch, hash-certified:
     distinct users per event type estimated from the k-th smallest
@@ -1092,30 +1126,18 @@ def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the read side of. Cite: reference main.R:96-103 dedupes on
     content identity; KMV is that digest idiom lifted to
     cardinality estimation."""
-    from pyspark.sql import Window
-
     e = table(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    hd = e.select("event_type", h.alias("h")).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    ranked = hd.select(
-        "event_type", "h", F.row_number().over(w).alias("rn")
+    hd = kmv_hash_rows(e, "user_id", "event_type")
+    exact = hd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
     )
-    agg = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
-    )
-    est = F.when(
-        F.col("n_exact") < _KMV_K, F.col("n_exact").cast("double")
-    ).otherwise(F.lit(float(_KMV_K - 1)) * (F.lit(_KMV_M) / F.col("hk")))
-    return agg.select(
+    est = kmv_estimate(hd, "event_type")
+    return est.join(exact, "event_type").select(
         "event_type",
         "n_exact",
-        F.round(est, 4).alias("kmv_est"),
+        "kmv_est",
         F.round(
-            F.abs(F.round(est, 4) - F.col("n_exact")) / F.col("n_exact"), 4
+            F.abs(F.col("kmv_est") - F.col("n_exact")) / F.col("n_exact"), 4
         ).alias("rel_err"),
     )
 

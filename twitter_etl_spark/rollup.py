@@ -277,3 +277,54 @@ def probe_bloom_rollup(
             .alias("bloom_hit")
         )
     )
+
+
+# KMV rollup: the persisted k-minimum-values distinct sketch. State
+# = the k smallest distinct 60-bit md5 hashes per group (<= k rows
+# of one BIGINT each, queries/sketches.py::q_agg_kmv_distinct's
+# geometry). Merge = k-smallest of the union — LOSSLESS for the
+# estimator (the k-min of a union equals the k-min of merged k-min
+# lists), so a rollup read over N absorbed batches equals the
+# one-shot sketch over their union EXACTLY, the same contract the
+# register-HLL rollup pins. This is the "sketch you would persist"
+# the q_agg_kmv_distinct docstring names — delivered, not asserted.
+
+_KMV_STATE_COLS = ("event_type", "h")
+
+
+def update_kmv_rollup(
+    spark: SparkSession, rollup_dir: str, new_events: DataFrame
+) -> int:
+    """Absorb one event batch into the k-min distinct rollup;
+    returns the published version. Absorbing touches
+    |rollup state| + |batch distinct hashes| rows, never history."""
+    from pyspark.sql import Window
+
+    from .queries.sketches import _KMV_K, kmv_hash_rows
+
+    fresh = kmv_hash_rows(new_events, "user_id", "event_type")
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_KMV_STATE_COLS)
+        state = prev.unionByName(fresh.select(*_KMV_STATE_COLS)).distinct()
+    else:
+        state = fresh
+    w = Window.partitionBy("event_type").orderBy("h")
+    trimmed = (
+        state.select(*_KMV_STATE_COLS, F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .select(*_KMV_STATE_COLS)
+    )
+    return publish_version(trimmed, rollup_dir)
+
+
+def read_kmv_rollup(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """(event_type, n_state, kmv_est) from the stored k-min lists —
+    identical estimator math to q_agg_kmv_distinct, so the estimate
+    equals the one-shot sketch over the union of absorbed batches
+    (n_state is the exact distinct count only while below k)."""
+    from .queries.sketches import kmv_estimate
+
+    st = read_version(spark, rollup_dir, version)
+    return kmv_estimate(st, "event_type")
