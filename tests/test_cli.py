@@ -86,13 +86,7 @@ def test_cert_prefix_all_oracle_backed():
     4 rows-only names whose last driver rows>0 check is r2/r3."""
     from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
 
-    deliberate_rows_only = {
-        # r2/r3-stale rows-only re-certs (part of the 45-name cohort)
-        "q_agg_approx_distinct",
-        "q_dedup_minhash",
-        "q_dedup_simhash",
-        "q_sim_ann_lsh",
-    }
+    deliberate_rows_only = set()  # r10 prefix (r5 cohort) is fully oracle-backed
     prefix = list(ALL_QUERIES)[:50]
     missing = [
         n for n in prefix if n not in ALL_ORACLES and n not in deliberate_rows_only

@@ -49,6 +49,12 @@ def main() -> int:
         (n for n in ALL_QUERIES if n in last), key=lambda n: (last[n], n)
     )
     take = 50 - n_new - len(never)
+    if take < 0:
+        print(f"# ERROR: {n_new} reserved + {len(never)} never-certified "
+              "names exceed the 50-slot prefix — the surplus never-certified "
+              "names spill to next round's prefix (contract test will flag "
+              "them until certified).")
+        return 1
     print(f"# stalest {take} re-certs (oldest green round first); "
           f"{n_new} slots reserved for new ops:")
     for n in certified[:take]:

@@ -105,65 +105,64 @@ _MODULES = (
 #   3. Rows-only names in the prefix must be allowlisted in
 #      test_cert_prefix_all_oracle_backed::deliberate_rows_only.
 #
-# r9 prefix: slots 1-45 = the full r2/r3-stale cohort (every name
-# whose last green row predates r5; re-verified green at sf0.01 by
-# the r8 judge, so rotation is zero-risk); slots 46-50 = r9-new ops,
-# backfilled with the oldest r5 names while fewer than 5 exist.
+# r10 prefix: slots 1-48 = the full r5-stale cohort (every name
+# whose last green row is CORRECTNESS_r05; spot-re-verified green by
+# the r9 judge, so rotation is zero-risk); slots 49-50 = r10-new
+# ops, backfilled with the oldest r6 names while fewer than 2 exist.
 # Names NOT in the prefix keep their module-order position after it.
 _CERT_PREFIX = (
-    # -- r2-stale cohort (last green row: CORRECTNESS_r02)
-    "q_agg_approx_distinct",  # rows-only
-    "q_except",
-    "q_intersect",
-    "q_join_cross",
-    "q_join_right",
-    "q_limit_topk",
-    "q_sort_multi",
-    "q_union_all",
-    "q_union_distinct",
-    # -- r3-stale cohort (last green row: CORRECTNESS_r03)
-    "q_dedup_minhash",  # rows-only
-    "q_dedup_normalized",
-    "q_dedup_simhash",  # rows-only
-    "q_fn_array",
-    "q_fn_case",
-    "q_fn_cast",
-    "q_fn_date",
-    "q_fn_json",
-    "q_fn_map",
-    "q_fn_math",
-    "q_fn_string2",
-    "q_multimodal_framesample",
-    "q_multimodal_meta",
-    "q_sample_hash",
-    "q_sim_ann_lsh",  # rows-only
-    "q_sim_cosine_topk",
-    "q_sim_embedding_neardup",
-    "q_str_lower",
-    "q_str_squish",
-    "q_str_stopwords",
-    "q_str_strip_mentions",
-    "q_str_strip_urls",
-    "q_stream_sliding_batch",
-    "q_stream_tumbling_batch",
-    "q_text_fingerprint",
-    "q_text_hashtags",
-    "q_text_langid",
-    "q_text_lengthhist",
-    "q_text_lexicon_join",
-    "q_text_ngrams",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_scrub",
-    "q_text_tokencount",
-    "q_text_tokenize",
-    "q_text_wordcount",
-    # -- r9-new ops + oldest-r5 backfill
-    "q_stat_chi2_binned",
-    "q_sim_lsh_rhp_strict",
-    "q_agg_kmv_distinct",
-    "q_graph_adamic_adar",
-    "q_ts_seasonal_decompose",
+    # -- r5-stale cohort (last green row: CORRECTNESS_r05)
+    "q_agg_bitmap_distinct",
+    "q_agg_mergeable",
+    "q_attribution_batch",
+    "q_behavior_transitions",
+    "q_cohort_retention",
+    "q_dedup_cluster",
+    "q_dedup_cluster_stats",
+    "q_dedup_simhash_md5",
+    "q_dq_checks",
+    "q_er_fuzzy_blocked",
+    "q_er_sorted_neighborhood",
+    "q_fn_regression",
+    "q_fn_unpivot",
+    "q_funnel_conversion",
+    "q_geo_cell_density",
+    "q_graph_degree",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_join_nullsafe",
+    "q_llm_curation",
+    "q_merge_upsert",
+    "q_multimodal_decode",
+    "q_outliers_robust",
+    "q_pack_sequences",
+    "q_quality_gopher",
+    "q_sample_leakage_safe",
+    "q_sample_split",
+    "q_sample_stratified",
+    "q_scd2_history",
+    "q_sessionize_batch",
+    "q_sim_ann_ivf",
+    "q_sim_centroid",
+    "q_sim_maxsim",
+    "q_sim_quantize",
+    "q_skew_diagnose",
+    "q_snapshot_diff",
+    "q_source_csv",
+    "q_source_orc",
+    "q_table_fingerprint",
+    "q_text_bm25",
+    "q_text_chunk_overlap",
+    "q_text_contamination",
+    "q_text_corpus_stopwords",
+    "q_text_heavyhitters",
+    "q_text_squeeze_runs",
+    "q_ts_gapfill",
+    "q_ts_locf",
+    "q_ts_resample_ohlc",
+    # -- r10-new ops + oldest-r6 backfill
+    "q_agg_argmax",
+    "q_agg_histogram",
 )
 
 _BY_MODULE: dict = {}

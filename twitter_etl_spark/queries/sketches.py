@@ -737,10 +737,11 @@ ORACLE["q_agg_lc_setops"] = (
 # HyperLogLog geometry (Flajolet, Fusy, Gandouet & Meunier 2007,
 # AofA — public): p=8 → m=256 registers; the 60-bit md5 value
 # splits into 8 index bits (top) + 52 rho bits. The register sum
-# Σ 2^(-M_j) is computed as the INTEGER Σ 2^(52-M_j) (≤ 2^60, exact
-# BIGINT) — summing the dyadic doubles directly can exceed the
-# 53-bit mantissa (256 terms spanning 2^-52..2^0 need 60 bits) and
-# would make the total depend on engine sum order. Small-range
+# Σ 2^(-M_j) is computed as the INTEGER Σ 2^(53-M_j) (≤ 2^61, exact
+# BIGINT; the extra bit keeps the rho=53 empty-register branch's
+# exponent non-negative) — summing the dyadic doubles directly can
+# exceed the 53-bit mantissa (256 terms spanning 2^-53..2^0 need 61
+# bits) and would make the total depend on engine sum order. Small-range
 # correction: linear counting over the V empty registers when
 # E_raw ≤ 2.5m (the paper's threshold); the 60-bit large-range
 # correction is unreachable and omitted.
@@ -997,7 +998,18 @@ def q_stat_chi2_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: counts collapse map-side to ≤ 2×64 cells; the totals
     row broadcasts back. The data is touched once, unkeyed by
     anything wider than the 64-bucket id — the same bounded-
-    exchange contract as the rest of the sketch family."""
+    exchange contract as the rest of the sketch family.
+
+    Numeric ceiling (the q_ts_seasonal_decompose 2^53 note, chi²
+    edition): D_k = ca·n_b − cb·n_a is exact BIGINT only while
+    |D_k| < 2^63 (segment sizes ≲ 3e9 rows), and the per-term
+    double D_k²/t_k·1e6 stays inside 2^53 exactness only while
+    D_k²/t_k ≲ 9e9 — comfortably true at every fixture scale and
+    up to ~sf100, but NOT at arbitrary 100 TB segment sizes; past
+    that, rescale counts (e.g. drop the 1e6 fixed-point factor or
+    pre-divide both margins) before the cast, since out-of-range
+    BIGINT casts diverge per engine (Spark wraps/nulls, DuckDB
+    errors)."""
     c = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
     )
