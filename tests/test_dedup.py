@@ -401,3 +401,85 @@ def test_minhash_est_error_bounded_and_pairs_match_exact(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in est} == exact
     assert all(0.0 <= r["jaccard_est"] <= 1.0 for r in est)
     assert all(r["abs_err"] <= 0.12 for r in est)
+
+
+def test_substring_cut_removes_later_occurrences_only(spark, tmp_path):
+    """Cut semantics on a micro corpus: a shared 8-token span at
+    DIFFERENT offsets survives only at its globally-first occurrence
+    (doc 1); the later doc loses exactly the span's tokens and keeps
+    its own words; a self-repeating doc loses its second copy
+    (within-doc repeats are cut too — the q_dedup_exact_substring
+    n_docs>=2 rule deliberately does NOT apply); untouched docs
+    reassemble to their own token join."""
+    import hashlib
+
+    import pandas as pd
+
+    from twitter_etl_spark.queries.dedup import q_dedup_substring_cut
+
+    boiler = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "intro words " + boiler,
+                boiler + " different tail",
+                boiler + " " + boiler,  # self-repetition
+                "short doc",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0, 0, 0, 0],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.text_cut_md5, r.cut_tokens, r.kept_tokens)
+        for r in q_dedup_substring_cut(spark, str(tmp_path)).collect()
+    }
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1 holds the first occurrence (min (doc_id, pos)) — intact
+    assert got[1] == (h("intro words " + boiler), 0, 10)
+    # doc 2's copy is cut; its own tokens survive
+    assert got[2] == (h("different tail"), 8, 2)
+    # doc 3: first copy IS the (3, 1) occurrence — later than doc 1's
+    # and doc 2's copies? No: ordering is global (doc_id, pos), so
+    # doc 1 at pos 3 wins; BOTH of doc 3's copies are cut.
+    assert got[3] == (h(""), 16, 0)
+    # doc 4: below the window length — no windows, fully kept
+    assert got[4] == (h("short doc"), 0, 2)
+
+
+def test_substring_cut_conservation_and_idempotence(spark):
+    """At SF_ORACLE: cut + kept == total tokens per doc, every doc
+    appears exactly once, and docs with zero cuts hash to the join
+    of their own tokens (reassembly identity)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.dedup import (
+        _tokens,
+        q_dedup_substring_cut,
+    )
+    from twitter_etl_spark.tables import table
+
+    out = q_dedup_substring_cut(spark, SF_ORACLE)
+    d = table(spark, SF_ORACLE, "documents").select(
+        "doc_id", F.concat_ws(" ", _tokens()).alias("joined")
+    )
+    j = out.join(d, "doc_id")
+    rows = j.collect()
+    assert len(rows) == d.count()
+    for r in rows:
+        total = r.cut_tokens + r.kept_tokens
+        assert total == len(r.joined.split(" ")) if r.joined else total >= 0
+        if r.cut_tokens == 0:
+            assert r.text_cut_md5 == hashlib.md5(
+                r.joined.encode()
+            ).hexdigest()

@@ -672,3 +672,83 @@ def test_kmv_rollup_equals_oneshot_sketch(spark, tmp_path):
     assert state.groupBy("event_type").count().agg(
         F.max("count")
     ).first()[0] <= _KMV_K
+
+
+def test_minhash_rollup_pairs_equal_oneshot_banded(spark, tmp_path):
+    """Banded-MinHash rollup: after absorbing the corpus in two
+    overlapping-free batches, regenerating pairs from the persisted
+    state ALONE (band sigs + shingle digests, never text) must
+    reproduce q_dedup_minhash_banded over the union row-for-row —
+    including jaccard values, since digest-set cardinalities equal
+    shingle-set cardinalities. Re-absorbing a batch must be a state
+    no-op (rows are a pure function of text)."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.corpus import q_dedup_minhash_banded
+    from twitter_etl_spark.rollup import (
+        minhash_rollup_pairs,
+        update_minhash_rollup,
+    )
+    from twitter_etl_spark.sinks import read_version
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    d = str(tmp_path / "mh")
+    update_minhash_rollup(spark, d, docs.filter(F.col("doc_id") % 2 == 0))
+    update_minhash_rollup(spark, d, docs.filter(F.col("doc_id") % 2 == 1))
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_rollup_pairs(spark, d).collect()
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in q_dedup_minhash_banded(spark, sf).collect()
+    )
+    assert got == want
+    assert got  # non-vacuous: the sf0.001 fixture has near-dups
+    n_before = read_version(spark, d).count()
+    update_minhash_rollup(spark, d, docs.filter(F.col("doc_id") % 2 == 0))
+    assert read_version(spark, d).count() == n_before
+
+
+def test_minhash_probe_equals_incremental_query(spark, tmp_path):
+    """Probe-without-absorb against the persisted index must equal
+    the self-contained certified query on the same base/batch
+    split — the operational path and the oracle-checked path are
+    the same relation."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.corpus import (
+        q_dedup_minhash_incremental,
+    )
+    from twitter_etl_spark.queries.dedup import _INCR_RECRAWL_SHIFT
+    from twitter_etl_spark.queries.sampling import hash_bucket
+    from twitter_etl_spark.rollup import (
+        probe_minhash_rollup,
+        update_minhash_rollup,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    bk = hash_bucket(F.col("text"))
+    base = d.where(bk < 80)
+    batch = d.where(bk >= 80).unionAll(
+        d.where(bk < 20).select(
+            (F.col("doc_id") + F.lit(_INCR_RECRAWL_SHIFT)).alias("doc_id"),
+            "text",
+        )
+    )
+    rd = str(tmp_path / "mh_idx")
+    update_minhash_rollup(spark, rd, base)
+    got = sorted(
+        (r["doc_base"], r["doc_batch"], r["jaccard"])
+        for r in probe_minhash_rollup(spark, rd, batch).collect()
+    )
+    want = sorted(
+        (r["doc_base"], r["doc_batch"], r["jaccard"])
+        for r in q_dedup_minhash_incremental(spark, sf).collect()
+    )
+    assert got == want
+    assert got  # the re-crawled docs guarantee jaccard-1.0 matches

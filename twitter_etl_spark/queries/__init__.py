@@ -160,9 +160,9 @@ _CERT_PREFIX = (
     "q_ts_gapfill",
     "q_ts_locf",
     "q_ts_resample_ohlc",
-    # -- r10-new ops + oldest-r6 backfill
-    "q_agg_argmax",
-    "q_agg_histogram",
+    # -- r10-new ops
+    "q_dedup_minhash_incremental",
+    "q_dedup_substring_cut",
 )
 
 _BY_MODULE: dict = {}

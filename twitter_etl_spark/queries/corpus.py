@@ -37,7 +37,13 @@ from pyspark import StorageLevel
 
 from ..tables import table
 from .dedup import ORACLE as _DEDUP_ORACLE
-from .dedup import _shingles, _spread, _tokens, q_dedup_ngram_jaccard
+from .dedup import (
+    _INCR_RECRAWL_SHIFT,
+    _shingles,
+    _spread,
+    _tokens,
+    q_dedup_ngram_jaccard,
+)
 
 # Stop when this many min-label rounds did not change any label.
 # Diameter of near-dup clusters is small; 20 is a generous ceiling
@@ -187,6 +193,26 @@ _MINHASH_BANDS = 8
 _MINHASH_MAX_BUCKET = 1024
 
 
+def _shingle_digests():
+    """Per-shingle 64-hex digest array for a ``s: array<string>``
+    shingle column: ``md5('0|'||x) || md5('1|'||x)`` — ONE double
+    digest per shingle; all band hashes and the verify key are
+    slices of it (md5 bits are independent)."""
+    return F.transform(
+        F.col("s"),
+        lambda x: F.concat(
+            F.md5(F.concat(F.lit("0|"), x)), F.md5(F.concat(F.lit("1|"), x))
+        ),
+    )
+
+
+def _band_slice(b: int):
+    # single-arg lambda factory: a `lambda t, _b=b:` default param
+    # would be inspected by PySpark as the (element, index) binary
+    # form, silently binding _b to the array index instead of b
+    return lambda t: F.substring(t, b * 8 + 1, 8)
+
+
 def minhash_band_sigs(sh: DataFrame) -> DataFrame:
     """(doc_id, band, sig) band signatures for a (doc_id, s:
     array<string>) shingle frame: each shingle digested once as
@@ -194,18 +220,7 @@ def minhash_band_sigs(sh: DataFrame) -> DataFrame:
     the 8-hex slice at b*8, sig = min over the doc's shingles.
     Shared by :func:`q_dedup_minhash_banded` and the pure-Python
     cross-check in ``tests/test_corpus.py``."""
-    digests = F.transform(
-        F.col("s"),
-        lambda x: F.concat(
-            F.md5(F.concat(F.lit("0|"), x)), F.md5(F.concat(F.lit("1|"), x))
-        ),
-    )
-
-    def _band_slice(b: int):
-        # single-arg lambda factory: a `lambda t, _b=b:` default param
-        # would be inspected by PySpark as the (element, index) binary
-        # form, silently binding _b to the array index instead of b
-        return lambda t: F.substring(t, b * 8 + 1, 8)
+    digests = _shingle_digests()
 
     return sh.select("doc_id", digests.alias("dg")).select(
         "doc_id",
@@ -223,6 +238,34 @@ def minhash_band_sigs(sh: DataFrame) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig")
+
+
+def minhash_doc_state(sh: DataFrame) -> DataFrame:
+    """Per-doc persistable MinHash state for a (doc_id, s:
+    array<string>) shingle frame: ``sigs`` = the 8 band signatures
+    (band order), ``sh`` = the sorted distinct 16-hex shingle-digest
+    set. This is the row :mod:`twitter_etl_spark.rollup` persists as
+    the incremental near-dup index: band buckets regenerate from
+    ``sigs`` with one posexplode, and exact-Jaccard verification
+    runs over the digest sets (identical cardinalities to the
+    shingle-string sets — 64-bit md5 slices collide at ~n²/2⁶⁵,
+    negligible and engine-deterministic) WITHOUT ever re-reading or
+    re-shingling document text."""
+    digests = _shingle_digests()
+    return sh.select("doc_id", digests.alias("dg")).select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("dg"), _band_slice(b)))
+                for b in range(_MINHASH_BANDS)
+            ]
+        ).alias("sigs"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(F.col("dg"), lambda t: F.substring(t, 1, 16))
+            )
+        ).alias("sh"),
+    )
 
 
 def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,6 +339,92 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.3)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: a new crawl batch against the existing
+    corpus's banded-MinHash index — ``q_dedup_incremental``'s
+    steady-state shape (reference scope: main.R:105 dedups one chunk
+    exactly) composed with ``q_dedup_minhash_banded``'s sub-quadratic
+    recall path. Exact incremental dedup misses the re-crawl reality
+    that refetched pages mutate (ads, timestamps, edits); this op
+    catches batch docs whose content is NEAR a corpus doc.
+
+    Base/batch split = the ``q_dedup_incremental`` simulation (hash
+    buckets [0,80) are history; buckets [80,100) are genuinely-new
+    pages, and buckets [0,20) re-appear under shifted doc_ids as
+    re-fetches — those land at jaccard 1.0 against their originals).
+    Candidates = batch band signatures equi-joined to the base-side
+    signature index on (band, sig); both sides' degenerate buckets
+    are capped at ``_MINHASH_MAX_BUCKET`` (an index bucket that big
+    is boilerplate, not a page); every candidate is verified with
+    exact shingle Jaccard >= 0.3.
+
+    Scale: the base side is ONLY its (doc_id, band, sig) signature
+    index — 8 short rows per corpus doc, the index you persist and
+    append to each increment (:mod:`twitter_etl_spark.rollup`
+    ``update_minhash_rollup`` / ``probe_minhash_rollup`` are the
+    operational form; a pytest pins this query row-identical to
+    probe-after-absorb on the same split). The equi-join shuffles
+    signatures, never text; exact verification joins shingle sets
+    for CANDIDATE docs only (touched buckets), so the quadratic
+    step is bounded by bucket occupancy exactly as in the one-shot
+    op. History text is never re-read, let alone re-shingled."""
+    from .sampling import hash_bucket
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bk = hash_bucket(F.col("text"))
+    base = d.where(bk < 80)
+    batch = d.where(bk >= 80).unionAll(
+        d.where(bk < 20).select(
+            (F.col("doc_id") + F.lit(_INCR_RECRAWL_SHIFT)).alias("doc_id"),
+            "text",
+        )
+    )
+
+    def _sh(docs: DataFrame) -> DataFrame:
+        t = _spread(docs.select("doc_id", _tokens().alias("toks")))
+        return t.select("doc_id", _shingles().alias("s")).filter(
+            F.size("s") > 0
+        )
+
+    sh_base, sh_batch = _sh(base), _sh(batch)
+    sig_base = minhash_band_sigs(sh_base)
+    sig_batch = minhash_band_sigs(sh_batch)
+    keep_base = (
+        sig_base.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _MINHASH_MAX_BUCKET)
+        .select("band", "sig")
+    )
+    keep_batch = (
+        sig_batch.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _MINHASH_MAX_BUCKET)
+        .select("band", "sig")
+    )
+    cand = (
+        sig_base.join(keep_base, ["band", "sig"])
+        .select("band", "sig", F.col("doc_id").alias("doc_base"))
+        .join(
+            sig_batch.join(keep_batch, ["band", "sig"]).select(
+                "band", "sig", F.col("doc_id").alias("doc_batch")
+            ),
+            ["band", "sig"],
+        )
+        .select("doc_base", "doc_batch")
+        .distinct()  # a pair may collide in several bands
+    )
+    sa = sh_base.select(F.col("doc_id").alias("doc_base"), F.col("s").alias("s_a"))
+    sb = sh_batch.select(F.col("doc_id").alias("doc_batch"), F.col("s").alias("s_b"))
+    verified = cand.join(sa, "doc_base").join(sb, "doc_batch")
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    jac = inter / (F.size("s_a") + F.size("s_b") - inter)
+    return (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_base", "doc_batch", "jaccard")
     )
 
 
@@ -514,6 +643,7 @@ QUERIES = {
     "q_dedup_cluster_stats": q_dedup_cluster_stats,
     "q_text_corpus_stopwords": q_text_corpus_stopwords,
     "q_dedup_minhash_banded": q_dedup_minhash_banded,
+    "q_dedup_minhash_incremental": q_dedup_minhash_incremental,
     "q_sim_quantize": q_sim_quantize,
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_sample_leakage_safe": q_sample_leakage_safe,
@@ -605,6 +735,47 @@ ORACLE = {
         "  JOIN shf sa ON sa.doc_id = cand.doc_a "
         "  JOIN shf sb ON sb.doc_id = cand.doc_b) "
         "SELECT doc_a, doc_b, round(n_i * 1.0 / (n_a + n_b - n_i), 6) AS jaccard "
+        "FROM v WHERE round(n_i * 1.0 / (n_a + n_b - n_i), 6) >= 0.3"
+    ),
+    "q_dedup_minhash_incremental": (
+        # base/batch simulation = dedup.py's q_dedup_incremental
+        # oracle; signature/band/verify machinery = the banded oracle
+        # above with role-split bucket caps (<= 1024 each side, no
+        # lower bound: 1 base + 1 batch doc IS a candidate pair)
+        "WITH b0 AS (SELECT doc_id, text, "
+        "  (('0x' || substr(md5(text), 1, 8))::UBIGINT % 100) AS bk "
+        "  FROM documents), "
+        "ab AS ("
+        "  SELECT doc_id, text, 0 AS is_batch FROM b0 WHERE bk < 80 "
+        "  UNION ALL SELECT doc_id, text, 1 FROM b0 WHERE bk >= 80 "
+        "  UNION ALL SELECT doc_id + 1000000, text, 1 FROM b0 WHERE bk < 20), "
+        "t AS (SELECT doc_id, is_batch, "
+        "  string_split_regex(trim(text), '\\s+') AS toks FROM ab), "
+        "sh AS (SELECT doc_id, is_batch, list_distinct(list_transform("
+        "  range(1, greatest(len(toks) - 2, 0) + 1), "
+        "  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM t), "
+        "shf AS (SELECT * FROM sh WHERE len(s) > 0), "
+        "sig AS (SELECT doc_id, is_batch, band, "
+        "  list_min(list_transform(s, x -> substr(md5('0|' || x) || md5('1|' || x), "
+        "  (band * 8 + 1)::INT, 8))) AS sig_v "
+        "  FROM shf, (SELECT unnest(range(8)) AS band) bands), "
+        "kb AS (SELECT band, sig_v FROM sig WHERE is_batch = 0 "
+        "  GROUP BY band, sig_v HAVING count(*) <= 1024), "
+        "kn AS (SELECT band, sig_v FROM sig WHERE is_batch = 1 "
+        "  GROUP BY band, sig_v HAVING count(*) <= 1024), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_base, b.doc_id AS doc_batch "
+        "  FROM sig a "
+        "  JOIN kb ON a.band = kb.band AND a.sig_v = kb.sig_v "
+        "  JOIN sig b ON a.band = b.band AND a.sig_v = b.sig_v "
+        "  JOIN kn ON b.band = kn.band AND b.sig_v = kn.sig_v "
+        "  WHERE a.is_batch = 0 AND b.is_batch = 1), "
+        "v AS (SELECT doc_base, doc_batch, "
+        "  len(list_intersect(sa.s, sb.s)) AS n_i, "
+        "  len(sa.s) AS n_a, len(sb.s) AS n_b FROM cand "
+        "  JOIN shf sa ON sa.doc_id = cand.doc_base AND sa.is_batch = 0 "
+        "  JOIN shf sb ON sb.doc_id = cand.doc_batch AND sb.is_batch = 1) "
+        "SELECT doc_base, doc_batch, "
+        "round(n_i * 1.0 / (n_a + n_b - n_i), 6) AS jaccard "
         "FROM v WHERE round(n_i * 1.0 / (n_a + n_b - n_i), 6) >= 0.3"
     ),
     "q_sim_ann_ivf": (

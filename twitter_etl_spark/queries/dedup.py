@@ -608,9 +608,83 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring CUT and reassemble — ``q_dedup_exact_substring``
+    detects repeated ``_SUBSTR_TOKENS``-token windows; this op
+    REMOVES them the way C4 / Lee et al. 2022 pipelines do and
+    rebuilds each document from its surviving tokens (the
+    ``q_dedup_paragraph`` reassembly at sliding sub-paragraph
+    granularity). Policy: a window occurrence is cut iff its content
+    appears >= 2 times in the corpus (cross-doc OR within-doc — Lee
+    2022 removes both) AND it is not the globally-first occurrence
+    (order = (doc_id, position)); a TOKEN is cut iff ANY cut window
+    covers it, so overlapping duplicated spans cut once, cleanly.
+    Output is (doc_id, text_cut_md5, cut_tokens, kept_tokens) — the
+    md5 keeps rows narrow while still hash-pinning the exact
+    reassembled text.
+
+    Scale: the corpus-wide exchanges are (1) the window-digest hash
+    agg (32-byte keys, map-side collapse of boilerplate — the
+    q_dedup_exact_substring shuffle) and (2) the digest-keyed join
+    of window rows back to their first-occurrence row. Cut-position
+    aggregation is a per-doc hash agg bounded by windows per doc;
+    token filtering is a per-row array expression (filter-with-index
+    over the token array against the broadcast-free per-doc cut
+    set) — whole-stage codegen, no Python, no corpus-wide token
+    explode on the Spark side (the oracle derives tokens by explode;
+    the two formulations cross-check through the cert)."""
+    w = _SUBSTR_TOKENS
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    wins = (
+        d.where(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {w} + 1), "
+                    f"i -> md5(concat_ws(' ', slice(toks, i, {w}))))"
+                )
+            ).alias("p", "h"),
+        )
+        .select("doc_id", (F.col("p") + 1).alias("i"), "h")
+    )
+    firsts = wins.groupBy("h").agg(
+        F.min(F.struct("doc_id", "i")).alias("first_at"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    dup = wins.join(firsts, "h").filter(
+        (F.col("n_occ") >= 2)
+        & ~(
+            (F.col("doc_id") == F.col("first_at.doc_id"))
+            & (F.col("i") == F.col("first_at.i"))
+        )
+    )
+    cov = dup.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("i"), F.col("i") + (w - 1)))
+            )
+        ).alias("cut_pos")
+    )
+    cut = F.coalesce(F.col("cut_pos"), F.expr("array()").cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, idx: ~F.array_contains(cut, (idx + 1).cast("int")),
+    )
+    return d.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", kept)).alias("text_cut_md5"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("cut_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+    )
+
+
 QUERIES = {
     "q_dedup_exact_global": q_dedup_exact_global,
     "q_dedup_exact_substring": q_dedup_exact_substring,
+    "q_dedup_substring_cut": q_dedup_substring_cut,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_url_canonical": q_dedup_url_canonical,
     "q_dedup_normalized": q_dedup_normalized,
@@ -638,6 +712,35 @@ ORACLE = {
         "SELECT gram_hash, count(DISTINCT doc_id)::BIGINT AS n_docs, "
         "count(*)::BIGINT AS n_occ "
         "FROM g GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= 2"
+    ),
+    "q_dedup_substring_cut": (
+        # first occurrence via the q_dedup_paragraph row_number
+        # idiom; token reassembly via explode + string_agg ORDER BY
+        # position (the Spark side filters the token array in place
+        # — the two formulations cross-check through the cert)
+        f"WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents), "
+        "wn AS (SELECT doc_id, i, md5(array_to_string("
+        f"  toks[i : i + {_SUBSTR_TOKENS} - 1], ' ')) AS h "
+        "  FROM (SELECT doc_id, toks, unnest(range(1, "
+        f"    greatest(len(toks) - {_SUBSTR_TOKENS} + 1, 0) + 1)) AS i FROM t)), "
+        "rk AS (SELECT doc_id, i, "
+        "  row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn, "
+        "  count(*) OVER (PARTITION BY h) AS n_occ FROM wn), "
+        "dup AS (SELECT doc_id, i FROM rk WHERE n_occ >= 2 AND rn > 1), "
+        f"cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + {_SUBSTR_TOKENS})) "
+        "  AS j FROM dup), "
+        "tk AS (SELECT doc_id, j, tok FROM (SELECT doc_id, "
+        "  unnest(toks) AS tok, generate_subscripts(toks, 1) AS j FROM t)), "
+        "k AS (SELECT tk.doc_id, tk.j, tk.tok FROM tk "
+        "  LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.j = cov.j "
+        "  WHERE cov.j IS NULL), "
+        "r AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY j)) "
+        "  AS text_cut_md5, count(*)::BIGINT AS kept FROM k GROUP BY doc_id), "
+        "tot AS (SELECT doc_id, len(toks)::BIGINT AS n FROM t) "
+        "SELECT tot.doc_id, coalesce(r.text_cut_md5, md5('')) AS text_cut_md5, "
+        "(tot.n - coalesce(r.kept, 0))::BIGINT AS cut_tokens, "
+        "coalesce(r.kept, 0)::BIGINT AS kept_tokens "
+        "FROM tot LEFT JOIN r USING (doc_id)"
     ),
     "q_dedup_url_canonical": (
         "WITH u AS (SELECT doc_id, "

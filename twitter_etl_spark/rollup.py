@@ -328,3 +328,148 @@ def read_kmv_rollup(
 
     st = read_version(spark, rollup_dir, version)
     return kmv_estimate(st, "event_type")
+
+
+# Banded-MinHash rollup: the persisted NEAR-dup index. State = one
+# row per absorbed doc: the 8 band signatures (queries/corpus.py
+# ``minhash_doc_state`` geometry) plus the sorted 16-hex shingle-
+# digest set for exact-Jaccard verification. Persisting digests, not
+# text, keeps the index O(shingles) bytes and means an increment
+# NEVER re-reads or re-shingles history: probing a batch touches the
+# signature index (8 short rows/doc after posexplode) plus the
+# digest sets of CANDIDATE docs only. Merge = set union of doc rows
+# (docs are append-only; a re-absorbed doc_id dedups to the same
+# row because the state is a pure function of its text), so a pair
+# scan over N absorbed batches equals the one-shot banded scan over
+# their union EXACTLY — the q_dedup_minhash_banded contract,
+# test-pinned like the KMV/HLL rollups.
+
+_MINHASH_STATE_COLS = ("doc_id", "sigs", "sh")
+
+
+def _minhash_doc_rows(new_docs: DataFrame) -> DataFrame:
+    from .queries.corpus import minhash_doc_state
+    from .queries.dedup import _shingles, _spread, _tokens
+
+    t = _spread(new_docs.select("doc_id", _tokens().alias("toks")))
+    sh = t.select("doc_id", _shingles().alias("s")).filter(F.size("s") > 0)
+    return minhash_doc_state(sh)
+
+
+def update_minhash_rollup(
+    spark: SparkSession, rollup_dir: str, new_docs: DataFrame
+) -> int:
+    """Absorb one (doc_id, text) batch into the persistent banded-
+    MinHash index; returns the published version. Absorbing
+    shingles/digests the BATCH only and unions it with
+    |rollup state| rows — history text is never re-read."""
+    fresh = _minhash_doc_rows(new_docs)
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_MINHASH_STATE_COLS)
+        state = prev.unionByName(fresh.select(*_MINHASH_STATE_COLS)).distinct()
+    else:
+        state = fresh
+    return publish_version(state.select(*_MINHASH_STATE_COLS), rollup_dir)
+
+
+def minhash_rollup_pairs(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs regenerated from the
+    stored index ALONE — row-identical to ``q_dedup_minhash_banded``
+    over the union of absorbed batches (Jaccard over the digest
+    sets equals Jaccard over the shingle sets; 64-bit slices
+    collide at ~n²/2⁶⁵). Same band-bucket pair generation and
+    2..cap degenerate guard as the one-shot op."""
+    from .queries.corpus import _MINHASH_MAX_BUCKET
+
+    st = read_version(spark, rollup_dir, version)
+    sig = st.select("doc_id", F.posexplode("sigs").alias("band", "sig"))
+    buckets = (
+        sig.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs").between(2, _MINHASH_MAX_BUCKET))
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("docs"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    sa = st.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = st.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def probe_minhash_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    batch_docs: DataFrame,
+    version: int | None = None,
+) -> DataFrame:
+    """(doc_base, doc_batch, jaccard): near-dups of a NEW batch
+    against the persisted index WITHOUT absorbing it — the decision
+    step a steady-state crawler runs before admitting pages. Batch
+    signatures equi-join the stored index on (band, sig); each
+    side's degenerate buckets are capped; candidates verify with
+    exact digest Jaccard >= 0.3 against ONLY the touched index
+    docs. Row-identical to ``q_dedup_minhash_incremental`` when fed
+    the same base/batch split (test-pinned)."""
+    from .queries.corpus import _MINHASH_MAX_BUCKET
+
+    st = read_version(spark, rollup_dir, version)
+    bt = _minhash_doc_rows(batch_docs)
+    sig_i = st.select("doc_id", F.posexplode("sigs").alias("band", "sig"))
+    sig_b = bt.select("doc_id", F.posexplode("sigs").alias("band", "sig"))
+    keep_i = (
+        sig_i.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _MINHASH_MAX_BUCKET)
+        .select("band", "sig")
+    )
+    keep_b = (
+        sig_b.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _MINHASH_MAX_BUCKET)
+        .select("band", "sig")
+    )
+    cand = (
+        sig_i.join(keep_i, ["band", "sig"])
+        .select("band", "sig", F.col("doc_id").alias("doc_base"))
+        .join(
+            sig_b.join(keep_b, ["band", "sig"]).select(
+                "band", "sig", F.col("doc_id").alias("doc_batch")
+            ),
+            ["band", "sig"],
+        )
+        .select("doc_base", "doc_batch")
+        .distinct()
+    )
+    sa = st.select(F.col("doc_id").alias("doc_base"), F.col("sh").alias("sh_a"))
+    sb = bt.select(F.col("doc_id").alias("doc_batch"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sa, "doc_base").join(sb, "doc_batch")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_base", "doc_batch", "jaccard")
+    )
