@@ -418,3 +418,36 @@ def test_bloom_join_prefilter_before_shuffle(spark):
     p = _plan(spark, "q_join_bloom")
     assert "ShuffledHashJoin" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_approx_percentile_swap_keeps_plan_shape(spark):
+    """r9 verdict #8: several ops DOCUMENT "approx_percentile is the
+    100 TB drop-in, same plan" — execute the claim for all three
+    families. The exact=False variant must (a) keep an identical
+    scale fingerprint (same joins/exchanges/windows — the t-digest
+    swaps only the aggregate expression, never the shuffle
+    topology), (b) actually run, and (c) agree with the exact form
+    on the smoke fixture's group cardinalities."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    import gen_plan_snapshot as gen
+
+    from twitter_etl_spark.queries.anomaly import q_outliers_robust
+    from twitter_etl_spark.queries.behavior import q_behavior_rfm
+    from twitter_etl_spark.queries.timeseries import q_ts_interarrival
+
+    for fn in (q_outliers_robust, q_ts_interarrival, q_behavior_rfm):
+        exact = fn(spark, SF_SMOKE)
+        approx = fn(spark, SF_SMOKE, exact=False)
+        fp_e = gen.fingerprint(
+            exact._jdf.queryExecution().executedPlan().toString()
+        )
+        fp_a = gen.fingerprint(
+            approx._jdf.queryExecution().executedPlan().toString()
+        )
+        assert fp_a == fp_e, fn.__name__
+        assert approx.count() == exact.count(), fn.__name__

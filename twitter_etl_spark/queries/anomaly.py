@@ -28,18 +28,31 @@ MAD_K = 3.0
 IQR_K = 1.5
 
 
-def q_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_outliers_robust(
+    spark: SparkSession, sf_dir: str, *, exact: bool = True
+) -> DataFrame:
+    """``exact=False`` is the RUNNABLE 100 TB path: every percentile
+    becomes ``percentile_approx`` (t-digest, mergeable map-side
+    partials — the per-group reducer no longer buffers every value;
+    the fences move by at most the t-digest rank error), same plan
+    shape — pinned fingerprint-identical by
+    ``tests/test_plans.py::test_approx_percentile_swap_keeps_plan_shape``.
+    The registered/oracle form stays exact for the DuckDB hash
+    gate."""
+    pct = (
+        F.percentile
+        if exact
+        else (lambda c, q: F.percentile_approx(c, q, F.lit(10000)))
+    )
     e = table(spark, sf_dir, "events").select("event_type", "value")
     stats = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med"),
-        F.percentile("value", F.lit(0.25)).alias("q1"),
-        F.percentile("value", F.lit(0.75)).alias("q3"),
+        pct("value", F.lit(0.5)).alias("med"),
+        pct("value", F.lit(0.25)).alias("q1"),
+        pct("value", F.lit(0.75)).alias("q3"),
     )
     j = e.join(F.broadcast(stats), "event_type")
     mad = j.groupBy("event_type").agg(
-        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
-            "mad"
-        )
+        pct(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
     )
     full = e.join(F.broadcast(stats), "event_type").join(
         F.broadcast(mad), "event_type"

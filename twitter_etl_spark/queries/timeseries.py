@@ -176,13 +176,20 @@ ORACLE = {
 }
 
 
-def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ts_interarrival(
+    spark: SparkSession, sf_dir: str, *, exact: bool = True
+) -> DataFrame:
     """Inter-arrival time distribution per event type: per-user gaps
     (lag over the user timeline — one shuffle on user_id) rolled up
     into mean / median / p95 seconds. The percentile here is exact
     (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, shared linear
-    interpolation); at 100 TB swap in ``approx_percentile`` on the
-    same plan."""
+    interpolation). ``exact=False`` is the RUNNABLE 100 TB path:
+    ``percentile_approx`` (t-digest, mergeable map-side partials —
+    the per-group reducer no longer buffers every gap) on the same
+    plan shape — pinned fingerprint-identical by
+    ``tests/test_plans.py::test_approx_percentile_swap_keeps_plan_shape``.
+    The registered/oracle form stays exact for the driver's DuckDB
+    hash gate."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = (
@@ -191,11 +198,16 @@ def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = e.select("event_type", gap_s.alias("gap_s")).filter(
         F.col("gap_s").isNotNull()
     )
+    pct = (
+        F.percentile
+        if exact
+        else (lambda c, q: F.percentile_approx(c, q, F.lit(10000)))
+    )
     return gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
-        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("median_gap_s"),
-        F.round(F.percentile("gap_s", F.lit(0.95)), 4).alias("p95_gap_s"),
+        F.round(pct("gap_s", F.lit(0.5)), 4).alias("median_gap_s"),
+        F.round(pct("gap_s", F.lit(0.95)), 4).alias("p95_gap_s"),
     )
 
 
