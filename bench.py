@@ -97,6 +97,9 @@ HEADLINE = [
     # new in r10 — tracked from birth
     "q_dedup_minhash_incremental",
     "q_dedup_substring_cut",
+    "q_agg_theta_setops",
+    "q_ts_sliding_distinct_kmv",
+    "q_ts_holt_linear",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

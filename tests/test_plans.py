@@ -82,6 +82,10 @@ _SINGLE_PARTITION_OK = {
     # 1-row sketch-merge agg over the per-user flag frame (bounded
     # state: two m-bit bitmaps + three counters)
     "q_agg_lc_setops",
+    # the two <= k-element k-min arrays collapse to a 1-row frame for
+    # the theta set algebra (bounded state: 2 x 64 longs; the k-min
+    # build itself is TakeOrderedAndProject, never a global sort)
+    "q_agg_theta_setops",
     # cumulative window over the fixed 64-bucket grid, never the data
     "q_stat_ks_binned",
     # 1-row totals agg over <= 2x64 histogram cells + the final
@@ -93,6 +97,10 @@ _SINGLE_PARTITION_OK = {
     # q_ts_gapfill contract — a 100 TB deployment adds a series key
     # to the window partition clause)
     "q_ts_seasonal_decompose",
+    # calendar-axis fold: the day-sorted revenue array (<= span-days
+    # structs) collects to one row for the F.aggregate recursion —
+    # bounded by the calendar, never the data (q_ts_gapfill contract)
+    "q_ts_holt_linear",
     # 1-row quintile-threshold agg over the per-user frame, broadcast
     # back — the scale-safe replacement for a global ntile sort
     "q_behavior_rfm",

@@ -456,3 +456,162 @@ def test_seasonal_decompose_matches_python_reference(spark):
             abs(r["trend"] + r["seasonal"] + r["remainder"] - r["revenue"])
             < 3e-4
         ), day
+
+
+def _md5_h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_theta_setops_branches_and_python_replica(spark):
+    """Theta set algebra: smoke fixture (< k members per set) takes
+    the exact branch (estimates == exact, errors 0); sf0.01 takes
+    the estimator branch. The whole frame must equal a pure-Python
+    theta replay over the same per-user flag relation."""
+    import duckdb
+
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+    from twitter_etl_spark.queries.sketches import (
+        _KMV_M,
+        _THETA_K,
+        q_agg_theta_setops,
+    )
+
+    smoke = q_agg_theta_setops(spark, SF_SMOKE).first()
+    assert smoke["rel_err_union"] == 0.0 and smoke["rel_err_inter"] == 0.0
+    assert smoke["theta_union"] == float(smoke["n_union"])
+    assert smoke["n_a"] < _THETA_K and smoke["n_b"] < _THETA_K
+
+    r = q_agg_theta_setops(spark, SF_ORACLE).first()
+    assert r["n_a"] >= _THETA_K  # estimator branch genuinely exercised
+    assert r["theta_union"] != float(r["n_union"])
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT user_id, max((event_type='purchase')::INT) ia, "
+        "max((event_type='error')::INT) ib FROM "
+        f"read_parquet('{SF_ORACLE}/events.parquet') "
+        "WHERE event_type IN ('purchase','error') AND value > 80 "
+        "GROUP BY user_id"
+    ).fetchall()
+    a = sorted(_md5_h60(str(u)) for u, ia, _ in rows if ia)
+    b = sorted(_md5_h60(str(u)) for u, _, ib in rows if ib)
+    ka, kb = a[:_THETA_K], b[:_THETA_K]
+    m_int = 1 << 60
+    th = min(
+        ka[_THETA_K - 1] if len(ka) >= _THETA_K else m_int,
+        kb[_THETA_K - 1] if len(kb) >= _THETA_K else m_int,
+    )
+    fa = {h for h in ka if h < th}
+    fb = {h for h in kb if h < th}
+    scale = _KMV_M / float(th)
+    n_a, n_b = len(a), len(b)
+    n_inter = len(set(a) & set(b))
+    n_union = len(set(a) | set(b))
+    assert (r["n_a"], r["n_b"], r["n_union"], r["n_inter"]) == (
+        n_a,
+        n_b,
+        n_union,
+        n_inter,
+    )
+    assert r["theta_union"] == round(len(fa | fb) * scale, 4)
+    assert r["theta_inter"] == round(len(fa & fb) * scale, 4)
+    assert r["theta_diff"] == round(len(fa - fb) * scale, 4)
+
+
+def test_sliding_kmv_equals_oneshot_window_sketch(spark):
+    """The pane-merge pin: per-day k-min panes merged over each
+    7-day window must yield EXACTLY the estimate a one-shot KMV
+    over the window's full distinct-user set gives (lossless k-min
+    merge — the reason rolling distinct becomes decomposable), and
+    the smoke fixture must take the exact branch everywhere."""
+    import duckdb
+    from collections import defaultdict
+
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+    from twitter_etl_spark.queries.sketches import _KMV_K, _KMV_M
+    from twitter_etl_spark.queries.timeseries import (
+        q_ts_sliding_distinct_kmv,
+    )
+
+    smoke = q_ts_sliding_distinct_kmv(spark, SF_SMOKE).collect()
+    assert smoke and all(r["rel_err"] == 0.0 for r in smoke)
+
+    got = {
+        r["day"]: (r["n_exact"], r["kmv_est"], r["rel_err"])
+        for r in q_ts_sliding_distinct_kmv(spark, SF_ORACLE).collect()
+    }
+    assert got
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) d, user_id "
+        f"FROM read_parquet('{SF_ORACLE}/events.parquet')"
+    ).fetchall()
+    by_day = defaultdict(set)
+    for d, u in rows:
+        by_day[d].add(str(u))
+    days = sorted(by_day)
+    import datetime
+
+    n_est_branch = 0
+    for anchor in days:
+        users = set()
+        for back in range(7):
+            users |= by_day.get(anchor - datetime.timedelta(days=back), set())
+        hs = sorted(_md5_h60(u) for u in users)
+        if len(hs) < _KMV_K:
+            est = float(len(hs))
+        else:
+            est = (_KMV_K - 1) * (_KMV_M / hs[_KMV_K - 1])
+            n_est_branch += 1
+        key = anchor.strftime("%Y-%m-%d")
+        n_exact, kmv_est, rel_err = got.pop(key)
+        assert n_exact == len(users), key
+        assert kmv_est == round(est, 4), key
+        assert rel_err == round(abs(round(est, 4) - len(users)) / len(users), 4)
+    assert not got  # every emitted anchor is an observed day
+    assert n_est_branch > 0  # sf0.01 exercises the estimator branch
+
+
+def test_holt_linear_matches_python_recursion(spark):
+    """q_ts_holt_linear vs the textbook recursion replayed in
+    Python over the identical integer-cents daily series (zero-
+    filled calendar): level/trend/forecast must match to the last
+    rounded digit at both fixture scales."""
+    import datetime
+
+    import duckdb
+
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+    from twitter_etl_spark.queries.timeseries import q_ts_holt_linear
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        con = duckdb.connect()
+        daily = dict(
+            con.execute(
+                "SELECT ts::DATE d, (sum(CAST(value AS DECIMAL(18,2))) "
+                f"* 100)::BIGINT FROM read_parquet('{sf}/events.parquet') "
+                "GROUP BY 1"
+            ).fetchall()
+        )
+        d0, d1 = min(daily), max(daily)
+        ys = []
+        d = d0
+        while d <= d1:
+            ys.append(daily.get(d, 0))
+            d += datetime.timedelta(days=1)
+        l, b = float(ys[0]), float(ys[1] - ys[0])
+        for y in ys[1:]:
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        rows = q_ts_holt_linear(spark, sf).collect()
+        assert len(rows) == 7
+        for r in sorted(rows, key=lambda r: r["h"]):
+            h = r["h"]
+            want_day = (d1 + datetime.timedelta(days=h)).strftime("%Y-%m-%d")
+            assert r["day"] == want_day
+            assert r["level"] == round(l / 100.0, 4)
+            assert r["trend"] == round(b / 100.0, 4)
+            assert r["yhat"] == round((l + h * b) / 100.0, 4)

@@ -1171,3 +1171,163 @@ ORACLE["q_agg_kmv_distinct"] = (
     "SELECT event_type, n_exact, round(est, 4) AS kmv_est, "
     "round(abs(round(est, 4) - n_exact) / n_exact, 4) AS rel_err FROM e"
 )
+
+
+# Theta-sketch set algebra (Dasgupta, Lang, Rhodes & Thaler 2016,
+# "Data Sketches: a required toolkit for Big Data Analytics" /
+# the public Apache DataSketches theta framework): per-set state =
+# the k smallest distinct 60-bit md5 hashes; theta = h_(k) when the
+# set has >= k members, else the full hash space M. Set expressions
+# evaluate SAMPLE-SIDE: theta' = min over operand thetas, retained
+# = the operand k-min lists filtered to h < theta', and any
+# union / intersection / difference estimate is |retained'| * M /
+# theta'. This is the capability KMV state buys that HLL registers
+# and LC bitmaps cannot offer without lossy inclusion-exclusion
+# (q_agg_lc_setops audits exactly that loss): INTERSECTION and
+# DIFFERENCE come from the same first-class estimator as the union.
+_THETA_K = _KMV_K  # same k=64 branch straddle as q_agg_kmv_distinct
+
+
+def q_agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra, hash-certified: distinct big-ticket
+    purchasers (A), high-value error users (B), and |A∪B|, |A∩B|,
+    |A\\B| estimated purely from the two k-min hash lists — beside
+    the exact counts and audited errors. Unlike
+    :func:`q_agg_lc_setops` (inclusion-exclusion over three LC
+    estimates — the lossy step its output audits), the theta frame
+    gives intersection/difference their OWN first-class estimator:
+    cut both lists at theta' = min(theta_A, theta_B) and scale the
+    retained counts by M/theta'. Everything through the retained
+    counts is integer-exact in both engines; ONE double division
+    forms the scale factor (IEEE-identical cross-engine).
+
+    Scale: one exchange keyed on user_id collapses events to a
+    per-user flag pair (map-side partial); each side's k-min list is
+    Spark's own TakeOrderedAndProject — per-partition partial top-k,
+    k·P rows to one reducer, the same mergeable k-min algebra
+    rollup.py pins for the KMV family (state = k longs per set;
+    merge = k smallest of the union). Each k-min side then collapses
+    to ONE row holding its <= k-element sorted array, and the whole
+    set-expression step is array algebra on a 1-row frame (the
+    theta_of/filter/union/intersect/except chain) — referenced
+    exactly once, no repeated top-k subtrees. The exact-twin agg is
+    the audit column; production persists the two k-min lists and
+    answers ANY audience-overlap expression at read time without
+    re-scanning events. Cite: reference main.R:96-103 dedupes on
+    content identity; this lifts that digest idiom to
+    set-cardinality algebra (same family as q_agg_kmv_distinct)."""
+    m_lit = F.lit(_KMV_M)  # 2^60 as double, one shared literal
+    m_int = F.lit(1 << 60).cast("long")
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error") & (F.col("value") > 80)
+    )
+    pu = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("in_a"),
+        F.max((F.col("event_type") == "error").cast("int")).alias("in_b"),
+    ).select(
+        "in_a",
+        "in_b",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("h"),
+    )
+
+    def kmin_arr(flag: str, name: str) -> DataFrame:
+        top = (
+            pu.filter(F.col(flag) == 1)
+            .select("h")
+            .orderBy("h")
+            .limit(_THETA_K)
+        )
+        return top.agg(F.array_sort(F.collect_list("h")).alias(name))
+
+    def theta_of(arr: str):
+        return F.when(
+            F.size(arr) >= _THETA_K, F.element_at(arr, _THETA_K)
+        ).otherwise(m_int)
+
+    st = (
+        kmin_arr("in_a", "arr_a")
+        .crossJoin(kmin_arr("in_b", "arr_b"))
+        .withColumn("th", F.least(theta_of("arr_a"), theta_of("arr_b")))
+        .withColumn(
+            "fa", F.filter("arr_a", lambda x: x < F.col("th"))
+        )
+        .withColumn(
+            "fb", F.filter("arr_b", lambda x: x < F.col("th"))
+        )
+        .select(
+            "th",
+            F.size(F.array_union("fa", "fb")).cast("long").alias("cnt_u"),
+            F.size(F.array_intersect("fa", "fb")).cast("long").alias("cnt_i"),
+            F.size(F.array_except("fa", "fb")).cast("long").alias("cnt_d"),
+        )
+    )
+    ex = pu.agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+    )
+    scale = m_lit / F.col("th").cast("double")
+    est = lambda c: F.round(F.col(c).cast("double") * scale, 4)  # noqa: E731
+    return ex.crossJoin(st).select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_inter",
+        (F.col("n_a") - F.col("n_inter")).cast("long").alias("n_diff"),
+        est("cnt_u").alias("theta_union"),
+        est("cnt_i").alias("theta_inter"),
+        est("cnt_d").alias("theta_diff"),
+        F.round(
+            F.abs(est("cnt_u") - F.col("n_union")) / F.col("n_union"), 4
+        ).alias("rel_err_union"),
+        F.round(
+            F.abs(est("cnt_i") - F.col("n_inter"))
+            / F.greatest(F.col("n_inter"), F.lit(1)),
+            4,
+        ).alias("rel_err_inter"),
+    )
+
+
+QUERIES["q_agg_theta_setops"] = q_agg_theta_setops
+
+_THETA_M_INT = 1 << 60
+
+ORACLE["q_agg_theta_setops"] = (
+    "WITH pu AS (SELECT "
+    "max((event_type = 'purchase')::INT) AS in_a, "
+    "max((event_type = 'error')::INT) AS in_b, "
+    "(('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h "
+    "FROM events WHERE event_type IN ('purchase', 'error') "
+    "AND value > 80 GROUP BY user_id), "
+    f"sa AS (SELECT h FROM pu WHERE in_a = 1 ORDER BY h LIMIT {_THETA_K}), "
+    f"sb AS (SELECT h FROM pu WHERE in_b = 1 ORDER BY h LIMIT {_THETA_K}), "
+    f"ta AS (SELECT CASE WHEN count(*) >= {_THETA_K} THEN max(h) "
+    f"ELSE {_THETA_M_INT} END AS th_a FROM sa), "
+    f"tb AS (SELECT CASE WHEN count(*) >= {_THETA_K} THEN max(h) "
+    f"ELSE {_THETA_M_INT} END AS th_b FROM sb), "
+    "th AS (SELECT least(th_a, th_b) AS th FROM ta, tb), "
+    "m AS (SELECT coalesce(sa.h, sb.h) AS h, "
+    "(sa.h IS NOT NULL) AS ia, (sb.h IS NOT NULL) AS ib "
+    "FROM sa FULL JOIN sb ON sa.h = sb.h), "
+    "c AS (SELECT count(*)::BIGINT AS cnt_u, "
+    "coalesce(sum((ia AND ib)::INT), 0)::BIGINT AS cnt_i, "
+    "coalesce(sum((ia AND NOT ib)::INT), 0)::BIGINT AS cnt_d "
+    "FROM m, th WHERE m.h < th.th), "
+    "ex AS (SELECT sum(in_a)::BIGINT AS n_a, sum(in_b)::BIGINT AS n_b, "
+    "count(*)::BIGINT AS n_union, sum(in_a * in_b)::BIGINT AS n_inter "
+    "FROM pu) "
+    "SELECT n_a, n_b, n_union, n_inter, (n_a - n_inter)::BIGINT AS n_diff, "
+    f"round(cnt_u::DOUBLE * ({_KMV_M!r} / th::DOUBLE), 4) AS theta_union, "
+    f"round(cnt_i::DOUBLE * ({_KMV_M!r} / th::DOUBLE), 4) AS theta_inter, "
+    f"round(cnt_d::DOUBLE * ({_KMV_M!r} / th::DOUBLE), 4) AS theta_diff, "
+    f"round(abs(round(cnt_u::DOUBLE * ({_KMV_M!r} / th::DOUBLE), 4) - n_union) "
+    "/ n_union, 4) AS rel_err_union, "
+    f"round(abs(round(cnt_i::DOUBLE * ({_KMV_M!r} / th::DOUBLE), 4) - n_inter) "
+    "/ greatest(n_inter, 1), 4) AS rel_err_inter "
+    "FROM ex, c, th"
+)

@@ -676,3 +676,233 @@ ORACLE["q_ts_seasonal_decompose"] = (
     "  - (s_fp - m_fp)) / 1e4, 4) AS remainder "
     "FROM i JOIN s USING (dow) CROSS JOIN m"
 )
+
+
+def q_ts_sliding_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per observed day,
+    estimated from per-day KMV panes — the EXECUTED form of the
+    sketch swap :func:`~twitter_etl_spark.queries.behavior
+    .q_behavior_dau_wau_mau` argues for ("at 100 TB the sketch swap
+    is per-day sketches unioned over the window, same plan shape").
+    Rolling COUNT DISTINCT is not sum-decomposable; a k-min pane IS
+    merge-decomposable, losslessly: the union of complete per-day
+    k-min lists contains the k smallest of the window's union, so
+    ranking the merged pane rows and cutting at k gives EXACTLY the
+    sketch a one-shot :func:`~.sketches.q_agg_kmv_distinct` over the
+    window would build (the rollup.py KMV merge contract, here on a
+    sliding axis). Output audits the estimator against the exact
+    window count.
+
+    Scale: pane build is one exchange on (day) over DISTINCT
+    (day, user-digest) rows with a per-day top-k; each pane emits
+    <= k 8-byte rows which explode x7 to their anchor windows —
+    the window merge shuffles <= 7k rows per anchor REGARDLESS of
+    corpus size (vs the exact twin's 7 x |distinct user-days|).
+    The exact twin stays in the relation as the audited-error
+    column; production drops it and keeps the pane path. Branch
+    straddle: sf0.001 windows (<= 15 users) certify the exact
+    short-circuit, sf0.01+ the estimator."""
+    from .sketches import _KMV_K, kmv_estimate, kmv_hash_rows
+
+    e = table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    hd = kmv_hash_rows(e, "user_id", "day")
+    wd = Window.partitionBy("day").orderBy("h")
+    pane = (
+        hd.select("day", "h", F.row_number().over(wd).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("day", "h")
+    )
+    days = hd.select("day").distinct()
+    anchors = F.broadcast(days.select(F.col("day").alias("anchor")))
+    merged = (
+        pane.select(
+            "h",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", 6))
+            ).alias("anchor"),
+        )
+        .join(anchors, "anchor")
+        .select("anchor", "h")
+        .distinct()
+    )
+    est = kmv_estimate(merged, "anchor")
+    exact = (
+        e.distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", 6))
+            ).alias("anchor"),
+        )
+        .join(anchors, "anchor")
+        .select("anchor", "user_id")
+        .distinct()
+        .groupBy("anchor")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.join(exact, "anchor").select(
+        F.date_format("anchor", "yyyy-MM-dd").alias("day"),
+        "n_exact",
+        "kmv_est",
+        F.round(
+            F.abs(F.col("kmv_est") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+QUERIES["q_ts_sliding_distinct_kmv"] = q_ts_sliding_distinct_kmv
+
+
+def _sliding_kmv_sql() -> str:
+    from .sketches import _KMV_K, _KMV_M
+
+    return (
+        "WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) "
+        "AS day, user_id FROM events), "
+        "hd AS (SELECT DISTINCT day, "
+        "(('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT "
+        "AS h FROM ud), "
+        "pane AS (SELECT day, h FROM (SELECT day, h, row_number() OVER "
+        "(PARTITION BY day ORDER BY h) AS rn FROM hd) "
+        f"WHERE rn <= {_KMV_K}), "
+        "days AS (SELECT DISTINCT day FROM ud), "
+        "m AS (SELECT DISTINCT days.day AS anchor, pane.h FROM pane "
+        "JOIN days ON days.day BETWEEN pane.day AND pane.day + 6), "
+        "r AS (SELECT anchor, h, row_number() OVER "
+        "(PARTITION BY anchor ORDER BY h) AS rn FROM m), "
+        "a AS (SELECT anchor, count(*)::BIGINT AS n_state, "
+        f"max(CASE WHEN rn = {_KMV_K} THEN h END)::BIGINT AS hk "
+        f"FROM r WHERE rn <= {_KMV_K} GROUP BY anchor), "
+        "est AS (SELECT anchor, "
+        f"CASE WHEN n_state < {_KMV_K} THEN n_state::DOUBLE "
+        f"ELSE {float(_KMV_K - 1)!r} * ({_KMV_M!r} / hk) END AS e FROM a), "
+        "ex AS (SELECT days.day AS anchor, "
+        "count(DISTINCT ud.user_id)::BIGINT AS n_exact FROM ud "
+        "JOIN days ON days.day BETWEEN ud.day AND ud.day + 6 "
+        "GROUP BY days.day) "
+        "SELECT strftime(ex.anchor, '%Y-%m-%d') AS day, n_exact, "
+        "round(e, 4) AS kmv_est, "
+        "round(abs(round(e, 4) - n_exact) / n_exact, 4) AS rel_err "
+        "FROM est JOIN ex ON est.anchor = ex.anchor"
+    )
+
+
+ORACLE["q_ts_sliding_distinct_kmv"] = _sliding_kmv_sql()
+
+
+def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double) exponential smoothing of daily
+    revenue with a 7-day-ahead forecast — the trend-aware sequel to
+    :func:`q_ts_ewma` (level only) and the forecasting counterpart
+    of :func:`q_ts_seasonal_decompose` (which explains the past but
+    predicts nothing). Textbook recursion (Holt 1957; Hyndman &
+    Athanasopoulos, *Forecasting: Principles and Practice* — public)
+    with dyadic alpha = beta = 0.5, init l1 = y1, b1 = y2 - y1:
+    l_t = 0.5*y_t + 0.5*(l + b); b_t = 0.5*(l_t - l) + 0.5*b; then
+    yhat_h = l_n + h*b_n. Emits (h, day, yhat, level, trend) for
+    h = 1..7 in dollars (fixed-point 1e-4).
+
+    A true recurrence cannot be spelled as a fixed lag set the EWMA
+    way, and Spark has no running-scan HOF — so the series folds
+    through ONE ``F.aggregate`` over the day-sorted array while the
+    oracle runs the identical recursion as a DuckDB recursive CTE.
+    Cross-engine float argument (the EWMA discipline, recursive
+    edition): inputs are BIGINT cents, every step multiplies by the
+    dyadic literal 0.5 and adds in the SAME written order in both
+    engines, and IEEE double ops are deterministic — neither engine
+    reassociates an explicit expression tree — so the pre-round bits
+    match at every t; ONE rounding at the end.
+
+    Scale: the event scan collapses map-side to <= span-days rows
+    (the q_ts_gapfill contract); the fold runs on the calendar axis
+    in one task — bounded by the calendar, never the data; at
+    100 TB you add a series key and fold per key (applyInPandas or
+    per-key aggregate, same recursion)."""
+    e = _events_daily(spark, sf_dir)
+    daily = e.groupBy("day").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("rev")
+    )
+    g = (
+        _calendar(daily.select("day"))
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(
+                (F.col("rev") * 100).cast("long"), F.lit(0).cast("long")
+            ).alias("rev_c"),
+        )
+    )
+    arr = g.agg(
+        F.array_sort(F.collect_list(F.struct("day", "rev_c"))).alias("ys"),
+        F.max("day").alias("last_day"),
+    )
+    y1 = F.element_at("ys", 1).getField("rev_c")
+    y2 = F.element_at("ys", 2).getField("rev_c")
+    init = F.struct(
+        y1.cast("double").alias("l"), (y2 - y1).cast("double").alias("b")
+    )
+    half = F.lit(0.5)
+
+    def step(acc, x):
+        l_new = half * x.getField("rev_c") + half * (
+            acc.getField("l") + acc.getField("b")
+        )
+        b_new = half * (l_new - acc.getField("l")) + half * acc.getField("b")
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    st = arr.select(
+        "last_day",
+        F.aggregate(
+            F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+            init,
+            step,
+        ).alias("st"),
+    ).select(
+        "last_day", F.col("st.l").alias("l"), F.col("st.b").alias("b")
+    )
+    return st.select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"), "last_day", "l", "b"
+    ).select(
+        F.col("h").cast("int").alias("h"),
+        F.date_format(
+            F.date_add(F.col("last_day"), F.col("h")), "yyyy-MM-dd"
+        ).alias("day"),
+        F.round((F.col("l") + F.col("h") * F.col("b")) / 100.0, 4).alias(
+            "yhat"
+        ),
+        F.round(F.col("l") / 100.0, 4).alias("level"),
+        F.round(F.col("b") / 100.0, 4).alias("trend"),
+    )
+
+
+QUERIES["q_ts_holt_linear"] = q_ts_holt_linear
+ORACLE["q_ts_holt_linear"] = (
+    "WITH RECURSIVE d AS (SELECT ts::DATE AS day, "
+    "  sum(CAST(value AS DECIMAL(18,2))) AS rev FROM events GROUP BY 1), "
+    "bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM d), "
+    "cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE "
+    "  AS day FROM bnd), "
+    "g AS (SELECT cal.day, coalesce((rev * 100)::BIGINT, 0) AS rev_c, "
+    "  row_number() OVER (ORDER BY cal.day) AS rn "
+    "  FROM cal LEFT JOIN d USING (day)), "
+    "rec AS ("
+    "  SELECT 1 AS t, "
+    "  (SELECT rev_c FROM g WHERE rn = 1)::DOUBLE AS l, "
+    "  ((SELECT rev_c FROM g WHERE rn = 2) "
+    "   - (SELECT rev_c FROM g WHERE rn = 1))::DOUBLE AS b "
+    "  UNION ALL "
+    "  SELECT rec.t + 1, "
+    "  0.5 * g.rev_c + 0.5 * (rec.l + rec.b), "
+    "  0.5 * ((0.5 * g.rev_c + 0.5 * (rec.l + rec.b)) - rec.l) + 0.5 * rec.b "
+    "  FROM rec JOIN g ON g.rn = rec.t + 1), "
+    "fin AS (SELECT l, b FROM rec ORDER BY t DESC LIMIT 1), "
+    "lastd AS (SELECT max(day) AS last_day FROM g) "
+    "SELECT h::INT AS h, "
+    "strftime(last_day + h::INT, '%Y-%m-%d') AS day, "
+    "round((l + h * b) / 100.0, 4) AS yhat, "
+    "round(l / 100.0, 4) AS level, "
+    "round(b / 100.0, 4) AS trend "
+    "FROM fin, lastd, (SELECT unnest(range(1, 8)) AS h)"
+)
