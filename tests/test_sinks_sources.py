@@ -752,3 +752,61 @@ def test_minhash_probe_equals_incremental_query(spark, tmp_path):
     )
     assert got == want
     assert got  # the re-crawled docs guarantee jaccard-1.0 matches
+
+
+def test_theta_overlap_from_kmv_rollup_matches_replay(spark, tmp_path):
+    """Read-time theta set algebra over the PERSISTED k-min rollup:
+    absorbing events in two batches then asking for the
+    purchase-vs-error audience overlap must equal a pure-Python
+    theta replay over the full relation's per-type k-min lists —
+    the lossless-merge contract extended from cardinalities to set
+    expressions."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.sketches import _KMV_M, _THETA_K
+    from twitter_etl_spark.rollup import (
+        theta_overlap_from_kmv_rollup,
+        update_kmv_rollup,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.01"
+    e = table(spark, sf, "events")
+    d = str(tmp_path / "kmv")
+    update_kmv_rollup(spark, d, e.filter(F.col("event_id") % 2 == 0))
+    update_kmv_rollup(spark, d, e.filter(F.col("event_id") % 2 == 1))
+    r = theta_overlap_from_kmv_rollup(spark, d, "purchase", "error").first()
+
+    def kmin(t):
+        users = {
+            row["user_id"]
+            for row in e.filter(F.col("event_type") == t)
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        return sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+            for u in users
+        )[:_THETA_K]
+
+    ka, kb = kmin("purchase"), kmin("error")
+    m_int = 1 << 60
+    th = min(
+        ka[_THETA_K - 1] if len(ka) >= _THETA_K else m_int,
+        kb[_THETA_K - 1] if len(kb) >= _THETA_K else m_int,
+    )
+    fa = {h for h in ka if h < th}
+    fb = {h for h in kb if h < th}
+    scale = _KMV_M / float(th)
+    assert r["th"] == th
+    assert (r["cnt_u"], r["cnt_i"], r["cnt_d"]) == (
+        len(fa | fb),
+        len(fa & fb),
+        len(fa - fb),
+    )
+    assert r["est_inter"] == round(len(fa & fb) * scale, 4)
+    # sf0.01 genuinely estimates (both sides past k)
+    assert len(ka) == _THETA_K and th < m_int

@@ -473,3 +473,61 @@ def probe_minhash_rollup(
         .filter(F.col("jaccard") >= 0.3)
         .select("doc_base", "doc_batch", "jaccard")
     )
+
+
+def theta_overlap_from_kmv_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    type_a: str,
+    type_b: str,
+    version: int | None = None,
+) -> DataFrame:
+    """(th, cnt_u, cnt_i, cnt_d, est_union, est_inter, est_diff) for
+    the audience overlap of two event types, computed from the
+    PERSISTED k-min rollup state alone — the read-time payoff of
+    theta-frame set algebra (queries/sketches.py
+    ``q_agg_theta_setops``): the same k-min lists the distinct-count
+    rollup maintains answer ANY union/intersection/difference
+    question between absorbed groups without re-reading a single
+    event. Estimator math is pinned test-identical to a theta replay
+    over the full relation's k-min lists (lossless k-min merge, the
+    update_kmv_rollup contract)."""
+    from .queries.sketches import _KMV_M, _THETA_K
+
+    st = read_version(spark, rollup_dir, version)
+    m_int = F.lit(1 << 60).cast("long")
+
+    def side(t: str, name: str) -> DataFrame:
+        return (
+            st.filter(F.col("event_type") == t)
+            .agg(F.array_sort(F.collect_list("h")).alias(name))
+        )
+
+    def theta_of(arr: str):
+        return F.when(
+            F.size(arr) >= _THETA_K, F.element_at(arr, _THETA_K)
+        ).otherwise(m_int)
+
+    out = (
+        side(type_a, "arr_a")
+        .crossJoin(side(type_b, "arr_b"))
+        .withColumn("th", F.least(theta_of("arr_a"), theta_of("arr_b")))
+        .withColumn("fa", F.filter("arr_a", lambda x: x < F.col("th")))
+        .withColumn("fb", F.filter("arr_b", lambda x: x < F.col("th")))
+        .select(
+            "th",
+            F.size(F.array_union("fa", "fb")).cast("long").alias("cnt_u"),
+            F.size(F.array_intersect("fa", "fb")).cast("long").alias("cnt_i"),
+            F.size(F.array_except("fa", "fb")).cast("long").alias("cnt_d"),
+        )
+    )
+    scale = F.lit(_KMV_M) / F.col("th").cast("double")
+    return out.select(
+        "th",
+        "cnt_u",
+        "cnt_i",
+        "cnt_d",
+        F.round(F.col("cnt_u").cast("double") * scale, 4).alias("est_union"),
+        F.round(F.col("cnt_i").cast("double") * scale, 4).alias("est_inter"),
+        F.round(F.col("cnt_d").cast("double") * scale, 4).alias("est_diff"),
+    )
