@@ -1135,3 +1135,96 @@ def test_session_window_append_mode_emits_closed_sessions(spark):
     # the 06:00 straggler's session is still open w.r.t. the final
     # watermark — append mode must NOT have emitted it
     assert all(r["user_id"] != 4 for r in out)
+
+
+def test_stream_feeds_kmv_rollup_matches_one_shot(spark):
+    """The KMV edition of the stream→rollup handoff: an availableNow
+    foreachBatch loop absorbs each micro-batch into
+    rollup.update_kmv_rollup (k-min trim per publish), and the
+    read-back estimate equals the one-shot certifiable KMV
+    (q_agg_kmv_distinct's estimator via the shared helpers) over the
+    union of all batches — the lossless k-min merge exercised across
+    genuine micro-batch boundaries, completing the streaming story
+    for the third distinct-sketch geometry (HLL registers r9, k-min
+    values here)."""
+    from pyspark.sql import types as T
+
+    from twitter_etl_spark import rollup
+    from twitter_etl_spark.queries.sketches import (
+        kmv_estimate,
+        kmv_hash_rows,
+    )
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    rollup_dir = os.path.join(base, "kmv_rollup")
+    os.makedirs(landing)
+
+    def _file(name, rows):
+        with open(os.path.join(landing, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def _ev(i, user, etype):
+        return {
+            "event_id": i,
+            "ts": f"2024-01-01T00:{i:02d}:00",
+            "user_id": user,
+            "event_type": etype,
+            "value": 1.0,
+        }
+
+    # 70 distinct click users across 3 batches (> k=64 so the
+    # estimator branch and the k-truncation path are both real),
+    # plus a small view audience that stays on the exact branch
+    _file("b1.json", [_ev(i, i, "click") for i in range(1, 31)])
+    _file(
+        "b2.json",
+        [_ev(100 + i, 20 + i, "click") for i in range(1, 31)]
+        + [_ev(200, 1, "view"), _ev(201, 2, "view")],
+    )
+    _file("b3.json", [_ev(300 + i, 50 + i, "click") for i in range(1, 21)])
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    versions = []
+
+    def _absorb(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        versions.append(rollup.update_kmv_rollup(spark, rollup_dir, batch_df))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(versions) == 3
+
+    got = {
+        (r["event_type"], r["n_state"], r["kmv_est"])
+        for r in rollup.read_kmv_rollup(spark, rollup_dir).collect()
+    }
+    union = spark.read.schema(schema).json(landing)
+    want = {
+        (r["event_type"], r["n_state"], r["kmv_est"])
+        for r in kmv_estimate(
+            kmv_hash_rows(union, "user_id", "event_type"), "event_type"
+        ).collect()
+    }
+    assert got == want
+    est = {t: e for t, n, e in got}
+    assert est["view"] == 2.0  # exact branch
+    assert est["click"] != 70.0  # estimator branch genuinely estimates
