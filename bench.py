@@ -100,6 +100,7 @@ HEADLINE = [
     "q_agg_theta_setops",
     "q_ts_sliding_distinct_kmv",
     "q_ts_holt_linear",
+    "q_join_asof_tolerance",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

@@ -156,13 +156,14 @@ _CERT_PREFIX = (
     "q_text_contamination",
     "q_text_corpus_stopwords",
     "q_text_heavyhitters",
-    "q_text_squeeze_runs",
-    # -- r10-new ops (q_ts_gapfill/locf/resample_ohlc spill to r11)
+    # -- r10-new ops (q_text_squeeze_runs + q_ts_gapfill/locf/
+    # resample_ohlc spill to r11)
     "q_dedup_minhash_incremental",
     "q_dedup_substring_cut",
     "q_agg_theta_setops",
     "q_ts_sliding_distinct_kmv",
     "q_ts_holt_linear",
+    "q_join_asof_tolerance",
 )
 
 _BY_MODULE: dict = {}

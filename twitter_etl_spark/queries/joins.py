@@ -162,6 +162,47 @@ def q_join_selfasof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_US = 6 * 3600 * 1_000_000  # 6h attribution window
+
+
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound — pandas ``merge_asof(...,
+    tolerance=...)`` / attribution-window semantics: each purchase
+    matched to the latest prior-or-simultaneous click by the same
+    user ONLY if it landed within the 6-hour window, else NULL
+    (nearest-within-tolerance ≡ nearest-then-bound, since the as-of
+    pick is already the nearest candidate).
+
+    Spark-native scalable form: same union + one-per-user-window
+    ``last IGNORE NULLS`` as :func:`q_join_selfasof` (single
+    shuffle, no range-join explosion), with the bound applied as a
+    post-pick expression. Oracle: DuckDB ASOF LEFT JOIN + the same
+    CASE bound — two genuinely different engines AND formulations
+    agreeing on the nullable attribution column."""
+    e = table(spark, sf_dir, "events")
+    cp = e.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = cp.withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    ).withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts"))
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("purchase_us"),
+        F.when(
+            gap <= _ASOF_TOL_US, F.unix_micros(F.col("last_click_ts"))
+        ).alias("click_us"),
+        F.coalesce((gap <= _ASOF_TOL_US).cast("int"), F.lit(0)).alias(
+            "attributed"
+        ),
+    )
+
+
 def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product of the two (tiny) dim tables."""
     return (
@@ -245,6 +286,7 @@ QUERIES = {
     "q_join_multiway": q_join_multiway,
     "q_join_theta": q_join_theta,
     "q_join_selfasof": q_join_selfasof,
+    "q_join_asof_tolerance": q_join_asof_tolerance,
     "q_join_cross": q_join_cross,
     "q_join_interval": q_join_interval,
 }
@@ -305,6 +347,17 @@ ORACLE = {
         "SELECT p.event_id, p.user_id, "
         "epoch_us(p.ts)::BIGINT AS purchase_us, "
         "epoch_us(c.ts)::BIGINT AS click_us "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ),
+    "q_join_asof_tolerance": (
+        "SELECT p.event_id, p.user_id, "
+        "epoch_us(p.ts)::BIGINT AS purchase_us, "
+        "CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000 "
+        "THEN epoch_us(c.ts)::BIGINT END AS click_us, "
+        "coalesce((epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000)::INT, 0) "
+        "AS attributed "
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
         "ON p.user_id = c.user_id AND p.ts >= c.ts"
