@@ -810,3 +810,34 @@ def test_theta_overlap_from_kmv_rollup_matches_replay(spark, tmp_path):
     assert r["est_inter"] == round(len(fa & fb) * scale, 4)
     # sf0.01 genuinely estimates (both sides past k)
     assert len(ka) == _THETA_K and th < m_int
+
+
+def test_histogram_rollup_equals_oneshot_percentiles(spark, tmp_path):
+    """Histogram cells merge by ADDITION, so absorbing the customer
+    table in two batches and reading percentiles from the rollup
+    must reproduce q_agg_histo_percentile's estimates exactly — the
+    fifth mergeable-rollup algebra (HLL max, bloom OR, KMV min-k,
+    MinHash set-union, histogram sum)."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.sketches import q_agg_histo_percentile
+    from twitter_etl_spark.rollup import (
+        read_histogram_percentiles,
+        update_histogram_rollup,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.01"
+    c = table(spark, sf, "customer")
+    d = str(tmp_path / "hist")
+    update_histogram_rollup(spark, d, c.filter(F.col("c_custkey") % 2 == 0))
+    update_histogram_rollup(spark, d, c.filter(F.col("c_custkey") % 2 == 1))
+    got = {
+        (r["c_mktsegment"], r["p"]): r["est"]
+        for r in read_histogram_percentiles(spark, d).collect()
+    }
+    want = {
+        (r["c_mktsegment"], r["p"]): r["hist_est"]
+        for r in q_agg_histo_percentile(spark, sf).collect()
+    }
+    assert got == want and got

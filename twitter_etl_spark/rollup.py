@@ -531,3 +531,88 @@ def theta_overlap_from_kmv_rollup(
         F.round(F.col("cnt_i").cast("double") * scale, 4).alias("est_inter"),
         F.round(F.col("cnt_d").cast("double") * scale, 4).alias("est_diff"),
     )
+
+
+# Equi-width histogram rollup: the mergeable-quantile state. Counts
+# are a vector monoid (merge = per-cell ADD — the simplest algebra
+# in the family: HLL max, bloom OR, KMV min-k, MinHash set-union,
+# histogram sum), so absorbing N batches then reading percentiles
+# equals the one-shot histogram percentile over the union EXACTLY
+# (integer counts; the interpolation is a pure function of the
+# merged cells).
+
+_HIST_STATE_COLS = ("c_mktsegment", "bucket", "cnt")
+
+
+def update_histogram_rollup(
+    spark: SparkSession, rollup_dir: str, new_customers: DataFrame
+) -> int:
+    """Absorb one customer batch into the per-segment equi-width
+    balance histogram (queries/sketches.py ``q_agg_histo_percentile``
+    geometry: _HP_LO/_HP_W/_HP_B); returns the published version.
+    State stays <= segments x 64 rows regardless of volume."""
+    from .queries.sketches import _HP_B, _HP_LO, _HP_W
+
+    bucket = F.least(
+        F.floor((F.col("c_acctbal") - _HP_LO) / _HP_W), F.lit(_HP_B - 1)
+    ).cast("int")
+    fresh = new_customers.groupBy(
+        "c_mktsegment", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_HIST_STATE_COLS)
+        state = (
+            prev.unionByName(fresh.select(*_HIST_STATE_COLS))
+            .groupBy("c_mktsegment", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        state = fresh
+    return publish_version(state.select(*_HIST_STATE_COLS), rollup_dir)
+
+
+def read_histogram_percentiles(
+    spark: SparkSession,
+    rollup_dir: str,
+    version: int | None = None,
+) -> DataFrame:
+    """(c_mktsegment, p, est) p50/p90 interpolated from the stored
+    cells alone — identical estimator math to
+    ``q_agg_histo_percentile`` (first bucket whose cumulative count
+    reaches p*n, linear interpolation inside it), so the read equals
+    the one-shot estimate over the union of absorbed batches."""
+    from pyspark.sql import Window
+
+    from .queries.sketches import _HP_LO, _HP_W
+
+    st = read_version(spark, rollup_dir, version)
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hc = st.withColumn("cum", F.sum("cnt").over(w))
+    seg = st.groupBy("c_mktsegment").agg(F.sum("cnt").alias("n"))
+    ps = seg.select(
+        "c_mktsegment", "n", F.explode(F.array(F.lit(0.5), F.lit(0.9))).alias("p")
+    )
+    sel = (
+        ps.join(hc, "c_mktsegment")
+        .filter(F.col("cum") >= F.col("p") * F.col("n"))
+        .groupBy("c_mktsegment", "p", "n")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    est = F.round(
+        F.lit(_HP_LO)
+        + F.lit(_HP_W)
+        * (
+            F.col("bucket")
+            + (F.col("p") * F.col("n") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt")
+        ),
+        4,
+    )
+    return (
+        sel.join(hc, ["c_mktsegment", "bucket"])
+        .select("c_mktsegment", "p", est.alias("est"))
+    )
