@@ -101,6 +101,7 @@ HEADLINE = [
     "q_ts_sliding_distinct_kmv",
     "q_ts_holt_linear",
     "q_join_asof_tolerance",
+    "q_agg_theta_matrix",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

@@ -1331,3 +1331,174 @@ ORACLE["q_agg_theta_setops"] = (
     "/ greatest(n_inter, 1), 4) AS rel_err_inter "
     "FROM ex, c, th"
 )
+
+
+def q_agg_theta_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap MATRIX across all event types from
+    per-type k-min lists — :func:`q_agg_theta_setops` generalized
+    from one set pair to the full type x type frame (10 unordered
+    pairs here): per pair, theta' = least of the two per-type
+    thetas, the retained-below-theta' counts give the intersection
+    estimate ``cnt_i * M/theta'`` and the estimated Jaccard is the
+    INTEGER ratio ``cnt_i / cnt_u`` (the M/theta' scale cancels —
+    one engine-identical double division, no float accumulation).
+    Exact intersection/Jaccard twins and audited error ride along.
+
+    Scale: ONE exchange on (type, digest) builds the distinct hash
+    relation; the per-type rank is the oracle-friendly spelling of
+    the k-min list (the persisted form is rollup.py's KMV state —
+    ``theta_overlap_from_kmv_rollup`` is this query's read-time
+    twin, replay-pinned); every pair computation joins frames
+    bounded by types x k rows (<= 5 x 64 here), broadcast-trivial at
+    any volume. The exact twin (per-user type-pair self-join) is
+    the audit column — production drops it and keeps the k-min
+    matrix, which answers ALL pairs from one persisted sketch set.
+    Value > 80 cut: the plain type split is degenerate (every
+    fixture user does every type — the q_agg_lc_setops lesson)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("value") > 80)
+    hd = kmv_hash_rows(e, "user_id", "event_type")
+    w = Window.partitionBy("event_type").orderBy("h")
+    # per-type k-min ARRAY (<= k longs each — the bounded state the
+    # rollup persists), so each side of the pair frame references
+    # the ranked relation exactly once; all pair algebra below is
+    # array expressions over a types^2/2-row frame
+    karr = (
+        hd.select("event_type", "h", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _THETA_K)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("h")).alias("arr"))
+    )
+    m_int = F.lit(1 << 60).cast("long")
+
+    def theta_of(arr: str):
+        return F.when(
+            F.size(arr) >= _THETA_K, F.element_at(arr, _THETA_K)
+        ).otherwise(m_int)
+
+    full = (
+        karr.select(
+            F.col("event_type").alias("type_a"), F.col("arr").alias("arr_a")
+        )
+        .join(
+            karr.select(
+                F.col("event_type").alias("type_b"), F.col("arr").alias("arr_b")
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .withColumn(
+            "thp", F.least(theta_of("arr_a"), theta_of("arr_b"))
+        )
+        .withColumn("fa", F.filter("arr_a", lambda x: x < F.col("thp")))
+        .withColumn("fb", F.filter("arr_b", lambda x: x < F.col("thp")))
+        .select(
+            "type_a",
+            "type_b",
+            "thp",
+            F.size("fa").cast("long").alias("cnt_a"),
+            F.size("fb").cast("long").alias("cnt_b"),
+            F.size(F.array_intersect("fa", "fb")).cast("long").alias("cnt_i"),
+        )
+    )
+    ud = e.select("event_type", "user_id").distinct()
+    nn = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ne = (
+        ud.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            ud.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    full = (
+        full.join(ne, ["type_a", "type_b"], "left")
+        .join(nn.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")), "type_a")
+        .join(nn.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")), "type_b")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)).cast("long"))
+    )
+    cnt_u = F.greatest(
+        F.col("cnt_a") + F.col("cnt_b") - F.col("cnt_i"), F.lit(1)
+    )
+    n_union = F.greatest(
+        F.col("n_a") + F.col("n_b") - F.col("n_inter"), F.lit(1)
+    )
+    theta_i = F.round(
+        F.col("cnt_i").cast("double")
+        * (F.lit(_KMV_M) / F.col("thp").cast("double")),
+        4,
+    )
+    return full.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        theta_i.alias("theta_inter"),
+        F.round(F.col("cnt_i").cast("double") / cnt_u, 4).alias("jacc_est"),
+        F.round(F.col("n_inter").cast("double") / n_union, 4).alias("jacc"),
+        F.round(
+            F.abs(theta_i - F.col("n_inter"))
+            / F.greatest(F.col("n_inter"), F.lit(1)),
+            4,
+        ).alias("rel_err_inter"),
+    )
+
+
+QUERIES["q_agg_theta_matrix"] = q_agg_theta_matrix
+
+ORACLE["q_agg_theta_matrix"] = (
+    "WITH e AS (SELECT event_type, user_id FROM events WHERE value > 80), "
+    "hd AS (SELECT DISTINCT event_type, "
+    "(('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h "
+    "FROM e), "
+    "r AS (SELECT event_type, h, row_number() OVER "
+    "(PARTITION BY event_type ORDER BY h) AS rn FROM hd), "
+    f"ka AS (SELECT event_type, h, rn FROM r WHERE rn <= {_THETA_K}), "
+    "t AS (SELECT event_type, count(*)::BIGINT AS n_state, "
+    f"max(CASE WHEN rn = {_THETA_K} THEN h END)::BIGINT AS hk "
+    "FROM ka GROUP BY event_type), "
+    f"th AS (SELECT event_type, CASE WHEN n_state >= {_THETA_K} THEN hk "
+    f"ELSE {_THETA_M_INT} END AS th FROM t), "
+    "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+    "least(a.th, b.th) AS thp FROM th a JOIN th b "
+    "ON a.event_type < b.event_type), "
+    "ca AS (SELECT p.type_a, p.type_b, count(*)::BIGINT AS cnt_a FROM p "
+    "JOIN ka x ON x.event_type = p.type_a AND x.h < p.thp "
+    "GROUP BY 1, 2), "
+    "cb AS (SELECT p.type_a, p.type_b, count(*)::BIGINT AS cnt_b FROM p "
+    "JOIN ka x ON x.event_type = p.type_b AND x.h < p.thp "
+    "GROUP BY 1, 2), "
+    "ci AS (SELECT p.type_a, p.type_b, count(*)::BIGINT AS cnt_i FROM p "
+    "JOIN ka x ON x.event_type = p.type_a AND x.h < p.thp "
+    "JOIN ka y ON y.event_type = p.type_b AND y.h = x.h "
+    "GROUP BY 1, 2), "
+    "ud AS (SELECT DISTINCT event_type, user_id FROM e), "
+    "nn AS (SELECT event_type, count(*)::BIGINT AS n FROM ud "
+    "GROUP BY event_type), "
+    "ne AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+    "count(*)::BIGINT AS n_inter FROM ud a JOIN ud b "
+    "ON a.user_id = b.user_id AND a.event_type < b.event_type "
+    "GROUP BY 1, 2), "
+    "f AS (SELECT p.type_a, p.type_b, na.n AS n_a, nb.n AS n_b, "
+    "coalesce(ne.n_inter, 0)::BIGINT AS n_inter, "
+    "coalesce(ca.cnt_a, 0)::BIGINT AS cnt_a, "
+    "coalesce(cb.cnt_b, 0)::BIGINT AS cnt_b, "
+    "coalesce(ci.cnt_i, 0)::BIGINT AS cnt_i, p.thp FROM p "
+    "LEFT JOIN ca USING (type_a, type_b) "
+    "LEFT JOIN cb USING (type_a, type_b) "
+    "LEFT JOIN ci USING (type_a, type_b) "
+    "LEFT JOIN ne USING (type_a, type_b) "
+    "JOIN nn na ON na.event_type = p.type_a "
+    "JOIN nn nb ON nb.event_type = p.type_b) "
+    "SELECT type_a, type_b, n_a, n_b, n_inter, "
+    f"round(cnt_i::DOUBLE * ({_KMV_M!r} / thp::DOUBLE), 4) AS theta_inter, "
+    "round(cnt_i::DOUBLE / greatest(cnt_a + cnt_b - cnt_i, 1), 4) "
+    "AS jacc_est, "
+    "round(n_inter::DOUBLE / greatest(n_a + n_b - n_inter, 1), 4) AS jacc, "
+    f"round(abs(round(cnt_i::DOUBLE * ({_KMV_M!r} / thp::DOUBLE), 4) "
+    "- n_inter) / greatest(n_inter, 1), 4) AS rel_err_inter "
+    "FROM f"
+)
