@@ -383,32 +383,57 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _sh(docs: DataFrame) -> DataFrame:
-        t = _spread(docs.select("doc_id", _tokens().alias("toks")))
-        return t.select("doc_id", _shingles().alias("s")).filter(
-            F.size("s") > 0
+    tagged = base.select(
+        F.lit(0).alias("role"), "doc_id", "text"
+    ).unionAll(batch.select(F.lit(1).alias("role"), "doc_id", "text"))
+    t = _spread(tagged.select("role", "doc_id", _tokens().alias("toks")))
+    sh = t.select("role", "doc_id", _shingles().alias("s")).filter(
+        F.size("s") > 0
+    )
+    # ONE tokenize/shingle/digest pass for the whole role-tagged
+    # corpus, persisted (the q_dedup_cluster discipline): the
+    # signature explode and both verify sides read this frame, so
+    # shingling never recomputes per reference (r10: halved the
+    # fixture wall vs per-role shingle passes). The persisted row is
+    # exactly the rollup's per-doc index state — band sigs + sorted
+    # 16-hex digest set; verification over digest sets matches raw-
+    # shingle Jaccard because the 64-bit slices are collision-free
+    # at any realistic cardinality (~n^2/2^65, engine-deterministic).
+    digests = _shingle_digests()
+    st = (
+        sh.select("role", "doc_id", digests.alias("dg"))
+        .select(
+            "role",
+            "doc_id",
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("dg"), _band_slice(b)))
+                    for b in range(_MINHASH_BANDS)
+                ]
+            ).alias("sigs"),
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(F.col("dg"), lambda x: F.substring(x, 1, 16))
+                )
+            ).alias("sh"),
         )
-
-    sh_base, sh_batch = _sh(base), _sh(batch)
-    sig_base = minhash_band_sigs(sh_base)
-    sig_batch = minhash_band_sigs(sh_batch)
-    keep_base = (
-        sig_base.groupBy("band", "sig")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = st.select(
+        "role", "doc_id", F.posexplode("sigs").alias("band", "sig")
+    )
+    keep = (
+        sig.groupBy("role", "band", "sig")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") <= _MINHASH_MAX_BUCKET)
-        .select("band", "sig")
+        .select("role", "band", "sig")
     )
-    keep_batch = (
-        sig_batch.groupBy("band", "sig")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= _MINHASH_MAX_BUCKET)
-        .select("band", "sig")
-    )
+    sigk = sig.join(keep, ["role", "band", "sig"])
     cand = (
-        sig_base.join(keep_base, ["band", "sig"])
+        sigk.filter(F.col("role") == 0)
         .select("band", "sig", F.col("doc_id").alias("doc_base"))
         .join(
-            sig_batch.join(keep_batch, ["band", "sig"]).select(
+            sigk.filter(F.col("role") == 1).select(
                 "band", "sig", F.col("doc_id").alias("doc_batch")
             ),
             ["band", "sig"],
@@ -416,11 +441,15 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_base", "doc_batch")
         .distinct()  # a pair may collide in several bands
     )
-    sa = sh_base.select(F.col("doc_id").alias("doc_base"), F.col("s").alias("s_a"))
-    sb = sh_batch.select(F.col("doc_id").alias("doc_batch"), F.col("s").alias("s_b"))
+    sa = st.filter(F.col("role") == 0).select(
+        F.col("doc_id").alias("doc_base"), F.col("sh").alias("sh_a")
+    )
+    sb = st.filter(F.col("role") == 1).select(
+        F.col("doc_id").alias("doc_batch"), F.col("sh").alias("sh_b")
+    )
     verified = cand.join(sa, "doc_base").join(sb, "doc_batch")
-    inter = F.size(F.array_intersect("s_a", "s_b"))
-    jac = inter / (F.size("s_a") + F.size("s_b") - inter)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
         verified.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.3)
