@@ -841,3 +841,53 @@ def test_histogram_rollup_equals_oneshot_percentiles(spark, tmp_path):
         for r in q_agg_histo_percentile(spark, sf).collect()
     }
     assert got == want and got
+
+
+def test_windowdigest_rollup_probe_equals_oneshot_cut(spark, tmp_path):
+    """Incremental exact-substring: absorb the corpus in two disjoint
+    batches, probe the SECOND batch against the merged index — rows
+    must equal q_dedup_substring_cut over the whole corpus
+    restricted to that batch's doc_ids (min-first/sum-count merge
+    preserves the global first-occurrence-survives policy), and the
+    merged digest state must equal a one-shot window aggregation."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.dedup import q_dedup_substring_cut
+    from twitter_etl_spark.rollup import (
+        _window_state,
+        probe_substring_cut,
+        update_windowdigest_rollup,
+    )
+    from twitter_etl_spark.sinks import read_version
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    d = str(tmp_path / "wd")
+    update_windowdigest_rollup(spark, d, base)
+    update_windowdigest_rollup(spark, d, batch)
+
+    merged = {
+        (r["h"], r["first_doc"], r["first_i"], r["n_occ"])
+        for r in read_version(spark, d).collect()
+    }
+    oneshot = {
+        (r["h"], r["first_doc"], r["first_i"], r["n_occ"])
+        for r in _window_state(docs).collect()
+    }
+    assert merged == oneshot and merged
+
+    got = sorted(
+        tuple(r) for r in probe_substring_cut(spark, d, batch).collect()
+    )
+    keys = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    want = sorted(
+        tuple(r)
+        for r in q_dedup_substring_cut(spark, sf).collect()
+        if r["doc_id"] in keys
+    )
+    assert got == want and got
+    # the fixture corpus genuinely cuts something in the batch half
+    assert any(r[2] > 0 for r in got)

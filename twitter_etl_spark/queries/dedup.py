@@ -608,6 +608,54 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _windows(d: DataFrame) -> DataFrame:
+    """(doc_id, i, h) rows: the md5 digest of every _SUBSTR_TOKENS-
+    token sliding window of a (doc_id, toks) frame, 1-indexed —
+    shared by :func:`q_dedup_substring_cut` and the incremental
+    window-digest rollup (rollup.py)."""
+    w = _SUBSTR_TOKENS
+    return (
+        d.where(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {w} + 1), "
+                    f"i -> md5(concat_ws(' ', slice(toks, i, {w}))))"
+                )
+            ).alias("p", "h"),
+        )
+        .select("doc_id", (F.col("p") + 1).alias("i"), "h")
+    )
+
+
+def _reassemble_cut(d: DataFrame, dup: DataFrame) -> DataFrame:
+    """(doc_id, text_cut_md5, cut_tokens, kept_tokens) for a
+    (doc_id, toks) frame given the (doc_id, i) window occurrences to
+    cut: a token is cut iff ANY cut window covers it; survivors
+    rejoin via filter-with-index (whole-stage codegen, no token
+    explode)."""
+    w = _SUBSTR_TOKENS
+    cov = dup.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("i"), F.col("i") + (w - 1)))
+            )
+        ).alias("cut_pos")
+    )
+    cut = F.coalesce(F.col("cut_pos"), F.expr("array()").cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, idx: ~F.array_contains(cut, (idx + 1).cast("int")),
+    )
+    return d.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", kept)).alias("text_cut_md5"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("cut_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+    )
+
+
 def q_dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring CUT and reassemble — ``q_dedup_exact_substring``
     detects repeated ``_SUBSTR_TOKENS``-token windows; this op
@@ -633,23 +681,10 @@ def q_dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     set) — whole-stage codegen, no Python, no corpus-wide token
     explode on the Spark side (the oracle derives tokens by explode;
     the two formulations cross-check through the cert)."""
-    w = _SUBSTR_TOKENS
     d = table(spark, sf_dir, "documents").select(
         "doc_id", _tokens().alias("toks")
     )
-    wins = (
-        d.where(F.size("toks") >= w)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {w} + 1), "
-                    f"i -> md5(concat_ws(' ', slice(toks, i, {w}))))"
-                )
-            ).alias("p", "h"),
-        )
-        .select("doc_id", (F.col("p") + 1).alias("i"), "h")
-    )
+    wins = _windows(d)
     firsts = wins.groupBy("h").agg(
         F.min(F.struct("doc_id", "i")).alias("first_at"),
         F.count(F.lit(1)).alias("n_occ"),
@@ -661,24 +696,7 @@ def q_dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("i") == F.col("first_at.i"))
         )
     )
-    cov = dup.groupBy("doc_id").agg(
-        F.array_distinct(
-            F.flatten(
-                F.collect_list(F.sequence(F.col("i"), F.col("i") + (w - 1)))
-            )
-        ).alias("cut_pos")
-    )
-    cut = F.coalesce(F.col("cut_pos"), F.expr("array()").cast("array<int>"))
-    kept = F.filter(
-        F.col("toks"),
-        lambda x, idx: ~F.array_contains(cut, (idx + 1).cast("int")),
-    )
-    return d.join(cov, "doc_id", "left").select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", kept)).alias("text_cut_md5"),
-        (F.size("toks") - F.size(kept)).cast("long").alias("cut_tokens"),
-        F.size(kept).cast("long").alias("kept_tokens"),
-    )
+    return _reassemble_cut(d, dup.select("doc_id", "i"))
 
 
 QUERIES = {

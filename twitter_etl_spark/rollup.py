@@ -616,3 +616,94 @@ def read_histogram_percentiles(
         sel.join(hc, ["c_mktsegment", "bucket"])
         .select("c_mktsegment", "p", est.alias("est"))
     )
+
+
+# Window-digest rollup: the incremental EXACT-SUBSTRING index.
+# State = one row per distinct 8-token window content: its md5, the
+# globally-first occurrence (min (doc_id, position) across every
+# absorbed batch) and the total occurrence count. Merge = per-digest
+# (min first, sum count) — so cutting a new crawl batch against the
+# merged state reproduces q_dedup_substring_cut over the union of
+# batches WITHOUT re-reading or re-windowing history text (the
+# minhash-index contract, exact-substring edition). Contract:
+# batches are disjoint doc sets (append-only crawl); re-absorbing a
+# batch would double-count occurrences.
+
+_SUBSTR_STATE_COLS = ("h", "first_doc", "first_i", "n_occ")
+
+
+def _window_state(new_docs: DataFrame) -> DataFrame:
+    from .queries.dedup import _tokens, _windows
+
+    d = new_docs.select("doc_id", _tokens().alias("toks"))
+    return (
+        _windows(d)
+        .groupBy("h")
+        .agg(
+            F.min(F.struct("doc_id", "i")).alias("f"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .select(
+            "h",
+            F.col("f.doc_id").alias("first_doc"),
+            F.col("f.i").alias("first_i"),
+            "n_occ",
+        )
+    )
+
+
+def update_windowdigest_rollup(
+    spark: SparkSession, rollup_dir: str, new_docs: DataFrame
+) -> int:
+    """Absorb one (doc_id, text) batch into the window-digest index;
+    returns the published version. State is one 32-byte-keyed row
+    per DISTINCT window content — boilerplate collapses map-side
+    exactly as in the one-shot query's digest agg."""
+    fresh = _window_state(new_docs)
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_SUBSTR_STATE_COLS)
+        state = (
+            prev.unionByName(fresh.select(*_SUBSTR_STATE_COLS))
+            .groupBy("h")
+            .agg(
+                F.min(F.struct("first_doc", "first_i")).alias("f"),
+                F.sum("n_occ").alias("n_occ"),
+            )
+            .select(
+                "h",
+                F.col("f.first_doc").alias("first_doc"),
+                F.col("f.first_i").alias("first_i"),
+                "n_occ",
+            )
+        )
+    else:
+        state = fresh
+    return publish_version(state.select(*_SUBSTR_STATE_COLS), rollup_dir)
+
+
+def probe_substring_cut(
+    spark: SparkSession,
+    rollup_dir: str,
+    batch_docs: DataFrame,
+    version: int | None = None,
+) -> DataFrame:
+    """Cut a batch's documents against the persisted window-digest
+    index (which must already include the batch — absorb first,
+    then probe): emits the q_dedup_substring_cut row for every
+    batch doc, test-pinned identical to the one-shot query over the
+    union of absorbed batches restricted to the batch's doc_ids.
+    Only the BATCH is re-windowed; history contributes nothing but
+    its merged (first, count) state rows for the touched digests."""
+    from .queries.dedup import _reassemble_cut, _tokens, _windows
+
+    st = read_version(spark, rollup_dir, version)
+    d = batch_docs.select("doc_id", _tokens().alias("toks"))
+    wins = _windows(d)
+    dup = wins.join(st, "h").filter(
+        (F.col("n_occ") >= 2)
+        & ~(
+            (F.col("doc_id") == F.col("first_doc"))
+            & (F.col("i") == F.col("first_i"))
+        )
+    )
+    return _reassemble_cut(d, dup.select("doc_id", "i"))
