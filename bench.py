@@ -102,6 +102,7 @@ HEADLINE = [
     "q_ts_holt_linear",
     "q_join_asof_tolerance",
     "q_agg_theta_matrix",
+    "q_ts_changepoint",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

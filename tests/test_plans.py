@@ -101,6 +101,9 @@ _SINGLE_PARTITION_OK = {
     # structs) collects to one row for the F.aggregate recursion —
     # bounded by the calendar, never the data (q_ts_gapfill contract)
     "q_ts_holt_linear",
+    # calendar-axis cumulative window + n-candidate score scan,
+    # winner via TakeOrderedAndProject — same bounded class
+    "q_ts_changepoint",
     # 1-row quintile-threshold agg over the per-user frame, broadcast
     # back — the scale-safe replacement for a global ntile sort
     "q_behavior_rfm",

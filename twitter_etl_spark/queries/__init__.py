@@ -154,9 +154,9 @@ _CERT_PREFIX = (
     "q_text_bm25",
     "q_text_chunk_overlap",
     "q_text_contamination",
-    "q_text_corpus_stopwords",
-    # -- r10-new ops (q_text_heavyhitters, q_text_squeeze_runs +
-    # q_ts_gapfill/locf/resample_ohlc spill to r11)
+    # -- r10-new ops (q_text_corpus_stopwords, q_text_heavyhitters,
+    # q_text_squeeze_runs + q_ts_gapfill/locf/resample_ohlc spill
+    # to r11)
     "q_dedup_minhash_incremental",
     "q_dedup_substring_cut",
     "q_agg_theta_setops",
@@ -164,6 +164,7 @@ _CERT_PREFIX = (
     "q_ts_holt_linear",
     "q_join_asof_tolerance",
     "q_agg_theta_matrix",
+    "q_ts_changepoint",
 )
 
 _BY_MODULE: dict = {}

@@ -906,3 +906,109 @@ ORACLE["q_ts_holt_linear"] = (
     "round(b / 100.0, 4) AS trend "
     "FROM fin, lastd, (SELECT unnest(range(1, 8)) AS h)"
 )
+
+
+_CP_MIN_SEG = 7  # min days per side — guards degenerate edge splits
+
+
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrospective single change-point in daily revenue: the split
+    day maximizing the absolute difference of segment means (binary
+    segmentation's first step / an offline complement to
+    :func:`q_ts_cusum`'s online drift alarm), each side at least
+    ``_CP_MIN_SEG`` days. Emits one row: the split day, segment
+    sizes, the two means and their delta.
+
+    Integer-exact (the seasonal-decompose discipline): daily cents,
+    cumulative BIGINT sums over the calendar axis, candidate scores
+    = |floor(cum*100/t + .5) − floor((tot−cum)*100/(n−t) + .5)| —
+    two correctly-rounded IEEE divisions per candidate, everything
+    else integer; winner = TakeOrderedAndProject on (score DESC,
+    day ASC) — a deterministic tie-break, no global sort
+    materialization.
+
+    Scale: the event scan collapses map-side to <= span-days rows;
+    the cumulative window and the n-candidate score scan run on the
+    calendar axis (the q_ts_gapfill contract — at 100 TB add a
+    series key to the window partition clause and this becomes a
+    per-key change-point in one pass)."""
+    e = _events_daily(spark, sf_dir)
+    daily = e.groupBy("day").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("rev")
+    )
+    g = (
+        _calendar(daily.select("day"))
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(
+                (F.col("rev") * 100).cast("long"), F.lit(0).cast("long")
+            ).alias("rev_c"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cand = g.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("rev_c").over(w).alias("cum"),
+        F.sum("rev_c").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).filter(
+        (F.col("t") >= _CP_MIN_SEG) & (F.col("t") <= F.col("n") - _CP_MIN_SEG)
+    )
+    mean_l = F.floor(
+        F.col("cum").cast("double") * 100.0 / F.col("t") + F.lit(0.5)
+    ).cast("long")
+    mean_r = F.floor(
+        (F.col("tot") - F.col("cum")).cast("double")
+        * 100.0
+        / (F.col("n") - F.col("t"))
+        + F.lit(0.5)
+    ).cast("long")
+    scored = cand.select(
+        "day",
+        "t",
+        "n",
+        mean_l.alias("ml_fp"),
+        mean_r.alias("mr_fp"),
+        F.abs(mean_l - mean_r).alias("score"),
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("day").asc()).limit(1)
+    return top.select(
+        F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+        F.col("t").cast("long").alias("n_left"),
+        (F.col("n") - F.col("t")).cast("long").alias("n_right"),
+        F.round(F.col("ml_fp") / 1e4, 4).alias("mean_before"),
+        F.round(F.col("mr_fp") / 1e4, 4).alias("mean_after"),
+        F.round((F.col("mr_fp") - F.col("ml_fp")) / 1e4, 4).alias("delta"),
+    )
+
+
+QUERIES["q_ts_changepoint"] = q_ts_changepoint
+ORACLE["q_ts_changepoint"] = (
+    "WITH d AS (SELECT ts::DATE AS day, "
+    "  sum(CAST(value AS DECIMAL(18,2))) AS rev FROM events GROUP BY 1), "
+    "bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM d), "
+    "cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE "
+    "  AS day FROM bnd), "
+    "g AS (SELECT cal.day, coalesce((rev * 100)::BIGINT, 0) AS rev_c "
+    "  FROM cal LEFT JOIN d USING (day)), "
+    "c AS (SELECT day, row_number() OVER (ORDER BY day) AS t, "
+    "  sum(rev_c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum, "
+    "  sum(rev_c) OVER () AS tot, count(*) OVER () AS n FROM g), "
+    f"k AS (SELECT * FROM c WHERE t >= {_CP_MIN_SEG} "
+    f"  AND t <= n - {_CP_MIN_SEG}), "
+    "s AS (SELECT day, t, n, "
+    "  floor(cum::DOUBLE * 100.0 / t + 0.5)::BIGINT AS ml_fp, "
+    "  floor((tot - cum)::DOUBLE * 100.0 / (n - t) + 0.5)::BIGINT AS mr_fp "
+    "  FROM k) "
+    "SELECT strftime(day, '%Y-%m-%d') AS split_day, t::BIGINT AS n_left, "
+    "(n - t)::BIGINT AS n_right, "
+    "round(ml_fp / 1e4, 4) AS mean_before, "
+    "round(mr_fp / 1e4, 4) AS mean_after, "
+    "round((mr_fp - ml_fp) / 1e4, 4) AS delta "
+    "FROM s ORDER BY abs(ml_fp - mr_fp) DESC, day ASC LIMIT 1"
+)
