@@ -103,6 +103,8 @@ HEADLINE = [
     "q_join_asof_tolerance",
     "q_agg_theta_matrix",
     "q_ts_changepoint",
+    "q_dq_kanonymity",
+    "q_dq_benford",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

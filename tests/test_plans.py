@@ -104,6 +104,10 @@ _SINGLE_PARTITION_OK = {
     # calendar-axis cumulative window + n-candidate score scan,
     # winner via TakeOrderedAndProject — same bounded class
     "q_ts_changepoint",
+    # 1-row audit summaries: the k-anonymity __TOTAL__ row and the
+    # Benford n-total are global aggs over <= |classes| / 9 cells
+    "q_dq_kanonymity",
+    "q_dq_benford",
     # 1-row quintile-threshold agg over the per-user frame, broadcast
     # back — the scale-safe replacement for a global ntile sort
     "q_behavior_rfm",

@@ -152,9 +152,8 @@ _CERT_PREFIX = (
     "q_source_orc",
     "q_table_fingerprint",
     "q_text_bm25",
-    "q_text_chunk_overlap",
-    "q_text_contamination",
-    # -- r10-new ops (q_text_corpus_stopwords, q_text_heavyhitters,
+    # -- r10-new ops (q_text_chunk_overlap, q_text_contamination,
+    # q_text_corpus_stopwords, q_text_heavyhitters,
     # q_text_squeeze_runs + q_ts_gapfill/locf/resample_ohlc spill
     # to r11)
     "q_dedup_minhash_incremental",
@@ -165,6 +164,8 @@ _CERT_PREFIX = (
     "q_join_asof_tolerance",
     "q_agg_theta_matrix",
     "q_ts_changepoint",
+    "q_dq_kanonymity",
+    "q_dq_benford",
 )
 
 _BY_MODULE: dict = {}

@@ -293,3 +293,144 @@ ORACLE = {
         "WHERE levenshtein(a.c_name, b.c_name) <= 2"
     ),
 }
+
+
+_KANON_K = 5
+
+
+def q_dq_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002, IJUFKS — public) over the
+    quasi-identifier pair (nation, market segment): every
+    equivalence class with its size, flagged when smaller than
+    k=5 — the re-identification risk gate a privacy review runs
+    before a table ships to training. Emits the class grain so the
+    follow-up (suppress or generalize) is actionable; risk_rows
+    aggregates bubble up in the summary row (class = '__TOTAL__').
+
+    Scale: ONE hash agg on the quasi-identifier tuple (map-side
+    partials), plus a 1-row summary union — the q_agg_groupby
+    class; no joins, no windows."""
+    c = table(spark, sf_dir, "customer")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    classes = cls.select(
+        F.concat_ws(
+            "|", F.col("c_nationkey").cast("string"), F.col("c_mktsegment")
+        ).alias("qi_class"),
+        "class_size",
+        (F.col("class_size") < _KANON_K).cast("int").alias("at_risk"),
+    )
+    total = cls.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum((F.col("class_size") < _KANON_K).cast("int")).alias(
+            "risk_classes"
+        ),
+        F.sum(
+            F.when(F.col("class_size") < _KANON_K, F.col("class_size")).otherwise(
+                F.lit(0)
+            )
+        ).alias("risk_rows"),
+    ).select(
+        F.lit("__TOTAL__").alias("qi_class"),
+        F.col("risk_rows").cast("long").alias("class_size"),
+        F.col("risk_classes").cast("int").alias("at_risk"),
+    )
+    return classes.unionByName(total)
+
+
+QUERIES["q_dq_kanonymity"] = q_dq_kanonymity
+
+ORACLE["q_dq_kanonymity"] = (
+    "WITH cls AS (SELECT c_nationkey, c_mktsegment, "
+    "count(*)::BIGINT AS class_size FROM customer "
+    "GROUP BY c_nationkey, c_mktsegment) "
+    "SELECT c_nationkey::VARCHAR || '|' || c_mktsegment AS qi_class, "
+    f"class_size, (class_size < {_KANON_K})::INT AS at_risk FROM cls "
+    "UNION ALL "
+    "SELECT '__TOTAL__' AS qi_class, "
+    f"coalesce(sum(CASE WHEN class_size < {_KANON_K} THEN class_size "
+    "ELSE 0 END), 0)::BIGINT AS class_size, "
+    f"coalesce(sum((class_size < {_KANON_K})::INT), 0)::INT AS at_risk "
+    "FROM cls"
+)
+
+# Benford expected first-digit mass log10(1 + 1/d), computed once in
+# Python and inlined as identical double literals into both engines
+# (the decay-rate idiom, timeseries.py)
+import math as _m
+
+_BENFORD_P = {d: _m.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals
+    (Benford 1938 / Nigrini's fraud-screening use — public): the
+    observed count per leading digit 1..9 against the Benford
+    expectation n*log10(1+1/d), with the relative deviation as the
+    audited column. Natural multi-scale amounts should hug the law;
+    a fabricated or truncated feed jumps out digit-by-digit.
+
+    The first significant digit is extracted from the DECIMAL's
+    string form (strip non-1-9, take the head) — immune to the
+    cross-engine float-log pitfalls of floor(x/10^floor(log10 x))
+    at power-of-ten boundaries. Expected masses are Python-computed
+    double literals embedded in BOTH engines; per-digit expectation
+    and deviation each use one IEEE multiply/divide.
+
+    Scale: one map-side digit projection + a 9-cell hash agg — the
+    cheapest audit in the dq family."""
+    o = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(F.col("o_totalprice").cast("string"), "[^1-9]", ""),
+        1,
+        1,
+    )
+    obs = (
+        o.filter(digit != "")
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    p = F.create_map(
+        *[
+            x
+            for d, pd in _BENFORD_P.items()
+            for x in (F.lit(str(d)), F.lit(pd))
+        ]
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n")).select("n")
+    exp = F.round(F.col("n").cast("double") * p[F.col("digit")], 4)
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            exp.alias("n_expected"),
+            F.round(
+                (F.col("n_obs") - exp) / exp,
+                4,
+            ).alias("rel_dev"),
+        )
+    )
+
+
+QUERIES["q_dq_benford"] = q_dq_benford
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN '{d}' THEN {p!r}" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+ORACLE["q_dq_benford"] = (
+    "WITH s AS (SELECT substr(regexp_replace(o_totalprice::VARCHAR, "
+    "'[^1-9]', '', 'g'), 1, 1) AS digit FROM orders), "
+    "obs AS (SELECT digit, count(*)::BIGINT AS n_obs FROM s "
+    "WHERE digit <> '' GROUP BY digit), "
+    "tot AS (SELECT sum(n_obs)::BIGINT AS n FROM obs) "
+    "SELECT digit, n_obs, "
+    f"round(n::DOUBLE * ({_BENFORD_CASE}), 4) AS n_expected, "
+    f"round((n_obs - round(n::DOUBLE * ({_BENFORD_CASE}), 4)) "
+    f"/ round(n::DOUBLE * ({_BENFORD_CASE}), 4), 4) AS rel_dev "
+    "FROM obs, tot"
+)
