@@ -324,3 +324,69 @@ def test_substring_cut_matches_python_reference(spark, texts):
         )
         ntoks = len(texts[r["doc_id"]].strip().split())
         assert r["cut_tokens"] + r["kept_tokens"] == ntoks
+
+
+# ----------------------------------------------------------------
+# change-point
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 30),
+        st.integers(0, 4),  # tiny value range forces score TIES
+        min_size=1,
+        max_size=31,
+    )
+)
+@settings(**_SETTINGS)
+def test_changepoint_matches_python_reference(spark, day_cents):
+    """Near-constant generated series force score ties (the
+    earliest-day tie-break the fixture never exercises) and short
+    spans force the empty-result branch (< 2*_CP_MIN_SEG days)."""
+    from twitter_etl_spark.queries.timeseries import (
+        _CP_MIN_SEG,
+        q_ts_changepoint,
+    )
+
+    d = tempfile.mkdtemp()
+    base = dt.datetime(2024, 7, 1)
+    rows = [
+        (i, base + dt.timedelta(days=day, hours=3), 1, "purchase", c / 100.0)
+        for i, (day, c) in enumerate(sorted(day_cents.items()))
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    days = sorted(day_cents)
+    d0, d1 = days[0], days[-1]
+    ys = [day_cents.get(day, 0) for day in range(d0, d1 + 1)]
+    n = len(ys)
+    best = None
+    cum = 0
+    for t in range(1, n + 1):
+        cum += ys[t - 1]
+        if t < _CP_MIN_SEG or t > n - _CP_MIN_SEG:
+            continue
+        import math
+
+        ml = math.floor(cum * 100.0 / t + 0.5)
+        mr = math.floor((sum(ys) - cum) * 100.0 / (n - t) + 0.5)
+        key = (abs(ml - mr), -t)  # max score, then EARLIEST day
+        if best is None or key > best[0]:
+            best = (key, t, ml, mr)
+    got = q_ts_changepoint(spark, d).collect()
+    if best is None:
+        assert got == []
+        return
+    assert len(got) == 1
+    r = got[0]
+    _, t, ml, mr = best
+    want_day = (base + dt.timedelta(days=d0 + t - 1)).strftime("%Y-%m-%d")
+    assert r["split_day"] == want_day
+    assert (r["n_left"], r["n_right"]) == (t, n - t)
+    assert r["mean_before"] == _round_half_up(ml / 1e4, 4)
+    assert r["mean_after"] == _round_half_up(mr / 1e4, 4)
+    assert r["delta"] == _round_half_up((mr - ml) / 1e4, 4)
