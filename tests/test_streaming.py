@@ -1228,3 +1228,80 @@ def test_stream_feeds_kmv_rollup_matches_one_shot(spark):
     est = {t: e for t, n, e in got}
     assert est["view"] == 2.0  # exact branch
     assert est["click"] != 70.0  # estimator branch genuinely estimates
+
+
+def test_tws_kmv_sketch_equals_batch_estimator(spark):
+    """Bounded-state streaming KMV: after two checkpointed
+    availableNow runs, the latest per-type emission must equal the
+    batch estimator over the union of all ingested events — the
+    O(k)-per-key in-stream form of the sketch (ListState k-min,
+    lossless micro-batch merge), with >k distinct click users so
+    the estimator branch and the k-trim are both real."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    pytest.importorskip("google.protobuf.descriptor")
+    from twitter_etl_spark.queries.sketches import (
+        kmv_estimate,
+        kmv_hash_rows,
+    )
+    from twitter_etl_spark.streaming.tws import running_kmv_distinct
+
+    base = tempfile.mkdtemp()
+    d, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    os.makedirs(d)
+
+    def ev(i, user, typ):
+        return {
+            "event_id": i,
+            "ts": "2024-01-01T00:00:0%d" % (i % 10),
+            "user_id": user,
+            "event_type": typ,
+            "value": 1.0,
+        }
+
+    def run():
+        q = (
+            running_kmv_distinct(_events_stream(spark, d))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).collect()
+
+    with open(os.path.join(d, "f1.json"), "w") as f:
+        for r in [ev(i, i, "click") for i in range(1, 41)] + [
+            ev(100, 1, "view")
+        ]:
+            f.write(json.dumps(r) + "\n")
+    run()
+    with open(os.path.join(d, "f2.json"), "w") as f:
+        for r in [ev(200 + i, 30 + i, "click") for i in range(1, 41)] + [
+            ev(300, 2, "view")
+        ]:
+            f.write(json.dumps(r) + "\n")
+    rows = run()
+    latest = {}
+    for r in rows:  # append mode: keep the largest state per type
+        if r["event_type"] not in latest or r["n_state"] >= latest[
+            r["event_type"]
+        ]["n_state"]:
+            latest[r["event_type"]] = r
+    union = spark.read.json(os.path.join(d, "*.json")).selectExpr(
+        "CAST(user_id AS LONG) user_id", "event_type"
+    )
+    want = {
+        r["event_type"]: (r["n_state"], r["kmv_est"])
+        for r in kmv_estimate(
+            kmv_hash_rows(union, "user_id", "event_type"), "event_type"
+        ).collect()
+    }
+    got = {t: (r["n_state"], r["kmv_est"]) for t, r in latest.items()}
+    assert got == want
+    assert got["view"][0] == 2  # exact branch
+    from twitter_etl_spark.queries.sketches import _KMV_K
+
+    assert got["click"][0] == _KMV_K  # trimmed at k, estimator branch

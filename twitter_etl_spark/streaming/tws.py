@@ -192,3 +192,80 @@ def inactivity_flush(stream: DataFrame, timeout_ms: int = 1500) -> DataFrame:
         outputMode="append",
         timeMode="processingTime",
     )
+
+
+KMV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_state", T.LongType()),
+        T.StructField("kmv_est", T.DoubleType()),
+    ]
+)
+
+
+class KMinSketchProcessor(StatefulProcessor):
+    """Per-event-type k-minimum-values sketch as a ``ListState``:
+    state is the k smallest distinct 60-bit user-hash values seen so
+    far — O(k) longs per key REGARDLESS of user cardinality (the
+    strictly-bounded streaming form of the certifiable KMV family;
+    queries/sketches.py::kmv_estimate is the batch twin whose
+    estimator math this emits). Merge with each micro-batch is the
+    lossless k-min union the rollup layer pins."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._kmin = handle.getListState("kmin", "h BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        from ..queries.sketches import _KMV_K, _KMV_M
+
+        cur = {int(t[0]) for t in self._kmin.get()}
+        for pdf in rows:
+            cur.update(int(h) for h in pdf["h"])
+        kmin = sorted(cur)[:_KMV_K]
+        self._kmin.put([(h,) for h in kmin])
+        n = len(kmin)
+        est = (
+            float(n)
+            if n < _KMV_K
+            else float(_KMV_K - 1) * (_KMV_M / kmin[_KMV_K - 1])
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_state": [n],
+                "kmv_est": [round(est, 4)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_kmv_distinct(stream: DataFrame) -> DataFrame:
+    """Running distinct-user estimate per event type with O(k)
+    state per key: the stream carries only (event_type, h) where h
+    is the SAME md5-prefix hash as the batch sketch, so the emitted
+    estimate after the last micro-batch equals
+    ``kmv_estimate(kmv_hash_rows(union))`` exactly (test-pinned).
+    Contrast with windowed_distinct_users (exact, state O(distinct))
+    and the foreachBatch→update_kmv_rollup handoff (state in the
+    rollup): this keeps the bounded sketch INSIDE the stream."""
+    from pyspark.sql import functions as F
+
+    from ..session import ship_package_to_executors
+
+    spark = stream.sparkSession
+    ship_package_to_executors(spark)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    hashed = stream.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    return hashed.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=KMinSketchProcessor(),
+        outputStructType=KMV_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
