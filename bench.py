@@ -105,6 +105,7 @@ HEADLINE = [
     "q_ts_changepoint",
     "q_dq_kanonymity",
     "q_dq_benford",
+    "q_ts_xcorr_daily",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

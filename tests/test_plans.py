@@ -108,6 +108,10 @@ _SINGLE_PARTITION_OK = {
     # Benford n-total are global aggs over <= |classes| / 9 cells
     "q_dq_kanonymity",
     "q_dq_benford",
+    # calendar min/max bounds aggs (the _calendar helper, referenced
+    # by both sides of the lag join) + 8-group power sums — all
+    # calendar-bounded, never event-volume-bound
+    "q_ts_xcorr_daily",
     # 1-row quintile-threshold agg over the per-user frame, broadcast
     # back — the scale-safe replacement for a global ntile sort
     "q_behavior_rfm",

@@ -151,8 +151,8 @@ _CERT_PREFIX = (
     "q_source_csv",
     "q_source_orc",
     "q_table_fingerprint",
-    "q_text_bm25",
-    # -- r10-new ops (q_text_chunk_overlap, q_text_contamination,
+    # -- r10-new ops (q_text_bm25, q_text_chunk_overlap,
+    # q_text_contamination,
     # q_text_corpus_stopwords, q_text_heavyhitters,
     # q_text_squeeze_runs + q_ts_gapfill/locf/resample_ohlc spill
     # to r11)
@@ -166,6 +166,7 @@ _CERT_PREFIX = (
     "q_ts_changepoint",
     "q_dq_kanonymity",
     "q_dq_benford",
+    "q_ts_xcorr_daily",
 )
 
 _BY_MODULE: dict = {}

@@ -1012,3 +1012,98 @@ ORACLE["q_ts_changepoint"] = (
     "round((mr_fp - ml_fp) / 1e4, 4) AS delta "
     "FROM s ORDER BY abs(ml_fp - mr_fp) DESC, day ASC LIMIT 1"
 )
+
+
+_XCORR_MAX_LAG = 7
+
+
+def q_ts_xcorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between two daily series — does
+    click activity LEAD purchases? Pearson r between clicks(t) and
+    purchases(t+lag) for lag 0..7 over the zero-filled calendar,
+    one row per lag (the correlogram an attribution analyst reads
+    for the conversion delay).
+
+    Cross-engine exactness: both series are integer daily COUNTS on
+    the shared calendar; every lagged pair set reduces to BIGINT
+    power sums (n, Σx, Σy, Σxy, Σx², Σy²) — float enters only in
+    the final  (nΣxy−ΣxΣy) / sqrt((nΣx²−(Σx)²)·(nΣy²−(Σy)²)),
+    where IEEE sqrt is correctly rounded and the multiply/divide
+    order is written identically in both engines; constant series
+    emit NULL via nullif (identical both sides).
+
+    Scale: the event scan collapses map-side to two counts per day;
+    the lag explode is x8 on the CALENDAR axis (never the data) and
+    the per-lag aggregation is 8 groups of power sums — the
+    q_ts_gapfill contract end to end."""
+    e = _events_daily(spark, sf_dir)
+    daily = e.groupBy("day").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    g = (
+        _calendar(daily.select("day"))
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    lagged = g.select(
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_XCORR_MAX_LAG))).alias("lag"),
+        F.date_add("day", F.col("lag")).alias("day_y"),
+    ).join(
+        g.select(F.col("day").alias("day_y"), F.col("y").alias("y")), "day_y"
+    )
+    sums = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return sums.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(num / F.nullif(F.sqrt(vx * vy), F.lit(0.0)), 6).alias(
+            "xcorr"
+        ),
+    )
+
+
+QUERIES["q_ts_xcorr_daily"] = q_ts_xcorr_daily
+ORACLE["q_ts_xcorr_daily"] = (
+    "WITH d AS (SELECT ts::DATE AS day, "
+    "  sum((event_type = 'click')::BIGINT)::BIGINT AS x, "
+    "  sum((event_type = 'purchase')::BIGINT)::BIGINT AS y "
+    "  FROM events GROUP BY 1), "
+    "bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM d), "
+    "cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE "
+    "  AS day FROM bnd), "
+    "g AS (SELECT cal.day, coalesce(x, 0) AS x, coalesce(y, 0) AS y "
+    "  FROM cal LEFT JOIN d USING (day)), "
+    f"lags AS (SELECT unnest(range(0, {_XCORR_MAX_LAG} + 1)) AS lag), "
+    "p AS (SELECT lags.lag, a.x, b.y FROM g a, lags "
+    "  JOIN g b ON true WHERE b.day = a.day + lags.lag::INT), "
+    "s AS (SELECT lag, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, "
+    "  sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy, "
+    "  sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy "
+    "  FROM p GROUP BY lag) "
+    "SELECT lag::INT AS lag, n AS n_days, "
+    "round((n * sxy - sx * sy)::DOUBLE "
+    "/ nullif(sqrt((n * sxx - sx * sx)::DOUBLE "
+    "* (n * syy - sy * sy)::DOUBLE), 0.0), 6) AS xcorr "
+    "FROM s"
+)
