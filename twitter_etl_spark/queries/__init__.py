@@ -105,68 +105,64 @@ _MODULES = (
 #   3. Rows-only names in the prefix must be allowlisted in
 #      test_cert_prefix_all_oracle_backed::deliberate_rows_only.
 #
-# r10 prefix: slots 1-48 = the full r5-stale cohort (every name
-# whose last green row is CORRECTNESS_r05; spot-re-verified green by
-# the r9 judge, so rotation is zero-risk); slots 49-50 = r10-new
-# ops, backfilled with the oldest r6 names while fewer than 2 exist.
+# r10 prefix was 39 r5-stale names + the 11 r10-new ops (9 r5 names
+# spilled to r11). r11 prefix: the 9 spilled r5 names + 41 oldest-r6
+# names (r11-new ops, when added, displace the youngest r6 fillers
+# from the tail — re-run tools/gen_cert_rotation.py 0 after adding).
 # Names NOT in the prefix keep their module-order position after it.
 _CERT_PREFIX = (
-    # -- r5-stale cohort (last green row: CORRECTNESS_r05)
-    "q_agg_bitmap_distinct",
-    "q_agg_mergeable",
-    "q_attribution_batch",
-    "q_behavior_transitions",
-    "q_cohort_retention",
-    "q_dedup_cluster",
-    "q_dedup_cluster_stats",
-    "q_dedup_simhash_md5",
-    "q_dq_checks",
-    "q_er_fuzzy_blocked",
-    "q_er_sorted_neighborhood",
-    "q_fn_regression",
-    "q_fn_unpivot",
-    "q_funnel_conversion",
-    "q_geo_cell_density",
-    "q_graph_degree",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_join_nullsafe",
-    "q_llm_curation",
-    "q_merge_upsert",
-    "q_multimodal_decode",
-    "q_outliers_robust",
-    "q_pack_sequences",
-    "q_quality_gopher",
-    "q_sample_leakage_safe",
-    "q_sample_split",
-    "q_sample_stratified",
-    "q_scd2_history",
-    "q_sessionize_batch",
-    "q_sim_ann_ivf",
-    "q_sim_centroid",
-    "q_sim_maxsim",
-    "q_sim_quantize",
-    "q_skew_diagnose",
-    "q_snapshot_diff",
-    "q_source_csv",
-    "q_source_orc",
-    "q_table_fingerprint",
-    # -- r10-new ops (q_text_bm25, q_text_chunk_overlap,
-    # q_text_contamination,
-    # q_text_corpus_stopwords, q_text_heavyhitters,
-    # q_text_squeeze_runs + q_ts_gapfill/locf/resample_ohlc spill
-    # to r11)
-    "q_dedup_minhash_incremental",
-    "q_dedup_substring_cut",
-    "q_agg_theta_setops",
-    "q_ts_sliding_distinct_kmv",
-    "q_ts_holt_linear",
-    "q_join_asof_tolerance",
-    "q_agg_theta_matrix",
-    "q_ts_changepoint",
-    "q_dq_kanonymity",
-    "q_dq_benford",
-    "q_ts_xcorr_daily",
+    # -- r5-stale spill from the r10 rotation (last green row: r05)
+    "q_text_bm25",
+    "q_text_chunk_overlap",
+    "q_text_contamination",
+    "q_text_corpus_stopwords",
+    "q_text_heavyhitters",
+    "q_text_squeeze_runs",
+    "q_ts_gapfill",
+    "q_ts_locf",
+    "q_ts_resample_ohlc",
+    # -- r6-stale cohort (last green row: CORRECTNESS_r06)
+    "q_agg_argmax",
+    "q_agg_histogram",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_agg_salted_sum",
+    "q_dedup_minhash_banded",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_semantic",
+    "q_fn_posexplode",
+    "q_fn_try_arith",
+    "q_join_rangedate",
+    "q_join_salted",
+    "q_mix_weights",
+    "q_pandas_asof_cogroup",
+    "q_pandas_gmean",
+    "q_pandas_zscore",
+    "q_session_window_batch",
+    "q_subquery_correlated",
+    "q_text_domain_stats",
+    "q_text_pii_scrub",
+    "q_text_tfidf",
+    "q_text_unigram_logprob",
+    "q_text_zipf",
+    "q_tpch_q1",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q2",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
 )
 
 _BY_MODULE: dict = {}
