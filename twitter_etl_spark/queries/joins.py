@@ -134,18 +134,25 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_selfasof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each purchase matched to the latest prior (or
-    simultaneous) click by the same user.
+    """As-of join: each purchase matched to the latest STRICTLY
+    prior click by the same user (``p.ts > c.ts`` on both engines —
+    strict rather than >= so a click sharing a purchase's exact
+    timestamp is excluded identically in Spark and DuckDB; with >=
+    the Spark window's secondary sort key decided same-ts visibility
+    while DuckDB's ASOF matched on ts alone, a latent cross-engine
+    tie divergence flagged by the r10 advisor).
 
     Spark-native scalable form: union the two roles, one window sort
-    per user, ``last(click_ts) IGNORE NULLS`` — no range-join
-    explosion, single shuffle. Oracle: DuckDB ASOF LEFT JOIN.
+    per user ordered by (ts, is_click) so same-ts clicks land AFTER
+    purchases and outside the cumulative frame, then
+    ``last(click_ts) IGNORE NULLS`` — no range-join explosion,
+    single shuffle. Oracle: DuckDB ASOF LEFT JOIN ON p.ts > c.ts.
     """
     e = table(spark, sf_dir, "events")
     clicks_purchases = e.filter(F.col("event_type").isin("click", "purchase"))
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", _is_click_last(), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = clicks_purchases.withColumn(
@@ -165,13 +172,23 @@ def q_join_selfasof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASOF_TOL_US = 6 * 3600 * 1_000_000  # 6h attribution window
 
 
+def _is_click_last():
+    """Secondary as-of sort key: clicks AFTER purchases at equal ts,
+    so the cumulative ``last(click_ts)`` frame of a purchase cannot
+    see a same-timestamp click — the window-form equivalent of the
+    oracle's strict ``p.ts > c.ts`` ASOF predicate."""
+    return F.when(F.col("event_type") == "click", 1).otherwise(0)
+
+
 def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a tolerance bound — pandas ``merge_asof(...,
     tolerance=...)`` / attribution-window semantics: each purchase
-    matched to the latest prior-or-simultaneous click by the same
-    user ONLY if it landed within the 6-hour window, else NULL
+    matched to the latest STRICTLY prior click by the same user
+    ONLY if it landed within the 6-hour window, else NULL
     (nearest-within-tolerance ≡ nearest-then-bound, since the as-of
-    pick is already the nearest candidate).
+    pick is already the nearest candidate; strict ``p.ts > c.ts``
+    on both engines per the same tie rationale as
+    :func:`q_join_selfasof`).
 
     Spark-native scalable form: same union + one-per-user-window
     ``last IGNORE NULLS`` as :func:`q_join_selfasof` (single
@@ -183,7 +200,7 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cp = e.filter(F.col("event_type").isin("click", "purchase"))
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", _is_click_last(), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = cp.withColumn(
@@ -349,7 +366,7 @@ ORACLE = {
         "epoch_us(c.ts)::BIGINT AS click_us "
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
-        "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        "ON p.user_id = c.user_id AND p.ts > c.ts"
     ),
     "q_join_asof_tolerance": (
         "SELECT p.event_id, p.user_id, "
@@ -360,7 +377,7 @@ ORACLE = {
         "AS attributed "
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
-        "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        "ON p.user_id = c.user_id AND p.ts > c.ts"
     ),
     "q_join_cross": "SELECT r_name, n_name FROM region CROSS JOIN nation",
     "q_join_lateral": (

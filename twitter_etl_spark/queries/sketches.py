@@ -1283,7 +1283,9 @@ def q_agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         est("cnt_i").alias("theta_inter"),
         est("cnt_d").alias("theta_diff"),
         F.round(
-            F.abs(est("cnt_u") - F.col("n_union")) / F.col("n_union"), 4
+            F.abs(est("cnt_u") - F.col("n_union"))
+            / F.greatest(F.col("n_union"), F.lit(1)),
+            4,
         ).alias("rel_err_union"),
         F.round(
             F.abs(est("cnt_i") - F.col("n_inter"))
@@ -1326,7 +1328,7 @@ ORACLE["q_agg_theta_setops"] = (
     f"round(cnt_i::DOUBLE * ({_KMV_M!r} / th::DOUBLE), 4) AS theta_inter, "
     f"round(cnt_d::DOUBLE * ({_KMV_M!r} / th::DOUBLE), 4) AS theta_diff, "
     f"round(abs(round(cnt_u::DOUBLE * ({_KMV_M!r} / th::DOUBLE), 4) - n_union) "
-    "/ n_union, 4) AS rel_err_union, "
+    "/ greatest(n_union, 1), 4) AS rel_err_union, "
     f"round(abs(round(cnt_i::DOUBLE * ({_KMV_M!r} / th::DOUBLE), 4) - n_inter) "
     "/ greatest(n_inter, 1), 4) AS rel_err_inter "
     "FROM ex, c, th"
