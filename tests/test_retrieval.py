@@ -162,3 +162,88 @@ def test_ivf_index_recall_on_clustered_data(spark, tmp_path):
         .collect()
     }
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_ivfpq_index_probe_prunes_and_refines(spark, tmp_path):
+    """Materialized IVF-PQ (index.py): the int8-scoring pass must be
+    partition-pruned to the probed cells, the refine must return
+    exactly topk rows whose exact cosine agrees with brute-force
+    cosine over the shortlist, and pq_score must approximate cos_sim
+    (the audited-error column)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.index import build_ivfpq_index, probe_ivfpq_index
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivfpq")
+    cents = build_ivfpq_index(spark, sf, idx, k=8, iters=2)
+    assert len(cents) == 8
+    # the stored row is codes + scale + vnorm + raw embedding, cell-partitioned
+    data = spark.read.parquet(os.path.join(idx, "data"))
+    assert {"vec_id", "embedding", "codes", "scale", "vnorm", "cell"} <= set(
+        data.columns
+    )
+
+    qrow = table(spark, sf, "embeddings").filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in qrow["embedding"]]
+    probe = probe_ivfpq_index(spark, idx, qv, nprobe=2, topk=5, shortlist=20)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    got = probe.collect()
+    assert len(got) == 5
+    for r in got:
+        # int8 quantization error on unit-ish cosines stays small
+        assert abs(r["pq_score"] - r["cos_sim"]) < 0.05
+
+
+def test_ivfpq_index_recall_on_clustered_data(spark, tmp_path):
+    """On clustered data the IVF-PQ probe (int8 shortlist + exact
+    refine, nprobe=2 of 8) recalls >= 90% of the global exact top-10
+    — same bar as the raw-vector IVF probe, despite scoring the
+    candidate pool in integer space."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.index import build_ivfpq_index, probe_ivfpq_index
+    from twitter_etl_spark.queries.similarity import _as_double, cosine
+
+    rng = np.random.default_rng(11)
+    dim, k, per = 64, 8, 100
+    centers = rng.standard_normal((k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.repeat(np.arange(k), per)
+    vecs = centers[labels] + 0.05 * rng.standard_normal((k * per, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(k * per, dtype=np.int64),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+            "label": labels.astype(np.int32),
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, sf, idx, k=8, iters=3)
+
+    q = vecs[0].tolist()
+    got = {
+        r["vec_id"]
+        for r in probe_ivfpq_index(spark, idx, q, 2, 10, shortlist=30).collect()
+    }
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    exact = {
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id",
+            F.round(cosine(_as_double(F.col("embedding")), qcol), 6).alias("c"),
+        )
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9

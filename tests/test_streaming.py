@@ -1305,3 +1305,193 @@ def test_tws_kmv_sketch_equals_batch_estimator(spark):
     from twitter_etl_spark.queries.sketches import _KMV_K
 
     assert got["click"][0] == _KMV_K  # trimmed at k, estimator branch
+
+
+def test_windowed_revenue_cents_feeds_changepoint(spark):
+    """Stream==batch input equality for the retrospective
+    change-point: daily cents panes streamed in two checkpointed
+    availableNow runs must equal the batch fixed-point daily frame
+    over the union of ingested events, and feeding the streamed
+    panes into changepoint_from_daily must reproduce the batch
+    split exactly (the r10 verdict's 'streaming parity for the
+    change-point input')."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.timeseries import changepoint_from_daily
+    from twitter_etl_spark.streaming import windowed_revenue_cents
+
+    base = tempfile.mkdtemp()
+    d, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    os.makedirs(d)
+
+    def ev(i, day, value):
+        return {
+            "event_id": i,
+            "ts": "2024-01-%02dT05:00:00" % day,
+            "user_id": i,
+            "event_type": "purchase",
+            "value": value,
+        }
+
+    def run():
+        q = (
+            windowed_revenue_cents(_events_stream(spark, d))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # 20 days (>= 2 * _CP_MIN_SEG), a level shift after day 10;
+    # values with cents parts that float summation would drift on
+    # (the fixed-point stress)
+    with open(os.path.join(d, "f1.json"), "w") as f:
+        for i in range(1, 11):
+            f.write(json.dumps(ev(i, i, 10.01 + i * 0.07)) + "\n")
+    run()
+    with open(os.path.join(d, "f2.json"), "w") as f:
+        for i in range(11, 21):
+            f.write(json.dumps(ev(i, i, 90.05 + i * 0.11)) + "\n")
+    run()
+    # append mode emits a day only once the watermark passes its
+    # end; a sentinel event on day 28 closes day 20, and its own
+    # (never-closed) day is excluded from the comparison
+    with open(os.path.join(d, "f3.json"), "w") as f:
+        f.write(json.dumps(ev(999, 28, 1.0)) + "\n")
+    run()
+    streamed = (
+        spark.read.parquet(sink)
+        .filter(F.col("day") <= "2024-01-20")
+        .select("day", "rev_c")
+    )
+    # batch twin: same decimal(18,2)*100 fixed-point per day
+    union = spark.read.json(os.path.join(d, "f1.json")).unionAll(
+        spark.read.json(os.path.join(d, "f2.json"))
+    ).select(
+        F.to_date(F.date_trunc("day", F.col("ts").cast("timestamp"))).alias("day"),
+        F.col("value").cast("double").alias("value"),
+    )
+    batch = union.groupBy("day").agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    got = {(str(r["day"]), r["rev_c"]) for r in streamed.collect()}
+    want = {(str(r["day"]), r["rev_c"]) for r in batch.collect()}
+    assert got == want and len(want) == 20
+    # retrospective handoff: the streamed panes ARE the change-point
+    # input; the split must land at the day-6/7 level shift
+    cp = changepoint_from_daily(streamed).collect()
+    assert len(cp) == 1
+    assert cp[0]["split_day"] == "2024-01-10"
+    cp_batch = changepoint_from_daily(batch).collect()
+    assert [tuple(r) for r in cp] == [tuple(r) for r in cp_batch]
+
+
+def test_windowed_kmv_panes_match_batch_and_sliding_merge(spark):
+    """Stream==batch pane equality for the sliding-KMV estimator:
+    each day's LATEST streamed k-min pane (max seq per day) must
+    equal the batch per-day pane over the union of ingested events,
+    and the 7-day trailing merge of the streamed panes must equal
+    the merge of the batch panes — the lossless k-min union that
+    makes q_ts_sliding_distinct_kmv's estimator stream-feedable."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.sketches import _KMV_K, kmv_hash_rows
+    from twitter_etl_spark.streaming.tws import windowed_kmv_panes
+
+    base = tempfile.mkdtemp()
+    d, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    os.makedirs(d)
+
+    def ev(i, day, user):
+        return {
+            "event_id": i,
+            "ts": "2024-01-%02dT03:00:00" % day,
+            "user_id": user,
+            "event_type": "click",
+            "value": 1.0,
+        }
+
+    def run():
+        q = (
+            windowed_kmv_panes(_events_stream(spark, d))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # 3 days; day 1 gets > _KMV_K distinct users ACROSS the two
+    # micro-batches so the k-trim and the cross-batch k-min union
+    # are both exercised (not just the exact branch)
+    with open(os.path.join(d, "f1.json"), "w") as f:
+        for i in range(_KMV_K):
+            f.write(json.dumps(ev(i, 1, 1000 + i)) + "\n")
+        for i in range(5):
+            f.write(json.dumps(ev(500 + i, 2, 2000 + i)) + "\n")
+    run()
+    with open(os.path.join(d, "f2.json"), "w") as f:
+        for i in range(_KMV_K):
+            f.write(json.dumps(ev(700 + i, 1, 3000 + i)) + "\n")
+        for i in range(4):
+            f.write(json.dumps(ev(900 + i, 3, 4000 + i)) + "\n")
+    run()
+
+    streamed = spark.read.parquet(sink)
+    last_seq = streamed.groupBy("day").agg(F.max("seq").alias("seq"))
+    panes = streamed.join(last_seq, ["day", "seq"]).select("day", "h")
+
+    union = spark.read.json(os.path.join(d, "*.json")).select(
+        F.date_format(
+            F.date_trunc("day", F.col("ts").cast("timestamp")), "yyyy-MM-dd"
+        ).alias("day"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    wd = Window.partitionBy("day").orderBy("h")
+    batch_panes = (
+        kmv_hash_rows(union, "user_id", "day")
+        .select("day", "h", F.row_number().over(wd).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("day", "h")
+    )
+    got = {(r["day"], r["h"]) for r in panes.collect()}
+    want = {(r["day"], r["h"]) for r in batch_panes.collect()}
+    assert got == want
+    # day 1 saw 2k distinct users across batches: trimmed at k
+    from collections import Counter
+
+    per_day = Counter(day for day, _ in got)
+    assert per_day["2024-01-01"] == _KMV_K
+    assert per_day["2024-01-03"] == 4  # exact branch preserved
+
+    # trailing 7-day merged k-min over streamed panes == over batch
+    # panes (lossless union: identical sets in, identical sets out)
+    def merged(p):
+        return {
+            (r["anchor"], r["h"])
+            for r in p.select(
+                "h",
+                F.explode(
+                    F.sequence(
+                        F.to_date("day"), F.date_add(F.to_date("day"), 6)
+                    )
+                ).alias("anchor"),
+            )
+            .select("anchor", "h")
+            .distinct()
+            .collect()
+        }
+
+    assert merged(panes) == merged(batch_panes)

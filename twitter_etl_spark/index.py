@@ -112,3 +112,121 @@ def probe_ivf_index(
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(topk)
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    k: int = 8,
+    iters: int = 3,
+) -> list:
+    """IVF + scalar-int8 codes: the serving-storage compose
+    (Jégou et al. 2011's IVFADC layout with the ``q_sim_quantize``
+    scalar quantizer — see ``q_sim_ann_ivfpq`` for the certified
+    one-job twin). Same build as :func:`build_ivf_index` plus three
+    narrow columns per vector: ``codes`` (int8-valued ints, 4 B/dim
+    on disk before encoding — dictionary/bit-packing shrinks
+    further), ``scale`` (the per-vector dequant factor) and
+    ``vnorm`` (L2 norm, so the probe normalizes cosine without
+    touching the raw embedding column).
+
+    The probe then column-prunes to (vec_id, codes, scale, vnorm):
+    the raw ``embedding`` doubles are read only by the refine join,
+    for shortlist rows only."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _as_double(F.col("embedding")).alias("v")
+    )
+    centroids = train_kmeans(e.select("vec_id", "v"), k, iters)
+    scale = F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    assigned = (
+        _kmeans_assign(e, centroids)
+        .withColumn("scale", scale)
+        .filter(F.col("scale") > 0)
+        .withColumn(
+            "codes",
+            F.transform("v", lambda x: F.round(x / F.col("scale")).cast("int")),
+        )
+        .withColumn(
+            "vnorm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "codes",
+            "scale",
+            "vnorm",
+            F.col("cluster").alias("cell"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, _DATA_DIR)
+    )
+    with open(os.path.join(index_dir, _CENTROIDS_FILE), "w") as f:
+        json.dump({str(cid): vec for cid, vec in centroids}, f)
+    return centroids
+
+
+def probe_ivfpq_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list,
+    nprobe: int = 2,
+    topk: int = 10,
+    shortlist: int = 30,
+) -> DataFrame:
+    """Two-pass serve: (1) int8-space scoring over the probed cells'
+    CODES columns only — the scan is partition-pruned to nprobe
+    cells AND column-pruned to ~65 ints + 2 doubles per row, never
+    the raw vector; (2) exact cosine refine of the ``shortlist``
+    best, via a broadcast join of the shortlist ids back onto the
+    same pruned cells (the only rows whose ``embedding`` bytes are
+    ever decoded). Output carries both scores (``pq_score`` approx,
+    ``cos_sim`` exact) — the audited-error column pattern."""
+    with open(os.path.join(index_dir, _CENTROIDS_FILE)) as f:
+        centroids = json.load(f)
+    cells = _nearest_cells(centroids, query_vec, nprobe)
+    qscale = max(abs(float(x)) for x in query_vec) / 127.0
+    qcode = [int(round(float(x) / qscale)) for x in query_vec]
+    qnorm = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    data = spark.read.parquet(os.path.join(index_dir, _DATA_DIR)).filter(
+        F.col("cell").isin(cells)
+    )
+    qc = F.array(*[F.lit(c) for c in qcode])
+    int_dot = F.aggregate(
+        F.zip_with(qc, F.col("codes"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sl = (
+        data.select(
+            "vec_id",
+            "cell",
+            F.round(
+                int_dot.cast("double")
+                * F.lit(qscale)
+                * F.col("scale")
+                / (F.lit(qnorm) * F.col("vnorm")),
+                6,
+            ).alias("pq_score"),
+        )
+        .orderBy(F.desc("pq_score"), "vec_id")
+        .limit(shortlist)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    refined = data.join(
+        F.broadcast(sl.select("vec_id", "pq_score")), "vec_id"
+    ).select(
+        "vec_id",
+        "cell",
+        "pq_score",
+        F.round(cosine(_as_double(F.col("embedding")), qv), 6).alias("cos_sim"),
+    )
+    return refined.orderBy(F.desc("cos_sim"), "vec_id").limit(topk)

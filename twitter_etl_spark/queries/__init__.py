@@ -162,7 +162,8 @@ _CERT_PREFIX = (
     "q_tpch_q3",
     "q_tpch_q4",
     "q_tpch_q5",
-    "q_tpch_q6",
+    # -- r11-new ops (displace the youngest r6 fillers from the tail)
+    "q_sim_ann_ivfpq",
 )
 
 _BY_MODULE: dict = {}

@@ -578,6 +578,165 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF-PQ shortlist width: the int8-scored candidate pool per query
+# that survives to exact refinement. Recall/cost knob (refine reads
+# L raw vectors instead of the whole probed slice), never
+# correctness of the refine itself.
+_IVFPQ_SHORTLIST = 30
+
+
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + scalar-int8 quantized serving compose, oracle-certified
+    end to end — the storage half of the 100 TB ANN layout the r10
+    verdict asked for: probe scores run in INTEGER space over the
+    ``q_sim_quantize`` codes, then only a short list of raw vectors
+    is re-read for exact refinement (Jégou et al. 2011's
+    IVFADC layout with a scalar quantizer in place of the
+    codebook PQ — the certifiable variant: int8 code dot products
+    are sums of |64| terms bounded by 127², exact in BOTH engines'
+    doubles, so the shortlist — and therefore the refined answer —
+    is bit-identical cross-engine; a trained PQ codebook would put
+    k-means inside the cert, which is why the scalar quantizer is
+    the certified form and codebook PQ remains the rows-only MLlib
+    territory).
+
+    Stages (one job here; build/serve split in ``index.py``):
+    (1) coarse quantizer + cell assignment — identical to
+    :func:`q_sim_ann_ivf` (per-label rounded centroids, nearest-cell
+    by rounded squared distance);
+    (2) candidate codes: per-vector symmetric int8 (scale =
+    max|x|/127 — the ``q_sim_quantize`` recipe), queries quantized
+    the same way;
+    (3) probe: each query searches its ``_IVF_NPROBE`` cells, scores
+    every candidate there as ``int_dot(qcode, ccode) * qscale *
+    cscale / (|qv||cv|)`` — an approximate cosine whose integer core
+    is exact — and keeps the ``_IVFPQ_SHORTLIST`` best;
+    (4) refine: exact cosine on the shortlist only, top-10.
+
+    Output carries BOTH scores (``pq_score`` approximate,
+    ``cos_sim`` exact) — the audited-error column pattern: the
+    quantization error is visible in every row the query returns.
+
+    Scale shape: codes are 64 bytes + scale vs 512 bytes of doubles
+    — the probed slice ships 8x fewer bytes than raw-vector IVF;
+    the refine join re-reads raw vectors for |queries| x L rows
+    only. In the materialized layout (``index.py``) the codes
+    column lives in the cell-partitioned parquet, so the probe scan
+    is partition-pruned AND column-pruned to the 64-byte codes."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def idot(a, b):
+        # integer dot: exact BIGINT accumulation in both engines
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def codes(v):
+        # q_sim_quantize recipe: symmetric int8, per-vector scale
+        return F.transform(
+            v, lambda x: F.round(x / F.col("scale")).cast("int")
+        )
+
+    ex = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cd = ex.groupBy("label", "pos").agg(F.round(F.avg("val"), 4).alias("cx"))
+    cent = (
+        cd.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("c")
+        )
+        .withColumn("cc", dot(F.col("c"), F.col("c")))
+    )
+    cands = (
+        e.filter(F.col("vec_id") >= 5)
+        .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+        .withColumn("cvv", dot(F.col("cv"), F.col("cv")))
+        .withColumn(
+            "scale", F.array_max(F.transform("cv", F.abs)) / F.lit(127.0)
+        )
+        .filter(F.col("scale") > 0)
+        .withColumn("ccode", codes(F.col("cv")))
+        .withColumnRenamed("scale", "cscale")
+    )
+    qs = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("qvv", dot(F.col("qv"), F.col("qv")))
+        .withColumn(
+            "scale", F.array_max(F.transform("qv", F.abs)) / F.lit(127.0)
+        )
+        .filter(F.col("scale") > 0)
+        .withColumn("qcode", codes(F.col("qv")))
+        .withColumnRenamed("scale", "qscale")
+    )
+    d2 = lambda vv, v: F.round(  # noqa: E731
+        F.col(vv) - 2 * dot(F.col(v), F.col("c")) + F.col("cc"), 6
+    )
+    aw = Window.partitionBy("cand_id").orderBy("d2", "label")
+    assign = (
+        cands.crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2("cvv", "cv"))
+        .withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .select("cand_id", "label", "cv", "cvv", "cscale", "ccode")
+    )
+    qw = Window.partitionBy("query_id").orderBy("d2", "label")
+    probe = (
+        qs.crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2("qvv", "qv"))
+        .withColumn("rk", F.row_number().over(qw))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select("query_id", "label", "qv", "qvv", "qscale", "qcode")
+    )
+    shortlist_w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), "cand_id"
+    )
+    shortlist = (
+        probe.join(assign, "label")
+        .withColumn(
+            "pq_score",
+            F.round(
+                idot(F.col("qcode"), F.col("ccode")).cast("double")
+                * F.col("qscale")
+                * F.col("cscale")
+                / (F.sqrt(F.col("qvv")) * F.sqrt(F.col("cvv"))),
+                6,
+            ),
+        )
+        .withColumn("srk", F.row_number().over(shortlist_w))
+        .filter(F.col("srk") <= _IVFPQ_SHORTLIST)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        shortlist.withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.sqrt(F.col("qvv")) * F.sqrt(F.col("cvv"))),
+                6,
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "cand_id", "pq_score", "cos_sim", "rk")
+    )
+
+
 # md5-SimHash width: 60 bits = 15 hex chars — the widest md5 prefix
 # that fits a signed 64-bit int exactly in BOTH engines (16 chars
 # can set bit 63 and overflow the signed cast).
@@ -675,6 +834,7 @@ QUERIES = {
     "q_dedup_minhash_incremental": q_dedup_minhash_incremental,
     "q_sim_quantize": q_sim_quantize,
     "q_sim_ann_ivf": q_sim_ann_ivf,
+    "q_sim_ann_ivfpq": q_sim_ann_ivfpq,
     "q_sample_leakage_safe": q_sample_leakage_safe,
     "q_dedup_simhash_md5": q_dedup_simhash_md5,
     "q_llm_curation": q_llm_curation,
@@ -837,6 +997,56 @@ ORACLE = {
         "  SELECT *, row_number() OVER ("
         "    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rk "
         "  FROM scored) WHERE rk <= 10"
+    ),
+    "q_sim_ann_ivfpq": (
+        "WITH e AS (SELECT vec_id, label, "
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        "ex AS (SELECT label, UNNEST(v) AS val, "
+        "  UNNEST(range(1, len(v) + 1)) AS pos FROM e), "
+        "cd AS (SELECT label, pos, round(avg(val), 4) AS cx "
+        "  FROM ex GROUP BY label, pos), "
+        "cent AS (SELECT label, list(cx ORDER BY pos) AS c FROM cd GROUP BY label), "
+        "cent2 AS (SELECT label, c, list_dot_product(c, c) AS cc FROM cent), "
+        "cands AS (SELECT vec_id AS cand_id, v AS cv, "
+        "  list_dot_product(v, v) AS cvv, "
+        "  list_max(list_transform(v, x -> abs(x))) / 127.0 AS cscale "
+        "  FROM e WHERE vec_id >= 5), "
+        "cands2 AS (SELECT *, "
+        "  list_transform(cv, x -> round(x / cscale)) AS ccode "
+        "  FROM cands WHERE cscale > 0), "
+        "qs AS (SELECT vec_id AS query_id, v AS qv, "
+        "  list_dot_product(v, v) AS qvv, "
+        "  list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale "
+        "  FROM e WHERE vec_id < 5), "
+        "qs2 AS (SELECT *, "
+        "  list_transform(qv, x -> round(x / qscale)) AS qcode "
+        "  FROM qs WHERE qscale > 0), "
+        "assign AS (SELECT cand_id, label, cv, cvv, cscale, ccode FROM ("
+        "  SELECT cands2.*, cent2.label, row_number() OVER ("
+        "    PARTITION BY cand_id ORDER BY "
+        "    round(cvv - 2 * list_dot_product(cv, c) + cc, 6), cent2.label) AS rk "
+        "  FROM cands2 CROSS JOIN cent2) WHERE rk = 1), "
+        "probe AS (SELECT query_id, label, qv, qvv, qscale, qcode FROM ("
+        "  SELECT qs2.*, cent2.label, row_number() OVER ("
+        "    PARTITION BY query_id ORDER BY "
+        "    round(qvv - 2 * list_dot_product(qv, c) + cc, 6), cent2.label) AS rk "
+        "  FROM qs2 CROSS JOIN cent2) WHERE rk <= 2), "
+        # int8-code dot products are exact integer-valued doubles
+        # (<= 64 * 127^2), so pq_score is bit-identical cross-engine
+        "sl AS (SELECT query_id, cand_id, qv, cv, qvv, cvv, "
+        "  round(list_dot_product(qcode, ccode) * qscale * cscale "
+        "    / (sqrt(qvv) * sqrt(cvv)), 6) AS pq_score "
+        "  FROM probe JOIN assign USING (label)), "
+        "sl2 AS (SELECT * FROM (SELECT *, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY pq_score DESC, cand_id) AS srk "
+        "  FROM sl) WHERE srk <= 30) "
+        "SELECT query_id, cand_id, pq_score, cos_sim, rk FROM ("
+        "  SELECT query_id, cand_id, pq_score, "
+        "  round(list_dot_product(qv, cv) / (sqrt(qvv) * sqrt(cvv)), 6) AS cos_sim, "
+        "  row_number() OVER (PARTITION BY query_id ORDER BY "
+        "    round(list_dot_product(qv, cv) / (sqrt(qvv) * sqrt(cvv)), 6) DESC, "
+        "    cand_id) AS rk "
+        "  FROM sl2) WHERE rk <= 10"
     ),
     "q_sim_quantize": (
         "WITH s AS (SELECT vec_id, embedding, "

@@ -946,6 +946,16 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_c"),
         )
     )
+    return changepoint_from_daily(g)
+
+
+def changepoint_from_daily(g: DataFrame) -> DataFrame:
+    """Retrospective split-day scoring over a prepared (day, rev_c)
+    daily-cents frame — factored out of :func:`q_ts_changepoint` so
+    a STREAMING daily aggregation (streaming/windows.py::
+    windowed_revenue_cents emits exactly this frame shape) can feed
+    the same retrospective operator losslessly; the stream==batch
+    input equality is pinned in tests/test_streaming.py."""
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

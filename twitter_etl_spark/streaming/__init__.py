@@ -22,6 +22,7 @@ from .windows import (
     windowed_countmin,
     windowed_hll_registers,
     windowed_distinct_users,
+    windowed_revenue_cents,
     sliding_counts,
     stream_stream_join,
     streaming_dedup,
@@ -41,4 +42,5 @@ __all__ = [
     "windowed_countmin",
     "windowed_hll_registers",
     "windowed_distinct_users",
+    "windowed_revenue_cents",
 ]

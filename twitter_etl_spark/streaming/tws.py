@@ -269,3 +269,84 @@ def running_kmv_distinct(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+PANE_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("h", T.LongType()),
+    ]
+)
+
+
+class DayKMinPaneProcessor(StatefulProcessor):
+    """Per-DAY k-minimum-values pane as ``ListState`` — the
+    streaming producer of the per-day panes that
+    ``q_ts_sliding_distinct_kmv`` (queries/timeseries.py) merges
+    into trailing-window distinct estimates. State per day is the k
+    smallest distinct 60-bit user-hash values — O(k) longs per day
+    REGARDLESS of user cardinality — plus a ``ValueState`` emission
+    counter so a downstream reader (and the equality-pin test) can
+    select each day's LATEST pane from an append-mode sink: every
+    micro-batch that touches a day re-emits that day's full current
+    pane with a bumped ``seq``. Because the k-min union is lossless
+    (the rollup.py KMV merge contract), the final streamed pane
+    equals the batch pane over the same rows, and the 7-day merged
+    estimator downstream equals the batch op's exactly."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._kmin = handle.getListState("kmin", "h BIGINT")
+        self._seq = handle.getValueState("seq", "seq BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        from ..queries.sketches import _KMV_K
+
+        cur = {int(t[0]) for t in self._kmin.get()}
+        for pdf in rows:
+            cur.update(int(h) for h in pdf["h"])
+        kmin = sorted(cur)[:_KMV_K]
+        self._kmin.put([(h,) for h in kmin])
+        seq = (int(self._seq.get()[0]) if self._seq.exists() else 0) + 1
+        self._seq.update((seq,))
+        yield pd.DataFrame(
+            {
+                "day": [key[0]] * len(kmin),
+                "seq": [seq] * len(kmin),
+                "h": kmin,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def windowed_kmv_panes(stream: DataFrame) -> DataFrame:
+    """Per-day KMV pane rows (day, seq, h) with O(k) state per day:
+    the streaming half of the sliding-window distinct estimator.
+    The stream carries only (day, h) where h is the SAME md5-prefix
+    hash as the batch sketch (queries/sketches.py::kmv_hash_rows),
+    so each day's latest emitted pane equals the batch per-day
+    k-min pane over the union of all ingested events, and merging
+    panes across a trailing window reproduces
+    ``q_ts_sliding_distinct_kmv``'s estimator exactly
+    (test-pinned)."""
+    from pyspark.sql import functions as F
+
+    from ..session import ship_package_to_executors
+
+    spark = stream.sparkSession
+    ship_package_to_executors(spark)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    hashed = stream.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    return hashed.groupBy("day").transformWithStateInPandas(
+        statefulProcessor=DayKMinPaneProcessor(),
+        outputStructType=PANE_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -233,3 +233,29 @@ def windowed_hll_registers(
         .agg(F.max("rho").alias("m_j"))
         .select(F.col("w.start").alias("window_start"), "j", "m_j")
     )
+
+
+def windowed_revenue_cents(
+    stream: DataFrame, width: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming daily-revenue-cents panes: (day, rev_c) rows in
+    EXACTLY the frame shape the retrospective change-point operator
+    consumes (queries/timeseries.py::changepoint_from_daily — the
+    q_ts_changepoint input). The cents sum is the same
+    decimal(18,2)*100 BIGINT fixed-point as the batch side, so the
+    streamed pane for a closed window equals the batch daily row
+    bit-for-bit (pinned in test_streaming.py): a streaming job can
+    maintain the daily table and the offline change-point scan
+    reads it losslessly. State is O(open windows) — one decimal
+    accumulator per day."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("rev")
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("day"),
+            (F.col("rev") * 100).cast("long").alias("rev_c"),
+        )
+    )
