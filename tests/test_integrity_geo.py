@@ -206,3 +206,68 @@ def test_geo_oracle_parity_on_highlat_fixture(spark, tmp_path):
             tuple(r) for r in con.execute(geo.ORACLE[qname]).fetchall()
         }
         assert spark_rows == oracle_rows, qname
+
+
+def test_geo_dbscan_matches_numpy_reference(spark):
+    """q_geo_dbscan vs a classic O(n^2) NumPy DBSCAN (Ester et al.
+    1996, self-inclusive minPts) over the SAME derived points:
+    roles and canonical (min core id) cluster labels must be
+    identical — the grid blocking and min-label propagation are
+    pure optimizations, never semantics."""
+    import numpy as np
+
+    from twitter_etl_spark.queries.geo import (
+        DBSCAN_EPS,
+        DBSCAN_MINPTS,
+        _dbscan_points,
+        q_geo_dbscan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pts = _dbscan_points(spark, sf).collect()
+    ids = np.array([r["vec_id"] for r in pts])
+    xy = np.array([[r["x"], r["y"]] for r in pts])
+    n = len(ids)
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    nb = d2 <= DBSCAN_EPS * DBSCAN_EPS  # self included on diagonal
+    is_core = nb.sum(1) >= DBSCAN_MINPTS
+
+    # components over core-core adjacency (union-find)
+    parent = {int(i): int(i) for i in ids[is_core]}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ci = np.where(is_core)[0]
+    for a in ci:
+        for b in ci:
+            if nb[a, b]:
+                ra, rb = find(int(ids[a])), find(int(ids[b]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for k, i in enumerate(ids):
+        i = int(i)
+        if is_core[k]:
+            want[i] = ("core", find(i))
+        else:
+            core_nb = [find(int(ids[j])) for j in ci if nb[k, j]]
+            if core_nb:
+                want[i] = ("border", min(core_nb))
+            else:
+                want[i] = ("noise", None)
+
+    got = {
+        r["vec_id"]: (r["role"], r["cluster_id"])
+        for r in q_geo_dbscan(spark, sf).collect()
+    }
+    assert got == want
+    roles = {}
+    for role, _ in got.values():
+        roles[role] = roles.get(role, 0) + 1
+    # the probed substrate exercises every branch
+    assert roles["core"] > 0 and roles["border"] > 0 and roles["noise"] > 0
+    assert len({c for r, c in got.values() if c is not None}) == 5

@@ -161,9 +161,9 @@ _CERT_PREFIX = (
     "q_tpch_q22",
     "q_tpch_q3",
     "q_tpch_q4",
-    "q_tpch_q5",
     # -- r11-new ops (displace the youngest r6 fillers from the tail)
     "q_sim_ann_ivfpq",
+    "q_geo_dbscan",
 )
 
 _BY_MODULE: dict = {}
