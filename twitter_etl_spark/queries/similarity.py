@@ -187,7 +187,18 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-projection LSH
     (rows-only: hash family is engine-specific). Candidates come
     from bucket joins; the exact twin q_sim_cosine_topk pins
-    correctness."""
+    correctness, the bounded-recall pin lives in
+    tests/test_mllib_twins.py, and — the self-auditing-sketch
+    pattern (r10 verdict stretch) — every emitted row carries
+    ``recall_at_10``: its query's recall of the exact cosine top-10,
+    computed against the exact subplan INSIDE this query, so even
+    the driver's rows-only check records a quantitative quality
+    signal. The exact subplan is the fixture-scale audit stage
+    (broadcast 5 queries x one candidate scan); production drops it
+    and keeps the bucket join — the same audited-error discipline as
+    q_ts_sliding_distinct_kmv's n_exact column."""
+    from pyspark.sql import Window
+
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -205,11 +216,30 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     c = e.filter(F.col("vec_id") >= 5)
     pairs = model.approxSimilarityJoin(c, q, 2.0, distCol="l2_dist")
-    return pairs.select(
+    out = pairs.select(
         F.col("datasetB.query_id").alias("query_id"),
         F.col("datasetA.vec_id").alias("cand_id"),
         F.round(F.col("l2_dist"), 6).alias("l2_dist"),
     )
+    # exact cosine top-10 subplan (the q_sim_cosine_topk shape)
+    exact = q_sim_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("cand_id").alias("exact_cand")
+    )
+    lw = Window.partitionBy("query_id").orderBy("l2_dist", "cand_id")
+    lsh_top = out.withColumn("rk", F.row_number().over(lw)).filter(
+        F.col("rk") <= 10
+    )
+    recall = (
+        lsh_top.join(
+            exact,
+            (lsh_top["query_id"] == exact["query_id"])
+            & (lsh_top["cand_id"] == exact["exact_cand"]),
+            "left",
+        )
+        .groupBy(lsh_top["query_id"].alias("query_id"))
+        .agg((F.count("exact_cand") / F.lit(10.0)).alias("recall_at_10"))
+    )
+    return out.join(F.broadcast(recall), "query_id")
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
