@@ -110,12 +110,27 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (argmax aggregates): richest and poorest
-    customer per nation — single hash-agg pass, no window sort."""
+    """Argmax aggregates: richest and poorest customer per nation —
+    single hash-agg pass, no window sort. Implemented as max/min of
+    a (balance, key) struct rather than bare max_by/min_by: bare
+    argmax is NONDETERMINISTIC under value ties (the sf1 decade-up
+    drill surfaced this — replicated balances tie and Spark/DuckDB
+    then pick different custkeys), while the struct order makes the
+    tie-break part of the semantics: smallest custkey wins (the
+    balance is negated on the max side so the lexicographic struct
+    max prefers the smaller key)."""
     c = table(spark, sf_dir, "customer")
+    richest = F.max(
+        F.struct(
+            F.col("c_acctbal").alias("b"), (-F.col("c_custkey")).alias("k")
+        )
+    )
+    poorest = F.min(
+        F.struct(F.col("c_acctbal").alias("b"), F.col("c_custkey").alias("k"))
+    )
     return c.groupBy("c_nationkey").agg(
-        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
-        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+        (-richest["k"]).alias("richest_cust"),
+        poorest["k"].alias("poorest_cust"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
 
@@ -177,10 +192,12 @@ ORACLE = {
         "count(*)::BIGINT AS n "
         "FROM customer GROUP BY c_mktsegment"
     ),
+    # struct-ordered argmax: smallest custkey wins balance ties on
+    # both engines (bare arg_max/max_by is tie-nondeterministic)
     "q_agg_argmax": (
         "SELECT c_nationkey, "
-        "arg_max(c_custkey, c_acctbal) AS richest_cust, "
-        "arg_min(c_custkey, c_acctbal) AS poorest_cust, "
+        "-((max({'b': c_acctbal, 'k': -c_custkey})).k) AS richest_cust, "
+        "(min({'b': c_acctbal, 'k': c_custkey})).k AS poorest_cust, "
         "round(max(c_acctbal), 2) AS max_bal "
         "FROM customer GROUP BY c_nationkey"
     ),

@@ -445,10 +445,16 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = pre.join(
         p.hint("shuffle_hash"), pre.l_partkey == p.p_partkey
     )
+    # fixed-point revenue sum (tpch._money_fp): the sf1 drill caught
+    # the raw double sum one cent off across engines at 10x rows
+    from .tpch import _money_fp
+
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(_money_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            / 10_000.0,
+            2,
         ).alias("revenue"),
     )
 
@@ -459,7 +465,8 @@ ORACLE["q_join_bloom"] = (
     # deliberately NO bloom: the unfiltered join is the semantic
     # contract the prefilter must preserve
     "SELECT p_brand, count(*)::BIGINT AS n_items, "
-    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "round(sum(floor(round(l_extendedprice * (1 - l_discount), 9) "
+    "* 10000 + 0.5)::BIGINT) / 10000.0, 2) AS revenue "
     "FROM lineitem JOIN part ON l_partkey = p_partkey "
     "WHERE p_size = 15 GROUP BY p_brand"
 )

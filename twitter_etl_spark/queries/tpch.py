@@ -43,10 +43,26 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _money_fp(term, scale: int = 10_000):
+    """Fixed-point money reduction term: the per-row revenue/profit
+    expressions are exact 4-decimal values in real arithmetic (2dp
+    prices x 2dp discounts/costs), so `floor(round(x, 9) * 1e4 +
+    0.5)` recovers the exact integer of 1e4*x from the
+    last-ulp-noisy double and the distributed SUM becomes integer
+    math — association-order-proof. Raw double sums passed at
+    sf<=0.1 but the sf1 decade-up drill caught q5/q9 one cent apart
+    across engines (463797812.94 vs .93): at 10x rows the float
+    association noise crosses the 2dp rounding boundary. BIGINT
+    ceiling: |sum| < 2^63/1e4 ~ 9.2e14 in money units — ~sf200000
+    for Q5 revenue."""
+    return F.floor(F.round(term, 9) * scale + F.lit(0.5)).cast("long")
+
+
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 (local supplier volume): 6-table star join, revenue by
     nation where customer and supplier are co-national. Dims
-    broadcast; fact joins shuffle on their keys."""
+    broadcast; fact joins shuffle on their keys. Revenue summed
+    fixed-point (see :func:`_money_fp`)."""
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer")
@@ -61,7 +77,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(F.round(F.sum(_money_fp(rev)) / 10_000.0, 2).alias("revenue"))
     )
 
 
@@ -104,7 +120,8 @@ ORACLE = {
         "ORDER BY revenue DESC, l_orderkey LIMIT 10"
     ),
     "q_tpch_q5": (
-        "SELECT n_name, round(sum(" + _REV + "), 2) AS revenue "
+        "SELECT n_name, round(sum(floor(round(" + _REV + ", 9) "
+        "* 10000 + 0.5)::BIGINT) / 10000.0, 2) AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
@@ -602,7 +619,11 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum(_money_fp(amount)) / 10_000.0, 2).alias(
+                "sum_profit"
+            )
+        )
     )
 
 
@@ -924,7 +945,8 @@ ORACLE.update(
         "q_tpch_q9": (
             "WITH " + _SQL_PARTSUPP + " "
             "SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year, "
-            "round(sum(" + _REV + " - ps_supplycost * l_quantity), 2) "
+            "round(sum(floor(round(" + _REV + " - ps_supplycost * l_quantity"
+            ", 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) "
             "AS sum_profit "
             "FROM lineitem "
             "JOIN part ON l_partkey = p_partkey "
