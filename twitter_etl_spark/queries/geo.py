@@ -308,7 +308,11 @@ def q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: identical pipeline in DuckDB, components via a
     recursive CTE with the `label < node` pruning guard (the min
     label of a component provably reaches every member since every
-    other member is larger)."""
+    other member is larger). Oracle scale note: the reachability
+    CTE is O(|component|^2 x degree) — seconds at the sf0.01 cert
+    gate, prohibitive at sf1+ (DuckDB 1.0 has no USING KEY
+    recursive CTE); large-scale verification is the NumPy replica
+    pin (sf0.001 and sf1, exact equality — SCALE.md r11)."""
     from pyspark import StorageLevel
 
     eps2 = DBSCAN_EPS * DBSCAN_EPS
