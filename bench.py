@@ -106,6 +106,10 @@ HEADLINE = [
     "q_dq_kanonymity",
     "q_dq_benford",
     "q_ts_xcorr_daily",
+    # r11 additions
+    "q_sim_ann_ivfpq",
+    "q_geo_dbscan",
+    "q_agg_quantile_bottomk",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

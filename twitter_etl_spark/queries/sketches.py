@@ -1504,3 +1504,102 @@ ORACLE["q_agg_theta_matrix"] = (
     "- n_inter) / greatest(n_inter, 1), 4) AS rel_err_inter "
     "FROM f"
 )
+
+
+#: bottom-k sample size for the mergeable quantile sketch.
+_BK_K = 256
+
+
+def q_agg_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k-sample quantiles with audited error — the
+    100 TB percentile primitive. Exact percentiles need a full sort
+    (or a one-pass t-digest/KLL whose internals are
+    engine-specific); a BOTTOM-K sample by a fixed row hash is (a) a
+    uniform sample of the rows, (b) LOSSLESSLY mergeable (the k
+    smallest hashes of a union are contained in the union of
+    per-partition bottom-k lists — the KMV/rollup.py merge
+    contract, here keyed per event type), and (c) hash-certifiable:
+    both engines pick the identical sample, so discrete percentiles
+    over it are bit-identical. Output carries the sample estimates
+    AND the exact full-data percentiles with absolute errors — the
+    audited-error column pattern (production drops the exact side
+    and keeps the O(k)-state sketch; a streaming producer emits
+    per-pane bottom-k rows exactly like the KMV panes).
+
+    Scale: the sample build is one row_number window per type over
+    (h, event_id) — at 100 TB swap to the rollup form (per-pane
+    bottom-k union, never a global window); the exact audit side is
+    the only full-sort stage and is fixture-only."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    samp = (
+        e.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BK_K)
+    )
+
+    def disc(p):
+        return F.expr(
+            f"percentile_disc({p!r}) WITHIN GROUP (ORDER BY value)"
+        )
+
+    est = samp.groupBy("event_type").agg(
+        disc(0.5).alias("p50_est"),
+        disc(0.9).alias("p90_est"),
+        disc(0.99).alias("p99_est"),
+        F.count(F.lit(1)).alias("n_sample"),
+    )
+    exact = e.groupBy("event_type").agg(
+        disc(0.5).alias("p50"),
+        disc(0.9).alias("p90"),
+        disc(0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_rows",
+        "n_sample",
+        "p50_est",
+        "p90_est",
+        "p99_est",
+        "p50",
+        "p90",
+        "p99",
+        F.round(F.abs(F.col("p50_est") - F.col("p50")), 4).alias("err_p50"),
+        F.round(F.abs(F.col("p90_est") - F.col("p90")), 4).alias("err_p90"),
+        F.round(F.abs(F.col("p99_est") - F.col("p99")), 4).alias("err_p99"),
+    )
+
+
+QUERIES["q_agg_quantile_bottomk"] = q_agg_quantile_bottomk
+
+ORACLE["q_agg_quantile_bottomk"] = (
+    "WITH e AS (SELECT event_type, value, event_id, "
+    "(('0x' || substr(md5(event_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h "
+    "FROM events), "
+    "s AS (SELECT event_type, value FROM ("
+    "  SELECT event_type, value, row_number() OVER ("
+    "    PARTITION BY event_type ORDER BY h, event_id) AS rn FROM e) "
+    f"  WHERE rn <= {_BK_K}), "
+    "est AS (SELECT event_type, "
+    "  quantile_disc(value, 0.5) AS p50_est, "
+    "  quantile_disc(value, 0.9) AS p90_est, "
+    "  quantile_disc(value, 0.99) AS p99_est, "
+    "  count(*)::BIGINT AS n_sample FROM s GROUP BY event_type), "
+    "ex AS (SELECT event_type, "
+    "  quantile_disc(value, 0.5) AS p50, "
+    "  quantile_disc(value, 0.9) AS p90, "
+    "  quantile_disc(value, 0.99) AS p99, "
+    "  count(*)::BIGINT AS n_rows FROM e GROUP BY event_type) "
+    "SELECT est.event_type, n_rows, n_sample, "
+    "p50_est, p90_est, p99_est, p50, p90, p99, "
+    "round(abs(p50_est - p50), 4) AS err_p50, "
+    "round(abs(p90_est - p90), 4) AS err_p90, "
+    "round(abs(p99_est - p99), 4) AS err_p99 "
+    "FROM est JOIN ex ON est.event_type = ex.event_type"
+)
