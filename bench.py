@@ -110,6 +110,7 @@ HEADLINE = [
     "q_sim_ann_ivfpq",
     "q_geo_dbscan",
     "q_agg_quantile_bottomk",
+    "q_join_size_cm",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

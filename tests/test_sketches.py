@@ -615,3 +615,26 @@ def test_holt_linear_matches_python_recursion(spark):
             assert r["level"] == round(l / 100.0, 4)
             assert r["trend"] == round(b / 100.0, 4)
             assert r["yhat"] == round((l + h * b) / 100.0, 4)
+
+
+def test_join_size_cm_one_sided_and_bounded(spark):
+    """CM inner-product join-size estimate: one-sided (overcount >=
+    0 always — collision cross terms only ADD) and usefully tight at
+    width 64 on the fixture (blowup < 3x). Also cross-checks the
+    exact side against a literal join count."""
+    from twitter_etl_spark.queries.sketches import q_join_size_cm
+    from twitter_etl_spark.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    row = q_join_size_cm(spark, sf).first()
+    assert row["overcount"] >= 0
+    assert row["join_size_est"] >= row["join_size"]
+    assert row["blowup"] < 2.0
+    e = table(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2")
+    )
+    true_join = a.join(b, a["user_id"] == b["u2"]).count()
+    assert row["join_size"] == true_join

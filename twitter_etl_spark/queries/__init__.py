@@ -159,11 +159,11 @@ _CERT_PREFIX = (
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",
-    "q_tpch_q3",
     # -- r11-new ops (displace the youngest r6 fillers from the tail)
     "q_sim_ann_ivfpq",
     "q_geo_dbscan",
     "q_agg_quantile_bottomk",
+    "q_join_size_cm",
 )
 
 _BY_MODULE: dict = {}
