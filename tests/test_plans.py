@@ -86,6 +86,10 @@ _SINGLE_PARTITION_OK = {
     # the theta set algebra (bounded state: 2 x 64 longs; the k-min
     # build itself is TakeOrderedAndProject, never a global sort)
     "q_agg_theta_setops",
+    # join-size sketch: the min-over-depth final agg runs on the
+    # depth x width cell frame (<= 768 rows, bounded state), and the
+    # audit side's exact total is a 1-row agg — never the event data
+    "q_join_size_cm",
     # cumulative window over the fixed 64-bucket grid, never the data
     "q_stat_ks_binned",
     # 1-row totals agg over <= 2x64 histogram cells + the final
