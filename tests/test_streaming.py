@@ -1495,3 +1495,87 @@ def test_windowed_kmv_panes_match_batch_and_sliding_merge(spark):
         }
 
     assert merged(panes) == merged(batch_panes)
+
+
+def test_bottomk_sample_pane_matches_batch_sketch(spark):
+    """Stream==batch pane equality for the quantile sample: each
+    event type's LATEST streamed bottom-k (h, value) pane must equal
+    the batch sample q_agg_quantile_bottomk takes over the union of
+    ingested events — identical sample in, identical discrete
+    percentiles out, so the streaming job maintains the quantile
+    sketch with O(k) state per type."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import Window
+
+    from twitter_etl_spark.queries.sketches import _BK_K
+    from twitter_etl_spark.streaming.tws import running_bottomk_sample
+
+    base = tempfile.mkdtemp()
+    d, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    os.makedirs(d)
+
+    def ev(i, typ, value):
+        return {
+            "event_id": i,
+            "ts": "2024-01-01T00:00:0%d" % (i % 10),
+            "user_id": i,
+            "event_type": typ,
+            "value": value,
+        }
+
+    def run():
+        q = (
+            running_bottomk_sample(_events_stream(spark, d))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # 'click' gets > _BK_K rows ACROSS batches (trim + cross-batch
+    # merge both real); 'view' stays tiny (pane == all rows)
+    half = _BK_K // 2 + 20
+    with open(os.path.join(d, "f1.json"), "w") as f:
+        for i in range(half):
+            f.write(json.dumps(ev(i, "click", 10.0 + i)) + "\n")
+        f.write(json.dumps(ev(9001, "view", 1.5)) + "\n")
+    run()
+    with open(os.path.join(d, "f2.json"), "w") as f:
+        for i in range(half, 2 * half):
+            f.write(json.dumps(ev(i, "click", 10.0 + i)) + "\n")
+        f.write(json.dumps(ev(9002, "view", 2.5)) + "\n")
+    run()
+
+    streamed = spark.read.parquet(sink)
+    last = streamed.groupBy("event_type").agg(F.max("seq").alias("seq"))
+    pane = streamed.join(last, ["event_type", "seq"]).select(
+        "event_type", "h", "value"
+    )
+    union = spark.read.json(os.path.join(d, "*.json")).select(
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    batch = (
+        union.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BK_K)
+        .select("event_type", "h", "value")
+    )
+    got = {(r["event_type"], r["h"], r["value"]) for r in pane.collect()}
+    want = {(r["event_type"], r["h"], r["value"]) for r in batch.collect()}
+    assert got == want
+    from collections import Counter
+
+    per_type = Counter(t for t, _, _ in got)
+    assert per_type["click"] == _BK_K  # trimmed at k across batches
+    assert per_type["view"] == 2  # exact below k

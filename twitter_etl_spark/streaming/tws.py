@@ -350,3 +350,83 @@ def windowed_kmv_panes(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+QPANE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("h", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+class BottomKValuePaneProcessor(StatefulProcessor):
+    """Per-event-type bottom-k (hash, value) pane as ``ListState``
+    — the streaming producer of the uniform sample that
+    ``q_agg_quantile_bottomk`` (queries/sketches.py) computes its
+    discrete percentiles over. State per key is the k pairs with
+    the smallest row hashes — O(k) REGARDLESS of stream length —
+    merged losslessly across micro-batches (the bottom-k union
+    contract, same as the KMV panes but carrying the sampled VALUE
+    alongside the hash). Emits the full current pane with a bumped
+    ``seq`` each batch; a downstream reader selects max-seq per
+    type and takes quantiles — equal to the batch op's sample
+    estimates over the same rows (test-pinned)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._pane = handle.getListState("pane", "h BIGINT, value DOUBLE")
+        self._seq = handle.getValueState("seq", "seq BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        from ..queries.sketches import _BK_K
+
+        cur = {int(t[0]): float(t[1]) for t in self._pane.get()}
+        for pdf in rows:
+            for h, v in zip(pdf["h"], pdf["value"]):
+                cur[int(h)] = float(v)
+        kmin = sorted(cur.items())[:_BK_K]
+        self._pane.put([(h, v) for h, v in kmin])
+        seq = (int(self._seq.get()[0]) if self._seq.exists() else 0) + 1
+        self._seq.update((seq,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(kmin),
+                "seq": [seq] * len(kmin),
+                "h": [h for h, _ in kmin],
+                "value": [v for _, v in kmin],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_bottomk_sample(stream: DataFrame) -> DataFrame:
+    """Per-event-type bottom-k uniform sample with O(k) state: the
+    stream carries (event_type, h=md5-prefix(event_id), value), the
+    SAME row hash as the batch quantile sketch, so the latest
+    emitted pane per type equals the batch sample over the union of
+    all ingested events and quantiles over it equal
+    ``q_agg_quantile_bottomk``'s estimates exactly (test-pinned)."""
+    from pyspark.sql import functions as F
+
+    from ..session import ship_package_to_executors
+
+    spark = stream.sparkSession
+    ship_package_to_executors(spark)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    hashed = stream.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return hashed.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=BottomKValuePaneProcessor(),
+        outputStructType=QPANE_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
