@@ -31,7 +31,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(F.round(F.sum(_money_fp(rev)) / 10_000.0, 2).alias("revenue"))
         .select(
             "l_orderkey",
             F.unix_micros(F.col("o_orderdate")).alias("orderdate_us"),
@@ -93,9 +93,11 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(_money_fp(F.col("l_extendedprice") * F.col("l_discount")))
+                / 10_000.0,
+                2,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -110,7 +112,7 @@ QUERIES = {
 ORACLE = {
     "q_tpch_q3": (
         "SELECT l_orderkey, epoch_us(o_orderdate)::BIGINT AS orderdate_us, "
-        "o_orderpriority, round(sum(" + _REV + "), 2) AS revenue "
+        "o_orderpriority, round(sum(floor(round(" + _REV + ", 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "WHERE c_mktsegment = 'BUILDING' "
@@ -130,7 +132,7 @@ ORACLE = {
         "WHERE r_name = 'ASIA' GROUP BY n_name"
     ),
     "q_tpch_q6": (
-        "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, "
+        "SELECT round(sum(floor(round(l_extendedprice * l_discount, 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS revenue, "
         "count(*)::BIGINT AS n_rows FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
         "AND l_shipdate < TIMESTAMP '1997-01-01' "
@@ -153,7 +155,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(F.round(F.sum(_money_fp(rev)) / 10_000.0, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -198,9 +200,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(charge), 2).alias("sum_charge"),
+        F.round(F.sum(_money_fp(F.col("l_extendedprice"))) / 10_000.0, 2).alias("sum_base_price"),
+        F.round(F.sum(_money_fp(disc_price)) / 10_000.0, 2).alias("sum_disc_price"),
+        F.round(F.sum(_money_fp(charge, 1_000_000)) / 1_000_000.0, 2).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -261,8 +263,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return li.join(p, li.l_partkey == p.p_partkey).agg(
-        F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias("promo_revenue_pct"),
-        F.round(F.sum(rev), 2).alias("total_revenue"),
+        F.round(
+            100.0 * F.sum(_money_fp(promo_rev)) / F.sum(_money_fp(rev)), 4
+        ).alias("promo_revenue_pct"),
+        F.round(F.sum(_money_fp(rev)) / 10_000.0, 2).alias("total_revenue"),
     )
 
 
@@ -298,7 +302,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(rev), 2).alias("revenue"),
+            F.round(F.sum(_money_fp(rev)) / 10_000.0, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -319,7 +323,7 @@ QUERIES.update(
 ORACLE.update(
     {
         "q_tpch_q10": (
-            "SELECT c_custkey, c_name, n_name, round(sum(" + _REV + "), 2) AS revenue "
+            "SELECT c_custkey, c_name, n_name, round(sum(floor(round(" + _REV + ", 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "
@@ -340,9 +344,9 @@ ORACLE.update(
         "q_tpch_q1": (
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 2) AS sum_qty, "
-            "round(sum(l_extendedprice), 2) AS sum_base_price, "
-            "round(sum(" + _REV + "), 2) AS sum_disc_price, "
-            "round(sum(" + _REV + " * (1 + l_tax)), 2) AS sum_charge, "
+            "round(sum(floor(round(l_extendedprice, 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS sum_base_price, "
+            "round(sum(floor(round(" + _REV + ", 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS sum_disc_price, "
+            "round(sum(floor(round(" + _REV + " * (1 + l_tax), 9) * 1000000 + 0.5)::BIGINT) / 1000000.0, 2) AS sum_charge, "
             "round(avg(l_quantity), 4) AS avg_qty, "
             "round(avg(l_extendedprice), 4) AS avg_price, "
             "round(avg(l_discount), 4) AS avg_disc, "
@@ -373,15 +377,15 @@ ORACLE.update(
         ),
         "q_tpch_q14": (
             "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' "
-            "THEN " + _REV + " ELSE 0.0 END) / sum(" + _REV + "), 4) "
+            "THEN floor(round(" + _REV + ", 9) * 10000 + 0.5)::BIGINT ELSE 0 END) / sum(floor(round(" + _REV + ", 9) * 10000 + 0.5)::BIGINT), 4) "
             "AS promo_revenue_pct, "
-            "round(sum(" + _REV + "), 2) AS total_revenue "
+            "round(sum(floor(round(" + _REV + ", 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS total_revenue "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE l_shipdate >= TIMESTAMP '1997-03-01' "
             "AND l_shipdate < TIMESTAMP '1997-04-01'"
         ),
         "q_tpch_q19": (
-            "SELECT round(sum(" + _REV + "), 2) AS revenue, "
+            "SELECT round(sum(floor(round(" + _REV + ", 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS revenue, "
             "count(*)::BIGINT AS n_lines "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
@@ -542,7 +546,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(F.round(F.sum(_money_fp(rev)) / 10_000.0, 2).alias("revenue"))
     )
 
 
@@ -577,8 +581,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(share_vol) / F.sum(vol), 6).alias("mkt_share"),
-            F.round(F.sum(vol), 2).alias("total_volume"),
+            F.round(
+                F.sum(_money_fp(share_vol)) / F.sum(_money_fp(vol)), 6
+            ).alias("mkt_share"),
+            F.round(F.sum(_money_fp(vol)) / 10_000.0, 2).alias("total_volume"),
         )
     )
 
@@ -693,7 +699,9 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = li.groupBy("l_suppkey").agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(_money_fp(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            / 10_000.0,
+            2,
         ).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
@@ -751,7 +759,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp.join(F.broadcast(avg_q), "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(F.sum(_money_fp(F.col("l_extendedprice"))) / 10_000.0 / 7.0, 2).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -867,7 +875,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(_money_fp(F.col("c_acctbal"))) / 10_000.0, 2).alias("totacctbal"),
         )
     )
 
@@ -911,7 +919,7 @@ ORACLE.update(
         "q_tpch_q7": (
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
             "year(l_shipdate)::BIGINT AS l_year, "
-            "round(sum(" + _REV + "), 2) AS revenue "
+            "round(sum(floor(round(" + _REV + ", 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS revenue "
             "FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
@@ -926,9 +934,9 @@ ORACLE.update(
         ),
         "q_tpch_q8": (
             "SELECT year(o_orderdate)::BIGINT AS o_year, "
-            "round(sum(CASE WHEN n2.n_name = 'NATION_5' THEN " + _REV
-            + " ELSE 0.0 END) / sum(" + _REV + "), 6) AS mkt_share, "
-            "round(sum(" + _REV + "), 2) AS total_volume "
+            "round(sum(CASE WHEN n2.n_name = 'NATION_5' THEN floor(round(" + _REV
+            + ", 9) * 10000 + 0.5)::BIGINT ELSE 0 END) / sum(floor(round(" + _REV + ", 9) * 10000 + 0.5)::BIGINT), 6) AS mkt_share, "
+            "round(sum(floor(round(" + _REV + ", 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS total_volume "
             "FROM lineitem "
             "JOIN part ON l_partkey = p_partkey "
             "JOIN orders ON l_orderkey = o_orderkey "
@@ -980,7 +988,7 @@ ORACLE.update(
         "q_tpch_q15": (
             "WITH revenue0 AS ("
             "  SELECT l_suppkey AS supplier_no, "
-            "  round(sum(" + _REV + "), 2) AS total_revenue "
+            "  round(sum(floor(round(" + _REV + ", 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS total_revenue "
             "  FROM lineitem "
             "  WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
             "  AND l_shipdate < TIMESTAMP '1997-04-01' "
@@ -1008,7 +1016,7 @@ ORACLE.update(
             "  FROM lineitem JOIN p ON l_partkey = p_partkey), "
             "cut AS (SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_cut "
             "  FROM lp GROUP BY l_partkey) "
-            "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, "
+            "SELECT round(sum(floor(round(l_extendedprice, 9) * 10000 + 0.5)::BIGINT) / 10000.0 / 7.0, 2) AS avg_yearly, "
             "count(*)::BIGINT AS n_lines "
             "FROM lp JOIN cut USING (l_partkey) WHERE l_quantity < qty_cut"
         ),
@@ -1053,7 +1061,7 @@ ORACLE.update(
             "  (c_custkey % 7)::INT AS cntrycode FROM customer "
             "  WHERE (c_custkey % 7)::INT IN (1, 3, 5)) "
             "SELECT cntrycode, count(*)::BIGINT AS numcust, "
-            "round(sum(c_acctbal), 2) AS totacctbal FROM cc "
+            "round(sum(floor(round(c_acctbal, 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS totacctbal FROM cc "
             "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cc "
             "  WHERE c_acctbal > 0.0) "
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
