@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import register_views, table
+from .tpch import _money_fp
 
 
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,8 +41,8 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(_money_fp(F.col("l_extendedprice"))) / 10_000.0, 2).alias("sum_base_price"),
+            F.round(F.sum(_money_fp(disc_price)) / 10_000.0, 2).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -108,7 +109,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        F.round(F.sum(_money_fp(F.col("c_acctbal"))) / 10_000.0, 2).alias("sum_acctbal"),
     )
 
 
@@ -119,7 +120,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = o.join(c, o.o_custkey == c.c_custkey)
     return joined.cube("c_mktsegment", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.sum(_money_fp(F.col("o_totalprice"))) / 10_000.0, 2).alias("revenue"),
     )
 
 
@@ -130,7 +131,7 @@ def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment, o_orderstatus,
                count(1) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)) / 10000.0, 2) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
         """
@@ -144,7 +145,7 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(_money_fp(F.col("o_totalprice"))) / 10_000.0, 2).alias("revenue"),
         )
         .filter(F.col("n_orders") >= 14)
     )
@@ -185,8 +186,8 @@ ORACLE = {
     "q_agg_groupby": (
         "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 2) AS sum_qty, "
-        "round(sum(l_extendedprice), 2) AS sum_base_price, "
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(sum(floor(round(l_extendedprice, 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS sum_base_price, "
+        "round(sum(floor(round(l_extendedprice * (1 - l_discount), 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS sum_disc_price, "
         "round(avg(l_quantity), 4) AS avg_qty, "
         "round(avg(l_extendedprice), 4) AS avg_price, "
         "round(avg(l_discount), 4) AS avg_disc, "
@@ -205,26 +206,26 @@ ORACLE = {
     ),
     "q_agg_rollup": (
         "SELECT r_name, n_name, count(*)::BIGINT AS n_customers, "
-        "round(sum(c_acctbal), 2) AS sum_acctbal "
+        "round(sum(floor(round(c_acctbal, 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS sum_acctbal "
         "FROM customer JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY ROLLUP (r_name, n_name)"
     ),
     "q_agg_cube": (
         "SELECT c_mktsegment, o_orderpriority, count(*)::BIGINT AS n_orders, "
-        "round(sum(o_totalprice), 2) AS revenue "
+        "round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS revenue "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY CUBE (c_mktsegment, o_orderpriority)"
     ),
     "q_agg_groupingsets": (
         "SELECT c_mktsegment, o_orderstatus, count(*)::BIGINT AS n_orders, "
-        "round(sum(o_totalprice), 2) AS revenue "
+        "round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS revenue "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())"
     ),
     "q_agg_having": (
         "SELECT o_custkey, count(*)::BIGINT AS n_orders, "
-        "round(sum(o_totalprice), 2) AS revenue "
+        "round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS revenue "
         "FROM orders GROUP BY o_custkey HAVING count(*) >= 14"
     ),
     "q_agg_collect": (

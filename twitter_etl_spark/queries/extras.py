@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..skew import salted_join, salted_sum
 from ..tables import register_views, table
+from .tpch import _money_fp
 from .dedup import q_dedup_simhash_pairs
 
 
@@ -40,7 +41,7 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(F.round(F.sum(_money_fp(F.col("o_totalprice"))) / 10_000.0, 2))
     )
 
 
@@ -212,8 +213,8 @@ ORACLE = {
     ),
     "q_agg_pivot": (
         "SELECT c_mktsegment, "
-        "round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS \"F\", "
-        "round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS \"O\", "
+        "round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)::BIGINT) FILTER (o_orderstatus = 'F') / 10000.0, 2) AS \"F\", "
+        "round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)::BIGINT) FILTER (o_orderstatus = 'O') / 10000.0, 2) AS \"O\", "
         "round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS \"P\" "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_mktsegment"

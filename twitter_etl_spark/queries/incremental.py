@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
+from .tpch import _money_fp
 from .ref_parity import _scratch
 
 
@@ -82,7 +83,7 @@ def q_fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum(_money_fp(F.col("o_totalprice"))) / 10_000.0, 2).alias("total_price"),
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
@@ -130,7 +131,7 @@ ORACLE = {
     ),
     "q_fn_unpivot": (
         "WITH wide AS (SELECT o_orderstatus, count(*)::DOUBLE AS n_orders, "
-        "round(sum(o_totalprice), 2) AS total_price, "
+        "round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS total_price, "
         "round(avg(o_totalprice), 4) AS avg_price "
         "FROM orders GROUP BY o_orderstatus) "
         "SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide "

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import table
+from .tpch import _money_fp
 
 
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,7 +111,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(_money_fp(F.col("o_totalprice"))) / 10_000.0, 2).alias("revenue"),
         )
     )
 
@@ -347,7 +348,7 @@ ORACLE = {
     ),
     "q_join_multiway": (
         "SELECT r_name, n_name, count(*)::BIGINT AS n_orders, "
-        "round(sum(o_totalprice), 2) AS revenue "
+        "round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)::BIGINT) / 10000.0, 2) AS revenue "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey "
@@ -447,8 +448,6 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fixed-point revenue sum (tpch._money_fp): the sf1 drill caught
     # the raw double sum one cent off across engines at 10x rows
-    from .tpch import _money_fp
-
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(
