@@ -86,7 +86,14 @@ def test_cert_prefix_all_oracle_backed():
     4 rows-only names whose last driver rows>0 check is r2/r3."""
     from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
 
-    deliberate_rows_only = set()  # r10 prefix (r5 cohort) is fully oracle-backed
+    # r12 prefix rotates the full r6/r7-stale cohort, which includes
+    # the four rows-only names whose last driver rows>0 check is r7.
+    deliberate_rows_only = {
+        "q_pack_bestfit",
+        "q_sim_kmeans",
+        "q_agg_approx_percentile",
+        "q_dedup_simhash_pairs",
+    }
     prefix = list(ALL_QUERIES)[:50]
     missing = [
         n for n in prefix if n not in ALL_ORACLES and n not in deliberate_rows_only
@@ -224,9 +231,28 @@ def test_bench_delta_vs_prev_semantics():
     # q_b: 3x but |delta| 0.2 < 0.25 floor -> host noise, not flagged
     # q_c: 1.05x -> not flagged
     assert set(d["flagged"]) == {"q_a"} and d["n_flagged"] == 1
-    assert d["flagged"]["q_a"] == {"prev": 1.0, "cur": 2.6, "spread": 0.2}
+    assert d["flagged"]["q_a"] == {
+        "prev": 1.0,
+        "cur": 2.6,
+        "ratio_norm": 2.6,  # no anchor in this fixture -> k = 1.0
+        "spread": 0.2,
+    }
     assert d["median_ratio"] == round(sorted([2.6, 3.0, 1.05])[1], 3)
     assert d["total_ratio"] == round((2.6 + 0.3 + 2.1) / 3.1, 3)
+    assert d["anchor_ratio"] == 1.0 and d["n_flagged_norm"] == 1
+
+    # r11 verdict #7: anchor normalization. Uniform 3x host drift
+    # moves the anchor too — raw flags fire, normalized do not...
+    prev_a = {"q_x": 1.0, "q_tpch_q6": 1.0}
+    drift = {"q_x": 3.0, "q_tpch_q6": 3.0}
+    da = bench.delta_vs_prev(drift, {}, 11, prev_a)
+    assert da["anchor_ratio"] == 3.0
+    assert da["median_ratio_norm"] == 1.0 and da["total_ratio_norm"] == 1.0
+    assert da["n_flagged"] == 2 and da["n_flagged_norm"] == 0
+    # ...while a single-query regression against a flat anchor fires both
+    real = {"q_x": 10.0, "q_tpch_q6": 1.0}
+    dr = bench.delta_vs_prev(real, {}, 11, prev_a)
+    assert dr["n_flagged_norm"] == 1 and "q_x" in dr["flagged"]
 
     detail = {
         "metric": "headline_suite_seconds",

@@ -420,16 +420,18 @@ def test_substring_cut_removes_later_occurrences_only(spark, tmp_path):
     boiler = "one two three four five six seven eight"  # exactly 8 tokens
     docs = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3, 4],
+            "doc_id": [1, 2, 3, 4, 5, 6],
             "text": [
                 "intro words " + boiler,
                 boiler + " different tail",
                 boiler + " " + boiler,  # self-repetition
                 "short doc",
+                "",  # empty: toks == [''] — boundary for sequence()
+                None,  # null text: toks is NULL, size == -1
             ],
-            "lang": ["en"] * 4,
-            "source": ["s"] * 4,
-            "n_chars": [0, 0, 0, 0],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": [0, 0, 0, 0, 0, 0],
         }
     )
     spark.createDataFrame(docs).write.mode("overwrite").parquet(
@@ -453,6 +455,11 @@ def test_substring_cut_removes_later_occurrences_only(spark, tmp_path):
     assert got[3] == (h(""), 16, 0)
     # doc 4: below the window length — no windows, fully kept
     assert got[4] == (h("short doc"), 0, 2)
+    # doc 5: empty text tokenizes to [''] — one (empty) token kept;
+    # doc 6: NULL text -> NULL toks (size -1) — the sequence(1, n)
+    # guard must not raise and must yield an empty reassembly
+    assert got[5] == (h(""), 0, 1)
+    assert got[6][1:] == (0, 0) or got[6][2] == 0
 
 
 def test_substring_cut_conservation_and_idempotence(spark):

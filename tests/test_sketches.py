@@ -620,8 +620,9 @@ def test_holt_linear_matches_python_recursion(spark):
 def test_join_size_cm_one_sided_and_bounded(spark):
     """CM inner-product join-size estimate: one-sided (overcount >=
     0 always — collision cross terms only ADD) and usefully tight at
-    width 64 on the fixture (blowup < 3x). Also cross-checks the
-    exact side against a literal join count."""
+    _JS_WIDTH=256 on the fixture (blowup < 2x; width 64 measured
+    3.2x and was widened in r11). Also cross-checks the exact side
+    against a literal join count."""
     from twitter_etl_spark.queries.sketches import q_join_size_cm
     from twitter_etl_spark.tables import table
     from pyspark.sql import functions as F

@@ -111,59 +111,61 @@ _MODULES = (
 # from the tail — re-run tools/gen_cert_rotation.py 0 after adding).
 # Names NOT in the prefix keep their module-order position after it.
 _CERT_PREFIX = (
-    # -- r5-stale spill from the r10 rotation (last green row: r05)
-    "q_text_bm25",
-    "q_text_chunk_overlap",
-    "q_text_contamination",
-    "q_text_corpus_stopwords",
-    "q_text_heavyhitters",
-    "q_text_squeeze_runs",
-    "q_ts_gapfill",
-    "q_ts_locf",
-    "q_ts_resample_ohlc",
-    # -- r6-stale cohort (last green row: CORRECTNESS_r06)
-    "q_agg_argmax",
-    "q_agg_histogram",
-    "q_agg_percentile",
-    "q_agg_pivot",
-    "q_agg_salted_sum",
-    "q_dedup_minhash_banded",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_semantic",
-    "q_fn_posexplode",
-    "q_fn_try_arith",
-    "q_join_rangedate",
-    "q_join_salted",
-    "q_mix_weights",
-    "q_pandas_asof_cogroup",
-    "q_pandas_gmean",
-    "q_pandas_zscore",
-    "q_session_window_batch",
-    "q_subquery_correlated",
-    "q_text_domain_stats",
-    "q_text_pii_scrub",
-    "q_text_tfidf",
-    "q_text_unigram_logprob",
-    "q_text_zipf",
-    "q_tpch_q1",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q2",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # -- r11-new ops (displace the youngest r6 fillers from the tail)
-    "q_sim_ann_ivfpq",
-    "q_geo_dbscan",
-    "q_agg_quantile_bottomk",
-    "q_join_size_cm",
+    # -- r6-stale cohort (last green row: CORRECTNESS_r06); the 7
+    #    TPC-H names were REWRITTEN by the r11 _money_fp sweep after
+    #    their last driver cert — re-certifying the swept code is the
+    #    round's top verdict item.
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_ts_interarrival",
+    "q_udtf_runlength",
+    "q_win_firstlast",
+    "q_win_ntile_sharded",
+    "q_win_rolling_median",
+    # -- r7-stale cohort (last green row: CORRECTNESS_r07)
+    "q_agg_approx_percentile",
+    "q_agg_collect",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_groupingsets",
+    "q_agg_having",
+    "q_agg_multi_distinct",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_clean_pipeline",
+    "q_dedup_exact_global",
+    "q_dedup_keyed",
+    "q_dedup_paragraph",
+    "q_dedup_simhash_pairs",
+    "q_filter_conj",
+    "q_flagship_transform",
+    "q_graph_cc_star",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_interval",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_selfasof",
+    "q_join_semi",
+    "q_join_theta",
+    "q_mutate_multi",
+    "q_pack_bestfit",
+    "q_project_rename",
+    "q_retrieval_rrf",
+    "q_scan_parquet",
+    "q_sim_kmeans",
+    "q_sink_append",
+    "q_source_ndjson",
+    "q_text_dsir",
 )
 
 _BY_MODULE: dict = {}

@@ -649,9 +649,18 @@ def _reassemble_cut(d: DataFrame, dup: DataFrame) -> DataFrame:
         ).alias("cut_pos")
     )
     cut = F.coalesce(F.col("cut_pos"), F.expr("array()").cast("array<int>"))
-    kept_pos = F.array_except(
-        F.sequence(F.lit(1), F.size("toks")), cut
-    )
+    # sequence(1, 0) steps DOWN to [1, 0] when toks is empty (Spark
+    # steps -1 when start > stop) and element_at(toks, 0) then
+    # raises — guard the empty-document case explicitly. Note:
+    # array_except preserving left-array order is Spark
+    # implementation behavior (Catalyst's ArrayExcept walks the left
+    # array in order), not documented contract — pinned by
+    # test_dedup.py so an upstream change surfaces as a test red,
+    # not silent reorder.
+    kept_pos = F.when(
+        F.size("toks") > 0,
+        F.array_except(F.sequence(F.lit(1), F.size("toks")), cut),
+    ).otherwise(F.expr("array()").cast("array<int>"))
     kept = F.transform(kept_pos, lambda p: F.element_at(F.col("toks"), p))
     return d.join(cov, "doc_id", "left").select(
         "doc_id",

@@ -215,7 +215,7 @@ ORACLE = {
         "SELECT c_mktsegment, "
         "round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)::BIGINT) FILTER (o_orderstatus = 'F') / 10000.0, 2) AS \"F\", "
         "round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)::BIGINT) FILTER (o_orderstatus = 'O') / 10000.0, 2) AS \"O\", "
-        "round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS \"P\" "
+        "round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)::BIGINT) FILTER (o_orderstatus = 'P') / 10000.0, 2) AS \"P\" "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_mktsegment"
     ),

@@ -132,9 +132,36 @@ def q_sim_embedding_neardup(
     shuffles x8 (bounded by the cap), the b-side once — measured
     2.6 s -> 1.6 s at sf0.1 where the unsalted join ran on one
     AQE-coalesced partition."""
-    e = table(spark, sf_dir, "embeddings").select(
+    e = _vec_state(table(spark, sf_dir, "embeddings"))
+    return _pairs_from_state(e, max_block)
+
+
+def _vec_state(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, label, v, norm) — the per-vector state frame the
+    pair scan, the semantic-dedup rollup (rollup.py
+    ``update_semdedup_rollup``) and the incremental probe all share:
+    a pure function of the embedding row, so a re-absorbed vec_id
+    dedups to the identical state row."""
+    return embeddings.select(
         "vec_id", "label", _as_double("embedding").alias("v")
     ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def _pairs_from_state(
+    e: DataFrame,
+    max_block: int = MAX_BLOCK_SIZE,
+    b_side: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_a, vec_b, label, cos_sim >= 0.35) within-cell pairs over
+    a (vec_id, label, v, norm) state frame — the blocked, salted
+    pair scan documented at :func:`q_sim_embedding_neardup`. The
+    hot-cell cap counts the FULL state (over-cap cells drop before
+    pairing). ``b_side`` (a vec_id frame) optionally restricts the
+    RIGHT side of each pair: the incremental form pairs
+    <full state, batch> instead of <full state, full state>, so the
+    quadratic stage shrinks from |cell|² to |cell|·|cell ∩ batch| —
+    history vectors never pair with each other again."""
+    spark = e.sparkSession
     keep = (
         e.groupBy("label")
         .agg(F.count(F.lit(1)).alias("__bs"))
@@ -154,7 +181,8 @@ def q_sim_embedding_neardup(
         "salt",
         F.explode(F.sequence(F.lit(0), F.lit(_PAIR_SALT - 1))),
     )
-    b = e.select(
+    eb = e if b_side is None else e.join(b_side.select("vec_id"), "vec_id")
+    b = eb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("v").alias("vb"),
@@ -267,6 +295,47 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return e.join(dropped, e.vec_id == F.col("d_id"), "left").select(
+        "vec_id",
+        "label",
+        F.when(F.col("d_id").isNull(), 1).otherwise(0).alias("kept"),
+    )
+
+
+def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: a NEW embedding batch judged against
+    the existing corpus WITHOUT re-pairing history — the embedding
+    twin of ``q_dedup_minhash_incremental`` (r11 verdict #3). Split
+    = md5 hash buckets of vec_id: [0, 80) is the absorbed corpus,
+    [80, 100) the incoming batch. A batch vector is DROPPED iff some
+    lower-id vector in its coarse cell (corpus OR batch — the
+    q_dedup_semantic drop-superset rule, unchanged) is
+    cosine-similar >= 0.35; batch vectors in over-cap cells pass
+    through kept, the same recall hand-off as the one-shot op.
+    Because the drop predicate is pairwise (never reads kept
+    status), the answer is EXACTLY ``q_dedup_semantic`` over the
+    full table restricted to batch rows — the oracle certifies that
+    equivalence cross-engine.
+
+    Scale: the implementation routes the pair scan through
+    :func:`_pairs_from_state` with the b-side restricted to the
+    batch, so the quadratic stage is |cell|·|cell ∩ batch| instead
+    of |cell|² — history never pairs with history. Operationally the
+    corpus side is the persisted (vec_id, label, v, norm) state
+    (rollup.py ``update_semdedup_rollup`` / ``probe_semdedup_rollup``;
+    a pytest pins this query row-identical to probe-after-absorb on
+    the same split), so batch embeddings are the only vectors read
+    fresh."""
+    from .sampling import hash_bucket
+
+    e = _vec_state(table(spark, sf_dir, "embeddings"))
+    bk = hash_bucket(F.col("vec_id").cast("string"))
+    batch = e.where(bk >= 80)
+    dropped = (
+        _pairs_from_state(e, b_side=batch.select("vec_id"))
+        .select(F.col("vec_b").alias("d_id"))
+        .distinct()
+    )
+    return batch.join(dropped, batch.vec_id == F.col("d_id"), "left").select(
         "vec_id",
         "label",
         F.when(F.col("d_id").isNull(), 1).otherwise(0).alias("kept"),

@@ -1642,7 +1642,8 @@ def q_join_size_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Certifiable end to end: md5 bucket hashes, integer cells,
     integer inner products (<= |A| * |B| / width per row — BIGINT
-    holds past 10^9 x 10^9 rows at width 64) — both engines rebuild
+    holds past 10^9 x 10^9 rows at width _JS_WIDTH=256) — both
+    engines rebuild
     the identical sketch. Output audits the estimate against the
     exact join size (one group-join at fixture scale; production
     keeps only the two O(depth x width) sketches, built in ONE scan

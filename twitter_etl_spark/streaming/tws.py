@@ -376,25 +376,31 @@ class BottomKValuePaneProcessor(StatefulProcessor):
     estimates over the same rows (test-pinned)."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._pane = handle.getListState("pane", "h BIGINT, value DOUBLE")
+        # State is keyed on (h, event_id), not h alone: the batch
+        # sample's window orders by (h, event_id), so two distinct
+        # event_ids colliding on the 60-bit hash BOTH survive there
+        # — the pane must keep both (and tiebreak the k-boundary on
+        # event_id) or the stream==batch pin silently breaks on the
+        # first collision.
+        self._pane = handle.getListState("pane", "h BIGINT, eid BIGINT, value DOUBLE")
         self._seq = handle.getValueState("seq", "seq BIGINT")
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         from ..queries.sketches import _BK_K
 
-        cur = {int(t[0]): float(t[1]) for t in self._pane.get()}
+        cur = {(int(t[0]), int(t[1])): float(t[2]) for t in self._pane.get()}
         for pdf in rows:
-            for h, v in zip(pdf["h"], pdf["value"]):
-                cur[int(h)] = float(v)
+            for h, eid, v in zip(pdf["h"], pdf["event_id"], pdf["value"]):
+                cur[(int(h), int(eid))] = float(v)
         kmin = sorted(cur.items())[:_BK_K]
-        self._pane.put([(h, v) for h, v in kmin])
+        self._pane.put([(h, eid, v) for (h, eid), v in kmin])
         seq = (int(self._seq.get()[0]) if self._seq.exists() else 0) + 1
         self._seq.update((seq,))
         yield pd.DataFrame(
             {
                 "event_type": [key[0]] * len(kmin),
                 "seq": [seq] * len(kmin),
-                "h": [h for h, _ in kmin],
+                "h": [h for (h, _), _ in kmin],
                 "value": [v for _, v in kmin],
             }
         )
@@ -422,6 +428,7 @@ def running_bottomk_sample(stream: DataFrame) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
         .alias("h"),
+        F.col("event_id").cast("long").alias("event_id"),
         F.col("value").cast("double").alias("value"),
     )
     return hashed.groupBy("event_type").transformWithStateInPandas(
