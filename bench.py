@@ -111,11 +111,13 @@ HEADLINE = [
     "q_geo_dbscan",
     "q_agg_quantile_bottomk",
     "q_join_size_cm",
+    # r12 additions
+    "q_dedup_semantic_incremental",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no
 # oracle; the headline total stays a correctness-certified suite).
-SIDECAR = ["q_ts_lttb"]
+SIDECAR = ["q_ts_lttb", "q_sim_ann_pq_trained"]
 
 #: per-query repetitions; the reported time is the minimum and the
 #: max-min spread is reported alongside so cross-round comparisons

@@ -87,12 +87,15 @@ def test_cert_prefix_all_oracle_backed():
     from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
 
     # r12 prefix rotates the full r6/r7-stale cohort, which includes
-    # the four rows-only names whose last driver rows>0 check is r7.
+    # the four rows-only names whose last driver rows>0 check is r7,
+    # plus the r12-new rows-only trained-PQ twin (new ops must cert
+    # in their birth round; its NumPy replica pin is the real gate).
     deliberate_rows_only = {
         "q_pack_bestfit",
         "q_sim_kmeans",
         "q_agg_approx_percentile",
         "q_dedup_simhash_pairs",
+        "q_sim_ann_pq_trained",
     }
     prefix = list(ALL_QUERIES)[:50]
     missing = [

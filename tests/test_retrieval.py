@@ -199,6 +199,107 @@ def test_ivfpq_index_probe_prunes_and_refines(spark, tmp_path):
         assert abs(r["pq_score"] - r["cos_sim"]) < 0.05
 
 
+def test_ivfpq_absorb_equals_rebuild_and_flags_drift(spark, tmp_path):
+    """Incremental IVF-PQ maintenance (r11 verdict #4): absorbing a
+    new batch must (a) leave the index row-identical in probe terms
+    to a full rebuild over the union under the SAME frozen
+    centroids, (b) keep recall@10 >= 0.9 post-absorb, and (c) report
+    cell-size drift — a batch dumped into one cell pushes imbalance
+    past RETRAIN_IMBALANCE and flips the retrain flag."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.index import (
+        RETRAIN_IMBALANCE,
+        absorb_ivfpq_batch,
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+    from twitter_etl_spark.queries.similarity import _as_double, cosine
+
+    rng = np.random.default_rng(12)
+    dim, k, per = 64, 8, 100
+    centers = rng.standard_normal((k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.repeat(np.arange(k), per)
+    vecs = centers[labels] + 0.05 * rng.standard_normal((k * per, dim))
+
+    def pdf_of(ids):
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(ids, dtype=np.int64),
+                "embedding": [vecs[i].astype(np.float32).tolist() for i in ids],
+                "label": labels[ids].astype(np.int32),
+            }
+        )
+
+    n = k * per
+    base_ids = [i for i in range(n) if i % 5 != 0]  # 80%
+    batch_ids = [i for i in range(n) if i % 5 == 0]  # disjoint 20%
+    base_sf = str(tmp_path / "base")
+    union_sf = str(tmp_path / "union")
+    spark.createDataFrame(pdf_of(base_ids)).write.parquet(
+        f"{base_sf}/embeddings.parquet"
+    )
+    spark.createDataFrame(pdf_of(list(range(n)))).write.parquet(
+        f"{union_sf}/embeddings.parquet"
+    )
+
+    idx = str(tmp_path / "ivfpq_inc")
+    cents = build_ivfpq_index(spark, base_sf, idx, k=8, iters=3)
+    report = absorb_ivfpq_batch(
+        spark, idx, spark.createDataFrame(pdf_of(batch_ids))
+    )
+    assert report["n_added"] == len(batch_ids)
+    assert not report["retrain"]  # uniform batch: no drift
+
+    # (a) probe-after-absorb == rebuild-probe on the union, same
+    # centroids (the honest comparison: layout vs layout)
+    idx_rb = str(tmp_path / "ivfpq_rb")
+    build_ivfpq_index(spark, union_sf, idx_rb, centroids=cents)
+    q = vecs[0].tolist()
+    got = [
+        (r["vec_id"], r["pq_score"], r["cos_sim"])
+        for r in probe_ivfpq_index(spark, idx, q, 2, 10, shortlist=30).collect()
+    ]
+    want = [
+        (r["vec_id"], r["pq_score"], r["cos_sim"])
+        for r in probe_ivfpq_index(
+            spark, idx_rb, q, 2, 10, shortlist=30
+        ).collect()
+    ]
+    assert got == want
+
+    # (b) recall@10 vs exact cosine over the union, post-absorb
+    emb = spark.read.parquet(f"{union_sf}/embeddings.parquet")
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    exact = {
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id",
+            F.round(cosine(_as_double(F.col("embedding")), qcol), 6).alias("c"),
+        )
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert len({v for v, _, _ in got} & exact) / len(exact) >= 0.9
+
+    # (c) drift: dump a hot batch into cell of center 0 — imbalance
+    # must cross the retrain bar
+    hot = centers[0] + 0.05 * rng.standard_normal((4 * n, dim))
+    hot_pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, n + 4 * n, dtype=np.int64),
+            "embedding": [v.astype(np.float32).tolist() for v in hot],
+            "label": np.zeros(4 * n, dtype=np.int32),
+        }
+    )
+    report2 = absorb_ivfpq_batch(spark, idx, spark.createDataFrame(hot_pdf))
+    assert report2["imbalance"] > RETRAIN_IMBALANCE and report2["retrain"]
+
+
 def test_ivfpq_index_recall_on_clustered_data(spark, tmp_path):
     """On clustered data the IVF-PQ probe (int8 shortlist + exact
     refine, nprobe=2 of 8) recalls >= 90% of the global exact top-10

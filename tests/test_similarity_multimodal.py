@@ -207,6 +207,116 @@ def test_kmeans_matches_numpy_replica(spark):
         )
 
 
+def test_pq_trained_matches_numpy_replica(spark):
+    """q_sim_ann_pq_trained vs a step-for-step NumPy PQ replica:
+    per-subspace Lloyd training with the same deterministic init
+    (ksub lowest-vec_id subvectors), same argmin-lowest-cid
+    tie-break, same empty-cluster rule; then identical code
+    assignment, ADC scoring against the reconstruction, shortlist
+    and exact refine. Codes must match exactly; pq_score/cos_sim to
+    float-association tolerance; per-query top-10 overlap >= 9/10
+    (boundary ties may reorder across float op orders). Also records
+    the recall-vs-exact number SCALE.md quotes."""
+    from twitter_etl_spark.queries.similarity import (
+        _PQ_ITERS,
+        _PQ_KSUB,
+        _PQ_M,
+        q_sim_ann_pq_trained,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    )
+    by_id = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64)) for r in rows
+    )
+    ids = np.array([i for i, _ in by_id])
+    X = np.stack([v for _, v in by_id])
+    dim = X.shape[1]
+    d_sub = dim // _PQ_M
+
+    # --- replica training (per subspace) ---
+    book = []
+    for j in range(_PQ_M):
+        S = X[:, j * d_sub : (j + 1) * d_sub]
+        C = S[:_PQ_KSUB].copy()
+        for _ in range(_PQ_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            lab = d2.argmin(axis=1)  # argmin -> lowest cid on ties
+            for c in range(_PQ_KSUB):
+                if (lab == c).any():
+                    C[c] = S[lab == c].mean(axis=0)
+        book.append(C)
+
+    def encode(x):
+        return [
+            int(
+                (
+                    (book[j] - x[j * d_sub : (j + 1) * d_sub]) ** 2
+                ).sum(axis=1).argmin()
+            )
+            for j in range(_PQ_M)
+        ]
+
+    def reconstruct(codes):
+        return np.concatenate([book[j][codes[j]] for j in range(_PQ_M)])
+
+    qmask, cmask = ids < 5, ids >= 5
+    out = []
+    for qi, qv in zip(ids[qmask], X[qmask]):
+        qn = np.linalg.norm(qv)
+        scored = []
+        for ci, cv in zip(ids[cmask], X[cmask]):
+            rec = reconstruct(encode(cv))
+            pq = round(float(qv @ rec / (qn * np.linalg.norm(rec))), 6)
+            cos = round(float(qv @ cv / (qn * np.linalg.norm(cv))), 6)
+            scored.append((ci, pq, cos))
+        sl = sorted(scored, key=lambda t: (-t[1], t[0]))[:100]
+        top = sorted(sl, key=lambda t: (-t[2], t[0]))[:10]
+        out.extend(
+            (int(qi), int(ci), pq, cos, rk + 1)
+            for rk, (ci, pq, cos) in enumerate(top)
+        )
+    want = {(q, c): (pq, cos, rk) for q, c, pq, cos, rk in out}
+
+    got = q_sim_ann_pq_trained(spark, sf).collect()
+    assert len(got) == len(want) == 50
+    by_q_got: dict = {}
+    for r in got:
+        by_q_got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    by_q_want: dict = {}
+    for q, c, *_ in out:
+        by_q_want.setdefault(q, set()).add(c)
+    for q in by_q_want:
+        assert len(by_q_got[q] & by_q_want[q]) >= 9  # ulp-tie tolerance
+    for r in got:
+        key = (r["query_id"], r["cand_id"])
+        if key in want:
+            pq, cos, _ = want[key]
+            assert abs(r["pq_score"] - pq) < 1e-4
+            assert abs(r["cos_sim"] - cos) < 1e-5
+
+    # recall vs exact top-10 (the SCALE.md number): exact = top-10
+    # by true cosine over ALL candidates
+    recalls = []
+    for qi, qv in zip(ids[qmask], X[qmask]):
+        qn = np.linalg.norm(qv)
+        cos_all = sorted(
+            (
+                (
+                    -round(float(qv @ cv / (qn * np.linalg.norm(cv))), 6),
+                    int(ci),
+                )
+                for ci, cv in zip(ids[cmask], X[cmask])
+            ),
+        )[:10]
+        exact = {c for _, c in cos_all}
+        recalls.append(len(by_q_got[int(qi)] & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8  # trained 16-code book
+
+
 def test_rhp_lsh_refine_sound_and_recall_pinned(spark):
     """q_sim_lsh_rhp: every emitted pair really clears the cosine
     threshold (candidate generation may be approximate; the refine

@@ -754,6 +754,80 @@ def test_minhash_probe_equals_incremental_query(spark, tmp_path):
     assert got  # the re-crawled docs guarantee jaccard-1.0 matches
 
 
+def test_semdedup_rollup_keeplist_equals_oneshot(spark, tmp_path):
+    """SemDeDup rollup (r11 verdict #3): after absorbing the
+    embedding corpus in two batches, the keep-list regenerated from
+    the persisted (vec_id, label, v, norm) state ALONE must equal
+    q_dedup_semantic over the union row-for-row — same pair scan,
+    same hot-cell cap, same drop-superset rule. Re-absorbing a batch
+    must be a state no-op (state rows are a pure function of the
+    embedding row)."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.similarity import q_dedup_semantic
+    from twitter_etl_spark.rollup import (
+        semdedup_rollup_keeplist,
+        update_semdedup_rollup,
+    )
+    from twitter_etl_spark.sinks import read_version
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "embeddings")
+    d = str(tmp_path / "sd")
+    update_semdedup_rollup(spark, d, e.filter(F.col("vec_id") % 2 == 0))
+    update_semdedup_rollup(spark, d, e.filter(F.col("vec_id") % 2 == 1))
+    got = sorted(
+        (r["vec_id"], r["label"], r["kept"])
+        for r in semdedup_rollup_keeplist(spark, d).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["label"], r["kept"])
+        for r in q_dedup_semantic(spark, sf).collect()
+    )
+    assert got == want
+    assert any(k == 0 for _, _, k in got)  # non-vacuous: dups exist
+    n_before = read_version(spark, d).count()
+    update_semdedup_rollup(spark, d, e.filter(F.col("vec_id") % 2 == 0))
+    assert read_version(spark, d).count() == n_before
+
+
+def test_semdedup_probe_equals_incremental_query(spark, tmp_path):
+    """Probe-without-absorb against the persisted semantic-dedup
+    state must equal the self-contained certified query on the same
+    base/batch split — the operational path and the oracle-checked
+    path are the same relation (the minhash probe contract, lifted
+    to embedding space)."""
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.queries.sampling import hash_bucket
+    from twitter_etl_spark.queries.similarity import (
+        q_dedup_semantic_incremental,
+    )
+    from twitter_etl_spark.rollup import (
+        probe_semdedup_rollup,
+        update_semdedup_rollup,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "embeddings")
+    bk = hash_bucket(F.col("vec_id").cast("string"))
+    base, batch = e.where(bk < 80), e.where(bk >= 80)
+    rd = str(tmp_path / "sd_idx")
+    update_semdedup_rollup(spark, rd, base)
+    got = sorted(
+        (r["vec_id"], r["label"], r["kept"])
+        for r in probe_semdedup_rollup(spark, rd, batch).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["label"], r["kept"])
+        for r in q_dedup_semantic_incremental(spark, sf).collect()
+    )
+    assert got == want
+    assert got and any(k == 0 for _, _, k in got)  # non-vacuous
+
+
 def test_theta_overlap_from_kmv_rollup_matches_replay(spark, tmp_path):
     """Read-time theta set algebra over the PERSISTED k-min rollup:
     absorbing events in two batches then asking for the

@@ -1579,3 +1579,82 @@ def test_bottomk_sample_pane_matches_batch_sketch(spark):
     per_type = Counter(t for t, _, _ in got)
     assert per_type["click"] == _BK_K  # trimmed at k across batches
     assert per_type["view"] == 2  # exact below k
+
+
+def test_stream_probes_persisted_ivfpq_index_matches_batch(spark):
+    """Serving-path twin of the stream==batch sketch pins (r11
+    verdict #8): a foreachBatch micro-batch loop of QUERY vectors
+    probes the materialized IVF-PQ index (probe_ivfpq_index inside
+    the batch fn — partition- and column-pruned reads, exactly what
+    an online ANN service runs per request batch), appending each
+    probe's top-k to a parquet sink. The accumulated sink must be
+    row-identical to batch probes of the same vectors against the
+    same index — the stream adds delivery, never changes answers.
+    maxFilesPerTrigger=1 forces one micro-batch per landing file so
+    multi-batch accumulation is genuinely exercised."""
+    from pyspark.sql import types as T
+
+    from twitter_etl_spark.index import build_ivfpq_index, probe_ivfpq_index
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    base = tempfile.mkdtemp()
+    idx = os.path.join(base, "ivfpq")
+    landing = os.path.join(base, "queries")
+    sink = os.path.join(base, "hits")
+    os.makedirs(landing)
+    build_ivfpq_index(spark, sf, idx, k=8, iters=2)
+
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 4)
+        .collect()
+    }
+    items = sorted(qvecs.items())
+    for fname, chunk in (("b1.json", items[:2]), ("b2.json", items[2:])):
+        with open(os.path.join(landing, fname), "w") as f:
+            for qid, vec in chunk:
+                f.write(json.dumps({"query_id": qid, "qv": vec}) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("qv", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _probe_batch(batch_df, batch_id):
+        # a serving request batch is small; the per-query probe is
+        # the partition-pruned Spark job, so collecting the REQUEST
+        # rows driver-side is the bounded step, not a data scan
+        for row in batch_df.collect():
+            hits = probe_ivfpq_index(
+                spark, idx, list(row["qv"]), nprobe=2, topk=5, shortlist=20
+            ).withColumn("query_id", F.lit(row["query_id"]))
+            hits.write.mode("append").parquet(sink)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["pq_score"], r["cos_sim"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        (qid, r["vec_id"], r["pq_score"], r["cos_sim"])
+        for qid, vec in items
+        for r in probe_ivfpq_index(
+            spark, idx, vec, nprobe=2, topk=5, shortlist=20
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 4 * 5  # every query delivered its full top-k

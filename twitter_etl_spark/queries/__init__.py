@@ -164,8 +164,10 @@ _CERT_PREFIX = (
     "q_scan_parquet",
     "q_sim_kmeans",
     "q_sink_append",
-    "q_source_ndjson",
-    "q_text_dsir",
+    # -- r12-new ops (displace the youngest r7 fillers from the
+    #    tail: q_source_ndjson and q_text_dsir spill to r13)
+    "q_dedup_semantic_incremental",
+    "q_sim_ann_pq_trained",
 )
 
 _BY_MODULE: dict = {}

@@ -475,6 +475,103 @@ def probe_minhash_rollup(
     )
 
 
+# ---------------------------------------------------------------------------
+# Semantic-dedup (SemDeDup) rollup: the embedding twin of the MinHash
+# index (r11 verdict #3). State per vector is (vec_id, label, v,
+# norm) — the coarse IVF cell plus the raw vector and its norm, a
+# pure function of the embedding row, so a re-absorbed vec_id dedups
+# to the identical state row. Merge = union + dropDuplicates(vec_id).
+# The keep-list regenerated from state alone equals q_dedup_semantic
+# over the union of absorbed batches EXACTLY (same pair scan, same
+# hot-cell cap, same drop-superset rule); the probe judges a NEW
+# batch against <state ∪ batch> while pairing only <state ∪ batch,
+# batch> — history vectors never pair with each other again, so the
+# per-increment cost is |cell|·|cell ∩ batch|, not |cell|².
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_STATE_COLS = ("vec_id", "label", "v", "norm")
+
+
+def _semdedup_vec_rows(new_embeddings: DataFrame) -> DataFrame:
+    from .queries.similarity import _vec_state
+
+    return _vec_state(new_embeddings)
+
+
+def update_semdedup_rollup(
+    spark: SparkSession, rollup_dir: str, new_embeddings: DataFrame
+) -> int:
+    """Absorb one (vec_id, embedding, label) batch into the
+    persistent semantic-dedup state; returns the published version.
+    History embeddings are never re-read — the union is |rollup
+    state| + |batch| rows of already-normed vectors."""
+    fresh = _semdedup_vec_rows(new_embeddings)
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_SEMDEDUP_STATE_COLS)
+        state = prev.unionByName(
+            fresh.select(*_SEMDEDUP_STATE_COLS)
+        ).dropDuplicates(["vec_id"])
+    else:
+        state = fresh
+    return publish_version(state.select(*_SEMDEDUP_STATE_COLS), rollup_dir)
+
+
+def semdedup_rollup_keeplist(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """(vec_id, label, kept) regenerated from the stored state ALONE
+    — row-identical to ``q_dedup_semantic`` over the union of
+    absorbed batches (test-pinned): same blocked salted pair scan,
+    same MAX_BLOCK_SIZE cap counted over the full state, same
+    lower-id drop-superset rule."""
+    from .queries.similarity import _pairs_from_state
+
+    st = read_version(spark, rollup_dir, version).select(*_SEMDEDUP_STATE_COLS)
+    dropped = (
+        _pairs_from_state(st)
+        .select(F.col("vec_b").alias("d_id"))
+        .distinct()
+    )
+    return st.join(dropped, st.vec_id == F.col("d_id"), "left").select(
+        "vec_id",
+        "label",
+        F.when(F.col("d_id").isNull(), 1).otherwise(0).alias("kept"),
+    )
+
+
+def probe_semdedup_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    batch_embeddings: DataFrame,
+    version: int | None = None,
+) -> DataFrame:
+    """(vec_id, label, kept) for a NEW embedding batch judged
+    against the persisted corpus WITHOUT absorbing it — the decision
+    step a curation job runs before admitting vectors. The hot-cell
+    cap counts <state ∪ batch> (parity with the one-shot op on the
+    union); the pair scan's b-side is restricted to the batch, so
+    only |cell|·|cell ∩ batch| dot products are computed.
+    Row-identical to ``q_dedup_semantic_incremental`` when fed the
+    same base/batch split (test-pinned)."""
+    from .queries.similarity import _pairs_from_state
+
+    st = read_version(spark, rollup_dir, version).select(*_SEMDEDUP_STATE_COLS)
+    bt = _semdedup_vec_rows(batch_embeddings)
+    union = st.unionByName(bt.select(*_SEMDEDUP_STATE_COLS)).dropDuplicates(
+        ["vec_id"]
+    )
+    dropped = (
+        _pairs_from_state(union, b_side=bt.select("vec_id"))
+        .select(F.col("vec_b").alias("d_id"))
+        .distinct()
+    )
+    return bt.join(dropped, bt.vec_id == F.col("d_id"), "left").select(
+        "vec_id",
+        "label",
+        F.when(F.col("d_id").isNull(), 1).otherwise(0).alias("kept"),
+    )
+
+
 def theta_overlap_from_kmv_rollup(
     spark: SparkSession,
     rollup_dir: str,
