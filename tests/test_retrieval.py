@@ -348,3 +348,62 @@ def test_ivfpq_index_recall_on_clustered_data(spark, tmp_path):
         .collect()
     }
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_pq_index_probe_prunes_and_matches_query_scoring(spark, tmp_path):
+    """Trained-PQ materialized index (build_pq_index/probe_pq_index):
+    the probe scan must be partition-pruned to the probed cells; its
+    driver-side ADC LUT scoring must equal q_sim_ann_pq_trained's
+    in-plan reconstruction scoring for the same (query, candidate)
+    pairs (same codebook trained on the same corpus → identical
+    codes → identical rounded pq_score), and the refine must return
+    exact cosines. The serving shape is probe_ivfpq_index's at 1/8
+    the code bytes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_etl_spark.index import build_pq_index, probe_pq_index
+    from twitter_etl_spark.queries.similarity import q_sim_ann_pq_trained
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "pq")
+    cents, book = build_pq_index(spark, sf, idx, k=8, iters=2)
+    assert len(book) == 8 and len(book[0]) == 16
+
+    data = spark.read.parquet(os.path.join(idx, "data"))
+    assert {"vec_id", "embedding", "pq_codes", "vnorm", "cell"} <= set(
+        data.columns
+    )
+
+    qrow = table(spark, sf, "embeddings").filter(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in qrow["embedding"]]
+    probe = probe_pq_index(spark, idx, qv, nprobe=8, topk=10, shortlist=100)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    got = {
+        r["vec_id"]: (r["pq_score"], r["cos_sim"]) for r in probe.collect()
+    }
+    assert len(got) == 10
+
+    # nprobe=8 probes ALL cells, so the probe's candidate pool for
+    # query 0 equals the one-job query's — scores must agree exactly
+    # for the common (query 0, cand) pairs
+    want = {
+        r["cand_id"]: (r["pq_score"], r["cos_sim"])
+        for r in q_sim_ann_pq_trained(spark, sf)
+        .filter(F.col("query_id") == 0)
+        .collect()
+    }
+    common = set(got) & set(want)
+    assert len(common) >= 9  # ulp boundary ties may swap the tail
+    for cid in common:
+        assert abs(got[cid][0] - want[cid][0]) < 1e-5, cid
+        assert got[cid][1] == want[cid][1], cid
+
+    # partition pruning is real: nprobe=2 reads fewer cells
+    narrow = probe_pq_index(spark, idx, qv, nprobe=2, topk=10, shortlist=100)
+    nplan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert nplan.count("cell=") <= plan.count("cell=")
+    assert narrow.count() == 10

@@ -1658,3 +1658,80 @@ def test_stream_probes_persisted_ivfpq_index_matches_batch(spark):
     )
     assert got == want
     assert len(got) == 4 * 5  # every query delivered its full top-k
+
+
+def test_stream_feeds_semdedup_rollup_matches_one_shot(spark):
+    """The embedding edition of the stream→rollup handoff: an
+    availableNow foreachBatch loop absorbs each micro-batch of
+    embeddings into rollup.update_semdedup_rollup (one publish per
+    landing file via maxFilesPerTrigger=1), and the keep-list
+    regenerated from the persisted state alone equals the one-shot
+    q_dedup_semantic over the union — the crawler's steady-state
+    semantic-dedup loop, exercised across genuine micro-batch
+    boundaries."""
+    from pyspark.sql import types as T
+
+    from twitter_etl_spark import rollup
+    from twitter_etl_spark.queries.similarity import q_dedup_semantic
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    rollup_dir = os.path.join(base, "sd_rollup")
+    os.makedirs(landing)
+
+    vecs = table(spark, sf, "embeddings").collect()
+    thirds = [vecs[0::3], vecs[1::3], vecs[2::3]]
+    for n, chunk in enumerate(thirds):
+        with open(os.path.join(landing, f"b{n}.json"), "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "vec_id": int(r["vec_id"]),
+                            "embedding": [float(x) for x in r["embedding"]],
+                            "label": int(r["label"]),
+                        }
+                    )
+                    + "\n"
+                )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    versions = []
+
+    def _absorb(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        versions.append(
+            rollup.update_semdedup_rollup(spark, rollup_dir, batch_df)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(versions) == 3  # one rollup publish per micro-batch
+
+    got = sorted(
+        (r["vec_id"], r["label"], r["kept"])
+        for r in rollup.semdedup_rollup_keeplist(spark, rollup_dir).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["label"], r["kept"])
+        for r in q_dedup_semantic(spark, sf).collect()
+    )
+    assert got == want
+    assert any(k == 0 for _, _, k in got)  # non-vacuous

@@ -59,6 +59,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf1", default=SCALES[2][1])
     ap.add_argument("--out", default=os.path.join(ROOT, "SCALE_EXPONENTS.json"))
+    ap.add_argument(
+        "--names",
+        nargs="*",
+        default=None,
+        help="measure only these queries and MERGE their rows into "
+        "an existing --out file (late-added ops get exponents "
+        "without re-running the whole suite)",
+    )
     args = ap.parse_args()
     scales = SCALES[:2] + [("sf1", args.sf1, 1.0)]
     for _, d, _ in scales:
@@ -66,7 +74,10 @@ def main() -> int:
             raise SystemExit(f"missing fixture dir {d} (run tools/gen_sf_scale.py)")
 
     spark = get_spark("bench-scaling")
-    qnames = names()
+    qnames = args.names if args.names else names()
+    for n in qnames:
+        if n not in ALL_QUERIES:
+            raise SystemExit(f"unknown query {n}")
     per_scale: dict[str, dict[str, float]] = {}
     spreads: dict[str, dict[str, float]] = {}
     for label, d, _sf in scales:
@@ -91,13 +102,24 @@ def main() -> int:
             }
         )
 
-    out = {
-        "n_runs": N_RUNS,
-        "flag_slope": FLAG_SLOPE,
-        "totals": {s: round(sum(t.values()), 3) for s, t in per_scale.items()},
-        "rows": rows,
-        "flagged": [r["query"] for r in rows if r["flagged"]],
-    }
+    if args.names and os.path.exists(args.out):
+        # merge mode: replace/append just the measured rows
+        with open(args.out) as fh:
+            out = json.load(fh)
+        by_name = {r["query"]: r for r in out["rows"]}
+        by_name.update({r["query"]: r for r in rows})
+        out["rows"] = list(by_name.values())
+        out["flagged"] = [r["query"] for r in out["rows"] if r["flagged"]]
+    else:
+        out = {
+            "n_runs": N_RUNS,
+            "flag_slope": FLAG_SLOPE,
+            "totals": {
+                s: round(sum(t.values()), 3) for s, t in per_scale.items()
+            },
+            "rows": rows,
+            "flagged": [r["query"] for r in rows if r["flagged"]],
+        }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
 

@@ -247,6 +247,150 @@ def probe_ivfpq_index(
     return refined.orderBy(F.desc("cos_sim"), "vec_id").limit(topk)
 
 
+_PQBOOK_FILE = "_pq_codebook.json"
+
+
+def build_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    k: int = 8,
+    iters: int = 3,
+) -> tuple:
+    """Trained-codebook PQ index — the materialized form of
+    ``q_sim_ann_pq_trained`` (queries/similarity.py), completing the
+    index family: raw-vector IVF → scalar-int8 IVF-PQ → trained-PQ.
+    Same coarse quantizer and cell-partitioned layout as
+    :func:`build_ivfpq_index`, but the stored code column is the
+    m=8 per-subspace codebook assignment (ksub=16 → 4-bit codes:
+    8 SMALL values per vector vs 64 int8s — 8x narrower again), and
+    the codebook (m·ksub·(dim/m) doubles, a few KB) lands next to
+    the centroids as JSON. Returns (centroids, codebook).
+
+    The probe decodes via driver-side LUTs (ADC: per subspace,
+    dot(q_sub, centroid[code]) — m element_at lookups per row, no
+    raw vector bytes), shortlists, and refines exactly like the
+    scalar probe. Recall behavior is the measured PQ trade
+    (SCALE.md: shortlist 100 vs the scalar form's 30)."""
+    from .queries.similarity import _pq_codes, train_pq_codebook
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _as_double(F.col("embedding")).alias("v")
+    )
+    centroids = train_kmeans(e.select("vec_id", "v"), k, iters)
+    dim = len(centroids[0][1])
+    book = train_pq_codebook(e.select("vec_id", "v"), dim)
+    assigned = (
+        _kmeans_assign(e, centroids)
+        .withColumn("pq_codes", _pq_codes(book))
+        .withColumn(
+            "vnorm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "pq_codes",
+            "vnorm",
+            F.col("cluster").alias("cell"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, _DATA_DIR)
+    )
+    with open(os.path.join(index_dir, _CENTROIDS_FILE), "w") as f:
+        json.dump({str(cid): vec for cid, vec in centroids}, f)
+    with open(os.path.join(index_dir, _PQBOOK_FILE), "w") as f:
+        json.dump(book, f)
+    return centroids, book
+
+
+def probe_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list,
+    nprobe: int = 2,
+    topk: int = 10,
+    shortlist: int = 100,
+) -> DataFrame:
+    """ADC probe of the trained-PQ index: per subspace j the dot
+    product dot(q_j, centroid) is precomputed DRIVER-side into a
+    ksub-entry LUT (the classic ADC table — m·ksub doubles per
+    query), so scoring a candidate is m element_at lookups + adds
+    over its 4-bit codes; the reconstruction norm comes from a
+    second LUT of per-centroid squared norms. The scan is
+    partition-pruned to nprobe cells and column-pruned to
+    (vec_id, pq_codes, vnorm); raw embedding bytes are read only for
+    the shortlist refine — identical serving shape to
+    :func:`probe_ivfpq_index` at 1/8 the code bytes."""
+    with open(os.path.join(index_dir, _CENTROIDS_FILE)) as f:
+        centroids = json.load(f)
+    with open(os.path.join(index_dir, _PQBOOK_FILE)) as f:
+        book = json.load(f)
+    cells = _nearest_cells(centroids, query_vec, nprobe)
+    m = len(book)
+    d_sub = len(book[0][0])
+    qnorm = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    # driver-side ADC LUTs: dot(q_j, c) and |c|^2 per (subspace, code)
+    dot_lut, nsq_lut = [], []
+    for j in range(m):
+        qj = [float(x) for x in query_vec[j * d_sub : (j + 1) * d_sub]]
+        dot_lut.append(
+            [sum(a * b for a, b in zip(qj, c)) for c in book[j]]
+        )
+        nsq_lut.append([sum(a * a for a in c) for c in book[j]])
+    data = spark.read.parquet(os.path.join(index_dir, _DATA_DIR)).filter(
+        F.col("cell").isin(cells)
+    )
+    approx_dot = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(v) for v in dot_lut[j]]),
+                F.element_at("pq_codes", j + 1) + 1,
+            )
+            for j in range(m)
+        ),
+        F.lit(0.0),
+    )
+    rec_nsq = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(v) for v in nsq_lut[j]]),
+                F.element_at("pq_codes", j + 1) + 1,
+            )
+            for j in range(m)
+        ),
+        F.lit(0.0),
+    )
+    sl = (
+        data.select(
+            "vec_id",
+            "cell",
+            F.round(
+                approx_dot / (F.lit(qnorm) * F.sqrt(rec_nsq)), 6
+            ).alias("pq_score"),
+        )
+        .orderBy(F.desc("pq_score"), "vec_id")
+        .limit(shortlist)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    refined = data.join(
+        F.broadcast(sl.select("vec_id", "pq_score")), "vec_id"
+    ).select(
+        "vec_id",
+        "cell",
+        "pq_score",
+        F.round(cosine(_as_double(F.col("embedding")), qv), 6).alias("cos_sim"),
+    )
+    return refined.orderBy(F.desc("cos_sim"), "vec_id").limit(topk)
+
+
 #: Cell-imbalance bar above which :func:`absorb_ivfpq_batch` flags
 #: the index for retraining. max/mean cell size of a healthy k-means
 #: partition sits near 1-3; past 4x the hottest cell dominates probe
