@@ -466,18 +466,77 @@ def train_pq_codebook(
     tie-break, empty cluster keeps its centroid). Returns
     ``book[j][c]`` = centroid c of subspace j (dim/m doubles).
 
-    Scale: training runs m tiny driver-synced jobs over the corpus
-    (production trains on a bounded sample — the codebook is
-    m·ksub·(dim/m) doubles regardless of corpus size); encoding is
-    one scan."""
+    Scale: all m subspaces train JOINTLY — one scan per Lloyd round
+    over a subspace-exploded frame (row = (j, subvector)), with the
+    full m x ksub codebook inlined as a nested array literal and the
+    row's own book selected by ``element_at(B, j+1)``. That is
+    1 init + ``iters`` jobs total instead of m·(1+iters) sequential
+    driver-synced jobs (measured at sf0.01: 20.2 s -> ~2 s; the cost
+    was pure job-launch latency, not data). The update is one
+    hash-agg keyed on (j, cluster, pos) — m·ksub·d_sub groups,
+    map-side partials absorb skew; the synced state is still just
+    m·ksub·(dim/m) doubles regardless of corpus size (production
+    additionally trains on a bounded sample)."""
     d_sub = dim // m
-    book = []
-    for j in range(m):
-        sub = e.select(
-            "vec_id", F.slice("v", j * d_sub + 1, d_sub).alias("v")
+    # init: the ksub lowest-vec_id vectors, sliced per subspace —
+    # identical to running train_kmeans' init on each subspace frame
+    init = e.orderBy("vec_id").limit(ksub).collect()
+    book = [
+        [list(r.v[j * d_sub : (j + 1) * d_sub]) for r in init]
+        for j in range(m)
+    ]
+    sub = e.select(
+        F.posexplode(
+            F.array(*[F.slice("v", j * d_sub + 1, d_sub) for j in range(m)])
+        ).alias("j", "sv")
+    )
+    for _ in range(iters):
+        bj = F.element_at(
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.array(*[F.lit(float(x)) for x in c])
+                            for c in book[j]
+                        ]
+                    )
+                    for j in range(m)
+                ]
+            ),
+            F.col("j") + 1,
         )
-        cents = train_kmeans(sub, ksub, iters)
-        book.append([vec for _, vec in cents])
+        structs = []
+        for ci in range(ksub):
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col("sv"),
+                    F.element_at(bj, ci + 1),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cid")))
+        best = F.array_min(F.array(*structs))["cid"]
+        upd = (
+            sub.withColumn("cluster", best)
+            .select("j", "cluster", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("j", "cluster", "pos")
+            .agg(F.avg("val").alias("c"))
+            .collect()
+        )
+        by_jc: dict = {}
+        for row in upd:
+            by_jc.setdefault((row.j, row.cluster), {})[row.pos] = row.c
+        book = [
+            [
+                [by_jc[(j, ci)][p] for p in range(d_sub)]
+                if (j, ci) in by_jc
+                else old  # empty cluster keeps its previous centroid
+                for ci, old in enumerate(book[j])
+            ]
+            for j in range(m)
+        ]
     return book
 
 
