@@ -113,11 +113,15 @@ HEADLINE = [
     "q_join_size_cm",
     # r12 additions
     "q_dedup_semantic_incremental",
+    "q_drift_psi",
+    "q_graph_labelprop",
+    "q_layout_zorder",
+    "q_stat_mann_whitney",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no
 # oracle; the headline total stays a correctness-certified suite).
-SIDECAR = ["q_ts_lttb", "q_sim_ann_pq_trained"]
+SIDECAR = ["q_ts_lttb", "q_sim_ann_pq_trained", "q_text_bpe_merge"]
 
 #: per-query repetitions; the reported time is the minimum and the
 #: max-min spread is reported alongside so cross-round comparisons

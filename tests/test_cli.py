@@ -96,6 +96,7 @@ def test_cert_prefix_all_oracle_backed():
         "q_agg_approx_percentile",
         "q_dedup_simhash_pairs",
         "q_sim_ann_pq_trained",
+        "q_text_bpe_merge",
     }
     prefix = list(ALL_QUERIES)[:50]
     missing = [

@@ -92,6 +92,9 @@ _SINGLE_PARTITION_OK = {
     "q_join_size_cm",
     # cumulative window over the fixed 64-bucket grid, never the data
     "q_stat_ks_binned",
+    # same grid: the cumulative-cb window and 1-row U/tie-term agg
+    # run over <= 64 bins, never the data (r12)
+    "q_stat_mann_whitney",
     # 1-row totals agg over <= 2x64 histogram cells + the final
     # (n_a, n_b)-keyed term sum — both bounded by the grid (r9)
     "q_stat_chi2_binned",

@@ -32,6 +32,7 @@ from . import (
     incremental,
     integrity,
     joins,
+    layout,
     llmprep,
     multimodal_q,
     pandas_udfs,
@@ -72,6 +73,7 @@ _MODULES = (
     incremental,
     sketches,
     extras,
+    layout,
     pandas_udfs,
     tpch,
     llmprep,
@@ -159,15 +161,17 @@ _CERT_PREFIX = (
     "q_join_theta",
     "q_mutate_multi",
     "q_pack_bestfit",
-    "q_project_rename",
-    "q_retrieval_rrf",
-    "q_scan_parquet",
-    "q_sim_kmeans",
-    "q_sink_append",
-    # -- r12-new ops (displace the youngest r7 fillers from the
-    #    tail: q_source_ndjson and q_text_dsir spill to r13)
+    # -- r12-new ops (7 names; they displace the youngest r7 fillers
+    #    from the tail: q_project_rename, q_retrieval_rrf,
+    #    q_scan_parquet, q_sim_kmeans, q_sink_append spill to r13,
+    #    joining the already-spilled q_source_ndjson and q_text_dsir)
     "q_dedup_semantic_incremental",
     "q_sim_ann_pq_trained",
+    "q_drift_psi",
+    "q_graph_labelprop",
+    "q_layout_zorder",
+    "q_stat_mann_whitney",
+    "q_text_bpe_merge",
 )
 
 _BY_MODULE: dict = {}

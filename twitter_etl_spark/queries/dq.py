@@ -434,3 +434,96 @@ ORACLE["q_dq_benford"] = (
     f"/ round(n::DOUBLE * ({_BENFORD_CASE}), 4), 4) AS rel_dev "
     "FROM obs, tot"
 )
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two corpus
+    snapshots — the monitor a training-data pipeline runs when a new
+    crawl lands (is the source mix / language mix / length profile
+    shifting vs the corpus we trained on?). The split is the usual
+    deterministic md5 bucket of doc_id (ref = buckets [0,50),
+    cur = [50,100) — a stand-in for "last snapshot" vs "this
+    snapshot"); three monitored features unpivot from ONE scan:
+    ``source`` (categorical), ``lang`` (categorical), and ``len``
+    (equi-width n_chars/25 bins).
+
+    Per (feature, bin): PSI term = (p_cur − p_ref)·ln(p_cur/p_ref)
+    with Laplace smoothing p = (n + 0.5)/(N + 0.5·B) so one-sided
+    bins (a bin present in only one snapshot — exactly what drift
+    looks like) stay finite. Terms are per-bin, never summed across
+    bins in-engine, so there is no float-association hazard; ln ulp
+    differences across libms are absorbed by round-6 (the
+    ``q_text_unigram_logprob`` convention).
+
+    Scale: one corpus scan → explode(3 structs) → one hash agg on
+    (feature, bin); the window that supplies per-feature totals and
+    bin counts runs on the AGGREGATED frame (|bins| rows, not
+    |corpus|). Monitored-feature cardinality is bounded by policy
+    (a drift monitor on an unbounded-cardinality key is a bug), so
+    the report is small regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    d = table(spark, sf_dir, "documents")
+    side = F.when(
+        hash_bucket(F.col("doc_id").cast("string")) < 50, F.lit("ref")
+    ).otherwise(F.lit("cur"))
+    feats = F.array(
+        F.struct(
+            F.lit("source").alias("feature"), F.col("source").alias("bin")
+        ),
+        F.struct(F.lit("lang").alias("feature"), F.col("lang").alias("bin")),
+        F.struct(
+            F.lit("len").alias("feature"),
+            F.floor(F.col("n_chars") / 25).cast("string").alias("bin"),
+        ),
+    )
+    rows = d.select(side.alias("side"), F.explode(feats).alias("f")).select(
+        "side", F.col("f.feature").alias("feature"), F.col("f.bin").alias("bin")
+    )
+    cnt = rows.groupBy("feature", "bin").agg(
+        F.sum(F.when(F.col("side") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    w = Window.partitionBy("feature")
+    p_ref = (F.col("n_ref") + 0.5) / (
+        F.sum("n_ref").over(w) + 0.5 * F.count(F.lit(1)).over(w)
+    )
+    p_cur = (F.col("n_cur") + 0.5) / (
+        F.sum("n_cur").over(w) + 0.5 * F.count(F.lit(1)).over(w)
+    )
+    return cnt.select(
+        "feature",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
+
+
+QUERIES["q_drift_psi"] = q_drift_psi
+
+ORACLE["q_drift_psi"] = (
+    "WITH base AS (SELECT CASE WHEN "
+    "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100) < 50 "
+    "THEN 'ref' ELSE 'cur' END AS side, source, lang, n_chars "
+    "FROM documents), "
+    "r AS (SELECT side, 'source' AS feature, source AS bin FROM base "
+    "UNION ALL SELECT side, 'lang', lang FROM base "
+    "UNION ALL SELECT side, 'len', (n_chars // 25)::VARCHAR FROM base), "
+    "cnt AS (SELECT feature, bin, "
+    "sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)::BIGINT AS n_ref, "
+    "sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END)::BIGINT AS n_cur "
+    "FROM r GROUP BY feature, bin) "
+    "SELECT feature, bin, n_ref, n_cur, "
+    "round(((n_cur + 0.5) / (sum(n_cur) OVER (PARTITION BY feature) "
+    "+ 0.5 * count(*) OVER (PARTITION BY feature)) "
+    "- (n_ref + 0.5) / (sum(n_ref) OVER (PARTITION BY feature) "
+    "+ 0.5 * count(*) OVER (PARTITION BY feature))) "
+    "* ln(((n_cur + 0.5) / (sum(n_cur) OVER (PARTITION BY feature) "
+    "+ 0.5 * count(*) OVER (PARTITION BY feature))) "
+    "/ ((n_ref + 0.5) / (sum(n_ref) OVER (PARTITION BY feature) "
+    "+ 0.5 * count(*) OVER (PARTITION BY feature)))), 6) AS psi_term "
+    "FROM cnt"
+)

@@ -1716,3 +1716,107 @@ ORACLE["q_join_size_cm"] = (
     "round(join_size_est / greatest(join_size, 1), 4) AS blowup "
     "FROM ip, ex"
 )
+
+
+def q_stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) between the
+    AUTOMOBILE and MACHINERY balance distributions on the same
+    64-bucket grid as ``q_stat_ks_binned`` — the nonparametric
+    location-shift gate of the drift family (KS sees the worst ECDF
+    gap, chi-squared sees reshaping, MW sees "did the whole
+    distribution slide"). Binning makes the rank statistic exact ON
+    THE BINS (every bin is one tie group) and scale-safe: exact MW
+    needs global order statistics — a full sort of the union — while
+    this is one hash agg to ≤ 64 cells plus a 64-row window.
+
+    Integer-exact cross-engine: with per-bin counts (ca, cb) and
+    ascending cumulative cb, 2·U_a = Σ ca·(2·cum_cb_prev + cb) —
+    wins count twice, within-bin ties once — and the tie-correction
+    term Σ(t³ − t) (t = bin total) are BIGINT sums; only the final
+    z-score (normal approximation with tie-corrected variance) and
+    the rank-biserial effect size divide, once, and round at 6.
+    BIGINT ceilings: t³ caps a bin at ~2.09e6 rows, 2·U at
+    ~3e9 rows/side — far past any per-batch drift check; past that,
+    promote the tie term to DOUBLE (exact to 2^53) or pre-scale.
+
+    Scale: counts collapse map-side; the cumulative window runs over
+    the ≤64-row grid, never the data (single-partition exchange
+    allowlisted exactly like q_stat_ks_binned's)."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
+    )
+    bucket = F.least(
+        F.floor((F.col("c_acctbal") - _HP_LO) / _HP_W), F.lit(_HP_B - 1)
+    ).cast("int")
+    counts = c.groupBy(bucket.alias("bucket")).agg(
+        F.sum((F.col("c_mktsegment") == "AUTOMOBILE").cast("long")).alias("ca"),
+        F.sum((F.col("c_mktsegment") == "MACHINERY").cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("ca") + F.col("cb")
+    per = counts.select(
+        "ca",
+        "cb",
+        (
+            F.col("ca")
+            * (2 * F.coalesce(F.sum("cb").over(w), F.lit(0)) + F.col("cb"))
+        ).alias("u2_term"),
+        (t * t * t - t).alias("tie_term"),
+    )
+    agg = per.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum("u2_term").alias("u2_a"),
+        F.sum("tie_term").alias("ties"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    var = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / 12.0
+        * ((n + 1) - F.col("ties") / (n * (n - 1.0)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "u2_a",
+        F.round(
+            (F.col("u2_a") - F.col("n_a").cast("double") * F.col("n_b"))
+            / (2.0 * F.sqrt(var)),
+            6,
+        ).alias("z_score"),
+        F.round(
+            F.col("u2_a") / (F.col("n_a").cast("double") * F.col("n_b")) - 1.0,
+            6,
+        ).alias("rank_biserial"),
+    )
+
+
+QUERIES["q_stat_mann_whitney"] = q_stat_mann_whitney
+
+ORACLE["q_stat_mann_whitney"] = (
+    "WITH c AS (SELECT c_mktsegment, "
+    f"least(floor((c_acctbal - ({_HP_LO!r})) / {_HP_W!r}), {_HP_B - 1})::INT "
+    "  AS bucket FROM customer "
+    "  WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')), "
+    "cnt AS (SELECT bucket, "
+    "  sum((c_mktsegment = 'AUTOMOBILE')::INT)::BIGINT AS ca, "
+    "  sum((c_mktsegment = 'MACHINERY')::INT)::BIGINT AS cb "
+    "  FROM c GROUP BY bucket), "
+    "per AS (SELECT ca, cb, "
+    "  ca * (2 * coalesce(sum(cb) OVER (ORDER BY bucket "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cb) "
+    "    AS u2_term, "
+    "  (ca + cb) * (ca + cb) * (ca + cb) - (ca + cb) AS tie_term "
+    "  FROM cnt), "
+    "agg AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b, "
+    "  sum(u2_term)::BIGINT AS u2_a, sum(tie_term)::BIGINT AS ties FROM per) "
+    "SELECT n_a, n_b, u2_a, "
+    "round((u2_a - n_a::DOUBLE * n_b) / (2.0 * sqrt(n_a::DOUBLE * n_b / 12.0 "
+    "  * ((n_a + n_b + 1) - ties / ((n_a + n_b) * (n_a + n_b - 1.0))))), 6) "
+    "  AS z_score, "
+    "round(u2_a / (n_a::DOUBLE * n_b) - 1.0, 6) AS rank_biserial "
+    "FROM agg"
+)

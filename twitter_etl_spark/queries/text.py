@@ -436,3 +436,94 @@ ORACLE.update(
         ),
     }
 )
+
+
+BPE_MERGES = 6
+
+
+def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training for the first ``BPE_MERGES`` merge
+    rules (Sennrich et al. 2016) — the iterative continuation of
+    ``q_text_bpe_pairs`` (which computes round 1's statistic only).
+    Each round: (1) count adjacent symbol pairs over the (distinct
+    word, count) VOCABULARY, weighted by word frequency; (2) take the
+    argmax pair under the total order (n desc, sym_a, sym_b); (3)
+    apply the merge greedily left-to-right inside every word's symbol
+    array. Output is the learned merge table — one row per round:
+    (merge_round, sym_a, sym_b, merged, n).
+
+    Exactly the trainer dataflow that makes BPE tractable at 100 TB:
+    the corpus is aggregated ONCE to the vocabulary (cached — ≪
+    corpus size; pair work is per distinct word), each round is one
+    hash agg over the vocab plus a 1-row argmax sync through the
+    driver (the ``q_sim_kmeans`` loop barrier), and the merge itself
+    is a pure higher-order-function fold (aggregate over the symbol
+    array: append, or coalesce with the previous symbol when it
+    completes the pair) — no UDF, no shuffle.
+
+    Rows-only, NOT because anything here is approximate — counts are
+    integers and the argmax tie-break is total — but because
+    expressing 6 data-dependent merge rounds needs either recursion
+    DuckDB 1.0's SQL can't parameterize or a 6-deep mechanically
+    unrolled fold; the step-for-step Python replica pin
+    (tests/test_text_ops.py) covers exactness instead, the
+    ``q_pack_bestfit`` precedent."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(_tokens()).alias("word")).where(
+        F.col("word") != ""
+    )
+    wc = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .select(
+            "n_w",
+            F.expr(
+                "transform(sequence(1, char_length(word)), "
+                "i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    from ..cacheutil import cache_latest
+
+    wc = cache_latest("bpe_vocab", wc)
+    out = []
+    for rnd in range(1, BPE_MERGES + 1):
+        pairs = wc.select(
+            "n_w",
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1), "
+                    "(s, i) -> struct(s AS a, element_at(syms, i + 2) AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("n_w").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        out.append((rnd, a, b, a + b, int(n)))
+        merge = (
+            "aggregate(syms, array()::array<string>, (acc, x) -> "
+            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {a} "
+            "AND x = {b} THEN concat(slice(acc, 1, size(acc) - 1), "
+            "array({a} || {b})) ELSE concat(acc, array(x)) END)"
+        ).format(a=_sql_str(a), b=_sql_str(b))
+        wc = wc.select("n_w", F.expr(merge).alias("syms"))
+    return spark.createDataFrame(
+        out, "merge_round int, sym_a string, sym_b string, merged string, n bigint"
+    )
+
+
+def _sql_str(s: str) -> str:
+    """A SQL string literal for a symbol (tokens are \\w+ so quoting
+    is belt-and-braces)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+QUERIES["q_text_bpe_merge"] = q_text_bpe_merge
