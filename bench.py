@@ -117,6 +117,8 @@ HEADLINE = [
     "q_graph_labelprop",
     "q_layout_zorder",
     "q_stat_mann_whitney",
+    "q_seq_pattern",
+    "q_ts_mann_kendall",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

@@ -159,3 +159,44 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_drift_rollup_absorb_matches_one_shot(spark):
+    """update_drift_rollup / read_drift_psi: absorbing the corpus in
+    three doc_id-keyed chunks yields a PSI report row-identical to
+    the one-shot q_drift_psi over the full table — counts are a
+    plain-sum monoid, so the merge is exact, and the finalizer is
+    the same psi_report both ways."""
+    from twitter_etl_spark import rollup
+    from twitter_etl_spark.queries.dq import q_drift_psi
+
+    base = tempfile.mkdtemp()
+    rdir = f"{base}/drift_rollup"
+    d = table(spark, SF_ORACLE, "documents")
+    versions = [
+        rollup.update_drift_rollup(
+            spark, rdir, d.where(F.col("doc_id") % 3 == i)
+        )
+        for i in range(3)
+    ]
+    assert versions == [1, 2, 3]
+
+    got = {
+        tuple(r) for r in rollup.read_drift_psi(spark, rdir).collect()
+    }
+    want = {tuple(r) for r in q_drift_psi(spark, SF_ORACLE).collect()}
+    assert got == want and len(got) > 10
+    # time travel: version 1 covers only chunk 0
+    v1 = {
+        tuple(r)
+        for r in rollup.read_drift_psi(spark, rdir, version=1).collect()
+    }
+    from twitter_etl_spark.queries.dq import drift_counts, psi_report
+
+    want_v1 = {
+        tuple(r)
+        for r in psi_report(
+            drift_counts(d.where(F.col("doc_id") % 3 == 0))
+        ).collect()
+    }
+    assert v1 == want_v1

@@ -1735,3 +1735,69 @@ def test_stream_feeds_semdedup_rollup_matches_one_shot(spark):
     )
     assert got == want
     assert any(k == 0 for _, _, k in got)  # non-vacuous
+
+
+def test_stream_feeds_drift_rollup_matches_one_shot(spark):
+    """Streaming drift monitoring: an availableNow foreachBatch loop
+    absorbs each landed document micro-batch into
+    rollup.update_drift_rollup (one publish per landing file), and
+    the finalized PSI report from the persisted counts equals the
+    one-shot report over the union of all batches — the stream ≡
+    batch contract extended to the r12 drift family."""
+    from pyspark.sql import types as T
+
+    from twitter_etl_spark import rollup
+    from twitter_etl_spark.queries.dq import drift_counts, psi_report
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    rollup_dir = os.path.join(base, "drift_rollup")
+    os.makedirs(landing)
+
+    def _doc(i):
+        return {
+            "doc_id": i,
+            "lang": ["en", "es", "de"][i % 3],
+            "source": f"src{i % 5}",
+            "n_chars": 40 + (i * 37) % 300,
+        }
+
+    for b in range(3):
+        with open(os.path.join(landing, f"b{b}.json"), "w") as f:
+            for i in range(b * 40, (b + 1) * 40):
+                f.write(json.dumps(_doc(i)) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    versions = []
+
+    def _absorb(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        versions.append(rollup.update_drift_rollup(spark, rollup_dir, batch_df))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(versions) == 3
+
+    got = {
+        tuple(r)
+        for r in rollup.read_drift_psi(spark, rollup_dir).collect()
+    }
+    union = spark.read.schema(schema).json(landing)
+    want = {tuple(r) for r in psi_report(drift_counts(union)).collect()}
+    assert got == want and len(got) > 5  # exact equality, not tolerance

@@ -159,12 +159,11 @@ _CERT_PREFIX = (
     "q_join_selfasof",
     "q_join_semi",
     "q_join_theta",
-    "q_mutate_multi",
-    "q_pack_bestfit",
-    # -- r12-new ops (7 names; they displace the youngest r7 fillers
-    #    from the tail: q_project_rename, q_retrieval_rrf,
-    #    q_scan_parquet, q_sim_kmeans, q_sink_append spill to r13,
-    #    joining the already-spilled q_source_ndjson and q_text_dsir)
+    # -- r12-new ops (9 names; they displace the youngest r7 fillers
+    #    from the tail: q_mutate_multi, q_pack_bestfit,
+    #    q_project_rename, q_retrieval_rrf, q_scan_parquet,
+    #    q_sim_kmeans, q_sink_append spill to r13, joining the
+    #    already-spilled q_source_ndjson and q_text_dsir)
     "q_dedup_semantic_incremental",
     "q_sim_ann_pq_trained",
     "q_drift_psi",
@@ -172,6 +171,8 @@ _CERT_PREFIX = (
     "q_layout_zorder",
     "q_stat_mann_whitney",
     "q_text_bpe_merge",
+    "q_seq_pattern",
+    "q_ts_mann_kendall",
 )
 
 _BY_MODULE: dict = {}

@@ -562,3 +562,62 @@ ORACLE["q_behavior_rfm"] = (
     "      ELSE 1 END)::BIGINT AS m_score "
     "FROM u, t"
 )
+
+
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching over per-user
+    event journeys — the behavioral-regex operator (SQL:2016 row
+    pattern recognition; Spark has no MATCH_RECOGNIZE, so the
+    journey is materialized as a STRING and the pattern runs as a
+    regex): each user's events in (ts, event_id) order become a
+    code string (c/e/p/s/v = the event type's initial — distinct by
+    fixture design), and the report counts non-overlapping matches
+    of ``v[ce]*p`` — a view that converts to purchase with only
+    clicks/errors between (no intervening signup/view resets the
+    attempt, exactly the MATCH_RECOGNIZE PATTERN (V (C|E)* P)
+    semantics). Output: per-user journey length, match count, and
+    the journey digest (md5 keeps the certified frame skinny).
+
+    Determinism: the sort key (ts, event_id) is a total order, the
+    code alphabet is 1:1, and greedy leftmost regex matching is
+    identical in java.util.regex and RE2 for this pattern class —
+    counts hash-match cross-engine.
+
+    Scale: ONE shuffle on user_id (collect_list + sort_array per
+    user — no global sort); journey length is per-entity bounded
+    (at 100 TB the monitor caps the journey window — e.g. last 10k
+    events — the same per-entity cap family as JACCARD_MAX_PIVOT;
+    regex cost is linear in journey length)."""
+    e = table(spark, sf_dir, "events")
+    code = F.substring("event_type", 1, 1)
+    j = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", code.alias("c")))
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("journey"),
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        F.size(F.regexp_extract_all("journey", F.lit("v[ce]*p"), F.lit(0)))
+        .cast("long")
+        .alias("n_matches"),
+        F.md5("journey").alias("journey_md5"),
+    )
+
+
+QUERIES["q_seq_pattern"] = q_seq_pattern
+ORACLE["q_seq_pattern"] = (
+    "WITH j AS (SELECT user_id, count(*)::BIGINT AS n_events, "
+    "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) "
+    "AS journey FROM events GROUP BY user_id) "
+    "SELECT user_id, n_events, "
+    "len(regexp_extract_all(journey, 'v[ce]*p'))::BIGINT AS n_matches, "
+    "md5(journey) AS journey_md5 FROM j"
+)

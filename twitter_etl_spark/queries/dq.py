@@ -460,12 +460,23 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin counts runs on the AGGREGATED frame (|bins| rows, not
     |corpus|). Monitored-feature cardinality is bounded by policy
     (a drift monitor on an unbounded-cardinality key is a bug), so
-    the report is small regardless of corpus size."""
-    from pyspark.sql import Window
+    the report is small regardless of corpus size. The per-bin
+    counts are a mergeable monoid — ``rollup.update_drift_rollup``
+    maintains them incrementally per landing batch and
+    ``read_drift_psi`` (pinned row-identical to this query) derives
+    the same report from the persisted state."""
+    d = table(spark, sf_dir, "documents")
+    cnt = drift_counts(d)
+    return psi_report(cnt)
 
+
+def drift_rows(d: DataFrame) -> DataFrame:
+    """(side, feature, bin) rows for the drift monitor: the md5
+    snapshot split and the three monitored features unpivoted from
+    one scan — shared by the one-shot query and the rollup's
+    partial-state builder."""
     from .sampling import hash_bucket
 
-    d = table(spark, sf_dir, "documents")
     side = F.when(
         hash_bucket(F.col("doc_id").cast("string")) < 50, F.lit("ref")
     ).otherwise(F.lit("cur"))
@@ -479,13 +490,25 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_chars") / 25).cast("string").alias("bin"),
         ),
     )
-    rows = d.select(side.alias("side"), F.explode(feats).alias("f")).select(
+    return d.select(side.alias("side"), F.explode(feats).alias("f")).select(
         "side", F.col("f.feature").alias("feature"), F.col("f.bin").alias("bin")
     )
-    cnt = rows.groupBy("feature", "bin").agg(
+
+
+def drift_counts(d: DataFrame) -> DataFrame:
+    """Per-(feature, bin) ref/cur counts — the drift monitor's
+    mergeable partial state (plain BIGINT sums)."""
+    return drift_rows(d).groupBy("feature", "bin").agg(
         F.sum(F.when(F.col("side") == "ref", 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("n_cur"),
     )
+
+
+def psi_report(cnt: DataFrame) -> DataFrame:
+    """Finalize the PSI report from (feature, bin, n_ref, n_cur)
+    counts — window over the bins frame only."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("feature")
     p_ref = (F.col("n_ref") + 0.5) / (
         F.sum("n_ref").over(w) + 0.5 * F.count(F.lit(1)).over(w)

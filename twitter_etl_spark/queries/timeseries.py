@@ -1117,3 +1117,94 @@ ORACLE["q_ts_xcorr_daily"] = (
     "* (n * syy - sy * sy)::DOUBLE), 0.0), 6) AS xcorr "
     "FROM s"
 )
+
+
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type over the daily-count
+    series — the nonparametric "is this series trending" gate that
+    completes the r12 stat family (Mann-Whitney compares two
+    snapshots; this detects monotonic drift WITHIN one series).
+    S = Σ_{i<j} sign(c_j − c_i) over day pairs, tie-corrected
+    variance Var = (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18 over
+    tied-count groups, z with the ±1 continuity correction.
+
+    Integer-exact cross-engine: the series is DAILY EVENT COUNTS
+    (BIGINT — no float enters until the final z), S and both
+    variance terms are integer sums, and sign() on integer
+    differences is exact; only z divides, once, rounded at 6.
+
+    Scale: two hash aggs (day grid, then tie groups) plus a
+    self-join on event_type with day < day — CALENDAR-bounded
+    (≤ days²/2 pairs per type, the q_win_rolling_median bound
+    class), never event-volume-bound. At 100 TB the day grid per
+    type is still ~365 rows/year; the pair join is trivia next to
+    the daily agg's one scan."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("tie_term"))
+    )
+    n = F.col("n_days")
+    var = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double") / 18.0
+    )
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var)).when(
+        F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return (
+        s.join(n_days, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            F.round(z, 6).alias("z_score"),
+        )
+    )
+
+
+QUERIES["q_ts_mann_kendall"] = q_ts_mann_kendall
+ORACLE["q_ts_mann_kendall"] = (
+    "WITH daily AS (SELECT event_type, date_trunc('day', ts)::DATE AS day, "
+    "count(*)::BIGINT AS c FROM events GROUP BY 1, 2), "
+    "s AS (SELECT a.event_type, "
+    "sum(sign(b.c - a.c))::BIGINT AS s_stat "
+    "FROM daily a JOIN daily b ON a.event_type = b.event_type "
+    "AND a.day < b.day GROUP BY a.event_type), "
+    "nd AS (SELECT event_type, count(*)::BIGINT AS n_days FROM daily "
+    "GROUP BY event_type), "
+    "ties AS (SELECT event_type, "
+    "sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term FROM "
+    "(SELECT event_type, c, count(*)::BIGINT AS t FROM daily "
+    "GROUP BY event_type, c) GROUP BY event_type) "
+    "SELECT s.event_type, n_days, s_stat, "
+    "round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt((n_days * "
+    "(n_days - 1) * (2 * n_days + 5) - tie_term) / 18.0) "
+    "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt((n_days * (n_days - 1) "
+    "* (2 * n_days + 5) - tie_term) / 18.0) ELSE 0.0 END, 6) AS z_score "
+    "FROM s JOIN nd ON s.event_type = nd.event_type "
+    "JOIN ties ON s.event_type = ties.event_type"
+)

@@ -804,3 +804,50 @@ def probe_substring_cut(
         )
     )
     return _reassemble_cut(d, dup.select("doc_id", "i"))
+
+
+# ---------------------------------------------------------------------------
+# Drift-monitor rollup: the q_drift_psi report made incremental. The
+# monitor's state is per-(feature, bin, side) counts — plain BIGINT
+# sums, the simplest mergeable monoid in the file — so each landing
+# batch absorbs with one partial agg over the BATCH plus a merge over
+# |state| + |batch partials| rows; the corpus is never re-scanned.
+# State size follows the monitored-feature bin count (policy-bounded),
+# not the corpus. read_drift_psi finalizes the identical report the
+# one-shot query computes (pinned row-identical in test_scale_features).
+# ---------------------------------------------------------------------------
+
+_DRIFT_STATE_COLS = ("feature", "bin", "n_ref", "n_cur")
+
+
+def update_drift_rollup(
+    spark: SparkSession, rollup_dir: str, new_docs: DataFrame
+) -> int:
+    """Absorb one document batch into the drift-count state; returns
+    the published version. First call bootstraps."""
+    from .queries.dq import drift_counts
+
+    fresh = drift_counts(new_docs)
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_DRIFT_STATE_COLS)
+        state = (
+            prev.unionByName(fresh.select(*_DRIFT_STATE_COLS))
+            .groupBy("feature", "bin")
+            .agg(F.sum("n_ref").alias("n_ref"), F.sum("n_cur").alias("n_cur"))
+        )
+    else:
+        state = fresh
+    return publish_version(state.select(*_DRIFT_STATE_COLS), rollup_dir)
+
+
+def read_drift_psi(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """The PSI report finalized from the persisted counts — same
+    smoothing, same round-6 terms as ``q_drift_psi``; row-identical
+    to the one-shot query over the union of absorbed batches."""
+    from .queries.dq import psi_report
+
+    return psi_report(
+        read_version(spark, rollup_dir, version).select(*_DRIFT_STATE_COLS)
+    )
