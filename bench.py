@@ -119,6 +119,7 @@ HEADLINE = [
     "q_stat_mann_whitney",
     "q_seq_pattern",
     "q_ts_mann_kendall",
+    "q_drift_emd",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

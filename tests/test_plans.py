@@ -95,6 +95,9 @@ _SINGLE_PARTITION_OK = {
     # same grid: the cumulative-cb window and 1-row U/tie-term agg
     # run over <= 64 bins, never the data (r12)
     "q_stat_mann_whitney",
+    # cumulative-ECDF window + 1-row totals over the bounded ordinal
+    # len-bin grid, never the corpus (r12)
+    "q_drift_emd",
     # 1-row totals agg over <= 2x64 histogram cells + the final
     # (n_a, n_b)-keyed term sum — both bounded by the grid (r9)
     "q_stat_chi2_binned",

@@ -550,3 +550,84 @@ ORACLE["q_drift_psi"] = (
     "+ 0.5 * count(*) OVER (PARTITION BY feature)))), 6) AS psi_term "
     "FROM cnt"
 )
+
+
+def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned earth-mover (1-D Wasserstein) distance between the two
+    snapshots' LENGTH distributions — the third drift lens (PSI sees
+    per-bin reshaping, KS the worst single ECDF gap, EMD the total
+    transport work — i.e. HOW FAR mass moved, which PSI and KS both
+    under-report for a small shift applied everywhere). Bins are the
+    ordinal n_chars/25 grid of ``q_drift_psi``'s len feature; on a
+    1-D ordinal grid EMD = Σ_bins |ECDF_ref − ECDF_cur| exactly.
+
+    Integer-exact cross-engine: ECDFs are compared cross-multiplied
+    as |cum_ref·n_cur − cum_cur·n_ref| (BIGINT), summed as BIGINT,
+    and divided ONCE by n_ref·n_cur at the end (round 6; the unit is
+    bins-of-transport). Same ceiling class as the stat family
+    (documented at q_stat_mann_whitney).
+
+    Scale: one scan → one hash agg on the bin key (map-side
+    partials); the cumulative window runs over the |bins|-row grid,
+    never the corpus (single-partition exchange allowlisted like
+    q_stat_ks_binned's)."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    d = table(spark, sf_dir, "documents")
+    side = F.when(
+        hash_bucket(F.col("doc_id").cast("string")) < 50, F.lit("ref")
+    ).otherwise(F.lit("cur"))
+    cnt = d.select(
+        side.alias("side"),
+        F.floor(F.col("n_chars") / 25).cast("int").alias("bin"),
+    ).groupBy("bin").agg(
+        F.sum(F.when(F.col("side") == "ref", 1).otherwise(0)).alias("cr"),
+        F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("cc"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select(
+        F.sum("cr").over(w).alias("cum_r"), F.sum("cc").over(w).alias("cum_c")
+    )
+    # the cross-multiplied |cum_r*n_cur - cum_c*n_ref| needs the
+    # totals alongside every grid row: a 1-row broadcast frame
+    # (bins-bounded arithmetic, never the corpus)
+    tot = cnt.agg(
+        F.sum("cr").alias("n_ref"), F.sum("cc").alias("n_cur")
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("cum_r") * F.col("n_cur") - F.col("cum_c") * F.col("n_ref")
+        ).alias("t"),
+    )
+    return terms.groupBy("n_ref", "n_cur").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(
+            F.sum("t") / (F.col("n_ref").cast("double") * F.col("n_cur")), 6
+        ).alias("emd_bins"),
+    )
+
+
+QUERIES["q_drift_emd"] = q_drift_emd
+
+ORACLE["q_drift_emd"] = (
+    "WITH base AS (SELECT CASE WHEN "
+    "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100) < 50 "
+    "THEN 'ref' ELSE 'cur' END AS side, (n_chars // 25)::INT AS bin "
+    "FROM documents), "
+    "cnt AS (SELECT bin, "
+    "sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)::BIGINT AS cr, "
+    "sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END)::BIGINT AS cc "
+    "FROM base GROUP BY bin), "
+    "cum AS (SELECT sum(cr) OVER (ORDER BY bin)::BIGINT AS cum_r, "
+    "sum(cc) OVER (ORDER BY bin)::BIGINT AS cum_c FROM cnt), "
+    "tot AS (SELECT sum(cr)::BIGINT AS n_ref, sum(cc)::BIGINT AS n_cur "
+    "FROM cnt) "
+    "SELECT n_ref, n_cur, count(*)::BIGINT AS n_bins, "
+    "round(sum(abs(cum_r * n_cur - cum_c * n_ref)) "
+    "/ (n_ref::DOUBLE * n_cur), 6) AS emd_bins "
+    "FROM cum CROSS JOIN tot GROUP BY n_ref, n_cur"
+)
