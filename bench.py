@@ -120,6 +120,7 @@ HEADLINE = [
     "q_seq_pattern",
     "q_ts_mann_kendall",
     "q_drift_emd",
+    "q_multimodal_phash_dedup",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

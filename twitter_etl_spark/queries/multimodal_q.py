@@ -182,3 +182,167 @@ ORACLE["q_multimodal_shard_manifest"] = (
     "SELECT doc_id, pack_group, n_bytes, byte_offset, "
     f"CAST(floor(byte_offset / {_SHARD_BYTES}) AS BIGINT) AS shard_seq FROM o"
 )
+
+
+#: dHash geometry: 8x8 sampled "pixels" -> 8 rows x 7 adjacent
+#: comparisons = 56 hash bits; 4 bands of 14 bits for the LSH join.
+_PH_PIX, _PH_ROWS, _PH_COLS = 64, 8, 8
+_PH_BITS = _PH_ROWS * (_PH_COLS - 1)
+_PH_BANDS, _PH_BAND_BITS = 4, 14
+_PH_MAX_HAMMING = 12
+#: hot-band cap (the MAX_SHINGLE_DF family): a band value shared by
+#: more docs than this is skipped — boilerplate-identical payloads
+#: would otherwise pair quadratically.
+_PH_MAX_BAND_DF = 64
+
+
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary payloads
+    — the image-dedup stage of a multimodal curation pipeline
+    (dHash, the difference-hash of Krawetz 2013), run end-to-end on
+    the deterministic stub decode so the WHOLE chain is
+    oracle-certified: sample the payload to an 8x8 "thumbnail"
+    (byte value at a stride over the payload — the stub stand-in
+    for decode+resize; a real codec swaps ONLY this projection),
+    hash = 56 bits of adjacent-pixel comparisons (gradient signs —
+    robust to brightness/scale shifts in real images), then banded
+    LSH over 4x14-bit bands: docs sharing any band become candidate
+    pairs, verified at Hamming distance <= 12 via bit_count(xor).
+
+    Exactly the q_dedup_minhash_banded shape lifted to the image
+    domain: ONE hash per payload (64 ascii lookups + 56 integer
+    comparisons, pure codegen'd expressions — no UDF), one shuffle
+    of the 4-row-per-doc band table, candidate pairs only WITHIN a
+    band bucket (never all-pairs), hot bands df-capped at
+    _PH_MAX_BAND_DF=64 (the MAX_SHINGLE_DF recall trade, stated by
+    the oracle too), exact verify on the 8-byte hash. At 100 TB the
+    payload reads once; everything downstream is 8-byte integers."""
+    d = table(spark, sf_dir, "documents")
+    # deliberately UNROLLED pixel/bit expressions: the HOF twin
+    # (transform + aggregate over sequence) was measured 30x slower
+    # (132 s vs 4 s at sf0.1 — per-element lambda interpretation),
+    # so the 56 comparison terms pay their codegen size
+    ln = F.length("text")
+    stride = F.greatest(F.floor(ln / _PH_PIX).cast("int"), F.lit(1))
+    px = [
+        F.ascii(
+            F.substring(
+                F.col("text"),
+                ((F.lit(i) * stride) % ln + 1).cast("int"),
+                1,
+            )
+        )
+        for i in range(_PH_PIX)
+    ]
+    bit_terms = []
+    k = 0
+    for r in range(_PH_ROWS):
+        for c in range(_PH_COLS - 1):
+            bit_terms.append(
+                F.shiftleft(
+                    (px[r * _PH_COLS + c] > px[r * _PH_COLS + c + 1]).cast(
+                        "long"
+                    ),
+                    k,
+                )
+            )
+            k += 1
+    # deliberately one UNROLLED projection: the HOF twin (aggregate
+    # over sequence with element_at lambdas) measured 30x slower
+    # (132 s vs 4 s at sf0.1 — per-element interpreted lambdas), and
+    # a staged multi-projection split is re-collapsed by Catalyst
+    # into a duplicated tree that wedges analysis. The single big
+    # expression exceeds the JVM method limit and evaluates
+    # interpreted — at 56 integer ops/row that is still scan-bound.
+    phash = sum(bit_terms[1:], bit_terms[0])
+    # the hash frame feeds the band table, the df-cap agg AND both
+    # sides of the pair join — slot-cache the 2-column (doc_id,
+    # phash) frame so the 64-pixel/56-term expression evaluates once
+    from ..cacheutil import cache_latest
+
+    hashed = cache_latest(
+        "phash_hashed", d.select("doc_id", phash.alias("phash"))
+    )
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("phash"), b * _PH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _PH_BAND_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(_PH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_idx", "b.band_val")
+    df_ok = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= _PH_MAX_BAND_DF)
+        .select("band_idx", "band_val")
+    )
+    bands = bands.join(df_ok, ["band_idx", "band_val"])
+    a = bands.select(
+        "band_idx", "band_val",
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha"),
+    )
+    b = bands.select(
+        "band_idx", "band_val",
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"),
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= _PH_MAX_HAMMING)
+    )
+    return pairs
+
+
+QUERIES["q_multimodal_phash_dedup"] = q_multimodal_phash_dedup
+
+
+def _ph_sql() -> str:
+    px = [
+        f"ascii(substr(text, ((({i} * s) % L) + 1)::INT, 1))"
+        for i in range(_PH_PIX)
+    ]
+    terms = []
+    k = 0
+    for r in range(_PH_ROWS):
+        for c in range(_PH_COLS - 1):
+            terms.append(
+                f"(({px[r * _PH_COLS + c]} > {px[r * _PH_COLS + c + 1]})"
+                f"::BIGINT << {k})"
+            )
+            k += 1
+    return " + ".join(terms)
+
+
+ORACLE["q_multimodal_phash_dedup"] = (
+    "WITH p AS (SELECT doc_id, greatest((length(text) // "
+    f"{_PH_PIX}), 1) AS s, length(text) AS L, text FROM documents), "
+    f"h AS (SELECT doc_id, ({_ph_sql()}) AS phash FROM p), "
+    "bands AS (SELECT doc_id, phash, b AS band_idx, "
+    f"((phash >> (b * {_PH_BAND_BITS})) & {(1 << _PH_BAND_BITS) - 1}) "
+    "AS band_val FROM h, (SELECT unnest(range("
+    f"{_PH_BANDS}))::INT AS b)), "
+    "ok AS (SELECT band_idx, band_val FROM bands "
+    f"GROUP BY 1, 2 HAVING count(*) <= {_PH_MAX_BAND_DF}), "
+    "kept AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_val)) "
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "bit_count(xor(a.phash, b.phash))::INT AS hamming "
+    "FROM kept a JOIN kept b ON a.band_idx = b.band_idx "
+    "AND a.band_val = b.band_val AND a.doc_id < b.doc_id "
+    f"WHERE bit_count(xor(a.phash, b.phash)) <= {_PH_MAX_HAMMING}"
+)
