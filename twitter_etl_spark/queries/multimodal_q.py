@@ -256,13 +256,12 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted — at 56 integer ops/row that is still scan-bound.
     phash = sum(bit_terms[1:], bit_terms[0])
     # the hash frame feeds the band table, the df-cap agg AND both
-    # sides of the pair join — slot-cache the 2-column (doc_id,
-    # phash) frame so the 64-pixel/56-term expression evaluates once
-    from ..cacheutil import cache_latest
-
-    hashed = cache_latest(
-        "phash_hashed", d.select("doc_id", phash.alias("phash"))
-    )
+    # sides of the pair join; eager localCheckpoint (the
+    # q_geo_dbscan lesson) both evaluates the 120-term expression
+    # once AND truncates the lineage, so the three downstream plans
+    # carry a 2-column scan instead of 3 copies of the giant tree
+    # (measured: analysis/planning dominated the 4 s at sf0.1)
+    hashed = d.select("doc_id", phash.alias("phash")).localCheckpoint()
     bands = hashed.select(
         "doc_id",
         "phash",
