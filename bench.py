@@ -121,6 +121,8 @@ HEADLINE = [
     "q_ts_mann_kendall",
     "q_drift_emd",
     "q_multimodal_phash_dedup",
+    "q_graph_kcore",
+    "q_graph_bfs",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

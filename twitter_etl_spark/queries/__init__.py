@@ -155,13 +155,11 @@ _CERT_PREFIX = (
     "q_join_inner",
     "q_join_interval",
     "q_join_left",
-    "q_join_multiway",
-    "q_join_selfasof",
-    # -- r12-new ops (11 names; they displace the youngest r7 fillers
+    # -- r12-new ops (13 names; they displace the youngest r7 fillers
     #    from the tail: q_mutate_multi, q_pack_bestfit,
     #    q_project_rename, q_retrieval_rrf, q_scan_parquet,
-    #    q_sim_kmeans, q_sink_append, q_join_theta, q_join_semi
-    #    spill to r13,
+    #    q_sim_kmeans, q_sink_append, q_join_theta, q_join_semi,
+    #    q_join_multiway, q_join_selfasof spill to r13,
     #    joining the already-spilled q_source_ndjson and q_text_dsir)
     "q_dedup_semantic_incremental",
     "q_sim_ann_pq_trained",
@@ -174,6 +172,8 @@ _CERT_PREFIX = (
     "q_ts_mann_kendall",
     "q_drift_emd",
     "q_multimodal_phash_dedup",
+    "q_graph_kcore",
+    "q_graph_bfs",
 )
 
 _BY_MODULE: dict = {}

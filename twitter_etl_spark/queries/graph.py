@@ -613,3 +613,149 @@ ORACLE["q_graph_labelprop"] = (
     f"min(node) AS min_member, max(node) AS max_member "
     f"FROM l{LP_ITERS} GROUP BY lbl"
 )
+
+
+KCORE_K = 3
+KCORE_PEELS = 4
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling over the co-purchase graph: 4 rounds
+    of "drop every node with degree < 3, then recompute" — the
+    densest-substructure filter (spam rings, core communities)
+    whose full fixpoint is the classic iterate-until-stable job;
+    the BOUNDED form is the certifiable contract (both engines run
+    exactly KCORE_PEELS peels — at the fixture's diameter the
+    result IS the true 3-core, but the stated semantics are the
+    bounded peel so the oracle never chases a data-dependent round
+    count). Output: surviving nodes with their within-subgraph
+    degree after the last peel.
+
+    Per round: one degree agg + two semi-joins (edges keep both
+    endpoints). The edge frame is eagerly localCheckpoint-ed per
+    round — it appears three times in the next round's lineage
+    (degree agg + both endpoint filters), the exact 3^rounds plan
+    blowup q_geo_dbscan's loop hit (SCALE.md lesson; measured there:
+    21-min wedge → 4 s). At 100 TB each round shuffles the shrinking
+    edge set on node id; peeling converges geometrically on real
+    graphs."""
+    e = _edges(spark, sf_dir)
+    E = e.select("a", "b").localCheckpoint()
+    for _ in range(KCORE_PEELS):
+        deg = (
+            E.select(F.col("a").alias("node"))
+            .unionAll(E.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= KCORE_K).select("node")
+        E = (
+            E.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return (
+        E.select(F.col("a").alias("node"))
+        .unionAll(E.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+QUERIES["q_graph_kcore"] = q_graph_kcore
+
+
+def _kcore_round(i: int) -> str:
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per REFERENCE, and
+    # e{i-1} appears three times per round (degree agg + both
+    # endpoint joins) — the 3^rounds blowup the Spark side's
+    # localCheckpoint prevents; materializing is the oracle-side twin
+    return (
+        f"d{i} AS MATERIALIZED (SELECT node, count(*)::BIGINT AS degree FROM "
+        f"(SELECT a AS node FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1}) "
+        "GROUP BY node), "
+        f"k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE degree >= {KCORE_K}), "
+        f"e{i} AS MATERIALIZED (SELECT e{i - 1}.a, e{i - 1}.b FROM e{i - 1} "
+        f"JOIN k{i} ka ON e{i - 1}.a = ka.node "
+        f"JOIN k{i} kb ON e{i - 1}.b = kb.node)"
+    )
+
+
+ORACLE["q_graph_kcore"] = (
+    "WITH e0 AS MATERIALIZED (" + _EDGES + "), "
+    + ", ".join(_kcore_round(i) for i in range(1, KCORE_PEELS + 1))
+    + f" SELECT node, count(*)::BIGINT AS degree FROM "
+    f"(SELECT a AS node FROM e{KCORE_PEELS} "
+    f"UNION ALL SELECT b FROM e{KCORE_PEELS}) GROUP BY node"
+)
+
+
+BFS_HOPS = 3
+#: seed set: the lowest part ids (deterministic, non-empty at every sf).
+BFS_SEEDS = 5
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS over the co-purchase graph: minimum
+    hop distance from the seed set (parts with id < BFS_SEEDS) for
+    every node within BFS_HOPS hops — the neighborhood-expansion
+    primitive behind "related items within k hops" and blast-radius
+    queries. Bounded hops are the certifiable contract (like
+    q_graph_kcore's bounded peels): both engines run exactly 3
+    expansion rounds, and distances are small integers with min()
+    the only combiner — no float, no tie ambiguity.
+
+    Per round: one equi-join of the CURRENT frontier against the
+    directed edge list + a min-agg over (node) — frontier-driven,
+    so work is proportional to the expanding neighborhood, never
+    |V|·hops. The distance frame is localCheckpoint-ed per round
+    (it feeds both the next join and the final union — the dbscan
+    3^rounds lesson again). At 100 TB frontier expansion is the
+    standard co-partitioned join on node id; a visited-set semi-join
+    keeps re-expansion bounded on high-diameter graphs."""
+    e = _edges(spark, sf_dir)
+    d = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint()
+    dist = (
+        d.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") < BFS_SEEDS)
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(BFS_HOPS):
+        frontier = d.join(
+            dist.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+QUERIES["q_graph_bfs"] = q_graph_bfs
+
+
+def _bfs_round(i: int) -> str:
+    return (
+        f"x{i} AS MATERIALIZED (SELECT node, min(dist)::INT AS dist FROM ("
+        f"SELECT node, dist FROM x{i - 1} UNION ALL "
+        f"SELECT d.dst AS node, x{i - 1}.dist + 1 AS dist "
+        f"FROM d JOIN x{i - 1} ON d.src = x{i - 1}.node) GROUP BY node)"
+    )
+
+
+ORACLE["q_graph_bfs"] = (
+    "WITH e AS MATERIALIZED (" + _EDGES + "), "
+    "d AS MATERIALIZED (SELECT a AS src, b AS dst FROM e "
+    "UNION ALL SELECT b, a FROM e), "
+    f"x0 AS (SELECT DISTINCT src AS node, 0 AS dist FROM d "
+    f"WHERE src < {BFS_SEEDS}), "
+    + ", ".join(_bfs_round(i) for i in range(1, BFS_HOPS + 1))
+    + f" SELECT node, dist FROM x{BFS_HOPS}"
+)
