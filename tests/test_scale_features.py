@@ -200,3 +200,55 @@ def test_drift_rollup_absorb_matches_one_shot(spark):
         ).collect()
     }
     assert v1 == want_v1
+
+
+def test_drift_rollup_emd_finalizer_matches_one_shot(spark):
+    """read_drift_emd over the absorbed state == one-shot q_drift_emd
+    — one persisted rollup serves both drift finalizers (PSI and
+    EMD), so a monitoring job maintains counts once."""
+    from twitter_etl_spark import rollup
+    from twitter_etl_spark.queries.dq import q_drift_emd
+
+    base = tempfile.mkdtemp()
+    rdir = f"{base}/drift_rollup2"
+    d = table(spark, SF_ORACLE, "documents")
+    for i in range(3):
+        rollup.update_drift_rollup(spark, rdir, d.where(F.col("doc_id") % 3 == i))
+
+    got = {tuple(r) for r in rollup.read_drift_emd(spark, rdir).collect()}
+    want = {tuple(r) for r in q_drift_emd(spark, SF_ORACLE).collect()}
+    assert got == want and len(got) == 1
+
+
+def test_phash_rollup_absorb_and_probe_match_one_shot(spark):
+    """update_phash_rollup / phash_rollup_pairs / probe_phash_rollup:
+    (1) pairs from the absorbed state == the one-shot
+    q_multimodal_phash_dedup over the full table; (2) the
+    batch-restricted probe == the one-shot pairs filtered to
+    doc_b in the batch — history hashed once, never re-paired."""
+    from twitter_etl_spark import rollup
+    from twitter_etl_spark.queries.multimodal_q import (
+        q_multimodal_phash_dedup,
+    )
+
+    base = tempfile.mkdtemp()
+    rdir = f"{base}/phash_rollup"
+    d = table(spark, SF_ORACLE, "documents")
+    for i in range(3):
+        rollup.update_phash_rollup(
+            spark, rdir, d.where(F.col("doc_id") % 3 == i)
+        )
+
+    want = {
+        tuple(r) for r in q_multimodal_phash_dedup(spark, SF_ORACLE).collect()
+    }
+    got = {tuple(r) for r in rollup.phash_rollup_pairs(spark, rdir).collect()}
+    assert got == want and len(got) > 5
+
+    batch = d.where(F.col("doc_id") % 3 == 2).select("doc_id")
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+    probe = {
+        tuple(r)
+        for r in rollup.probe_phash_rollup(spark, rdir, batch).collect()
+    }
+    assert probe == {t for t in want if t[1] in batch_ids}

@@ -222,6 +222,14 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (transform + aggregate over sequence) was measured 30x slower
     # (132 s vs 4 s at sf0.1 — per-element lambda interpretation),
     # so the 56 comparison terms pay their codegen size
+    hashed = phash_frame(d)
+    return phash_pairs(hashed)
+
+
+def phash_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, phash) for a documents-shaped frame — the dHash
+    computation shared by the one-shot query and the incremental
+    rollup (rollup.update_phash_rollup)."""
     ln = F.length("text")
     stride = F.greatest(F.floor(ln / _PH_PIX).cast("int"), F.lit(1))
     px = [
@@ -255,13 +263,20 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression exceeds the JVM method limit and evaluates
     # interpreted — at 56 integer ops/row that is still scan-bound.
     phash = sum(bit_terms[1:], bit_terms[0])
-    # the hash frame feeds the band table, the df-cap agg AND both
-    # sides of the pair join; eager localCheckpoint (the
-    # q_geo_dbscan lesson) both evaluates the 120-term expression
-    # once AND truncates the lineage, so the three downstream plans
-    # carry a 2-column scan instead of 3 copies of the giant tree
-    # (measured: analysis/planning dominated the 4 s at sf0.1)
-    hashed = d.select("doc_id", phash.alias("phash")).localCheckpoint()
+    # eager localCheckpoint (the q_geo_dbscan lesson): the hash frame
+    # feeds the band table, the df-cap agg and both pair-join sides —
+    # evaluate the 120-term expression once AND truncate the lineage
+    # so downstream plans carry a 2-column scan, not 3 copies of the
+    # giant tree (measured: planning dominated the 4 s at sf0.1)
+    return d.select("doc_id", phash.alias("phash")).localCheckpoint()
+
+
+def phash_pairs(hashed: DataFrame, b_side: DataFrame | None = None) -> DataFrame:
+    """Banded near-dup pairs from a (doc_id, phash) frame. With
+    ``b_side`` (a frame of batch doc_ids), the pair scan's b-side is
+    restricted to the batch — |bucket|·|bucket ∩ batch| comparisons
+    instead of |bucket|², the `_pairs_from_state` incremental shape;
+    a batch doc dropped by the lower-id rule appears as doc_b."""
     bands = hashed.select(
         "doc_id",
         "phash",
@@ -294,7 +309,11 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_idx", "band_val",
         F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"),
     )
-    pairs = (
+    if b_side is not None:
+        b = b.join(
+            b_side.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi"
+        )
+    return (
         a.join(b, ["band_idx", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
@@ -305,7 +324,6 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= _PH_MAX_HAMMING)
     )
-    return pairs
 
 
 QUERIES["q_multimodal_phash_dedup"] = q_multimodal_phash_dedup

@@ -851,3 +851,105 @@ def read_drift_psi(
     return psi_report(
         read_version(spark, rollup_dir, version).select(*_DRIFT_STATE_COLS)
     )
+
+
+def read_drift_emd(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """The q_drift_emd report finalized from the SAME persisted
+    drift-count state update_drift_rollup maintains — one rollup,
+    two finalizers (PSI reads every feature; EMD reads the ordinal
+    'len' feature's rows, whose bin key is the stringified
+    n_chars/25 bucket). Same cross-multiplied BIGINT ECDF terms,
+    same single round-6 division; pinned row-identical to the
+    one-shot query over the absorbed union."""
+    from pyspark.sql import Window
+
+    cnt = (
+        read_version(spark, rollup_dir, version)
+        .where(F.col("feature") == "len")
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("n_ref").alias("cr"),
+            F.col("n_cur").alias("cc"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select(
+        F.sum("cr").over(w).alias("cum_r"), F.sum("cc").over(w).alias("cum_c")
+    )
+    tot = cnt.agg(F.sum("cr").alias("n_ref"), F.sum("cc").alias("n_cur"))
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("cum_r") * F.col("n_cur") - F.col("cum_c") * F.col("n_ref")
+        ).alias("t"),
+    )
+    return terms.groupBy("n_ref", "n_cur").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(
+            F.sum("t") / (F.col("n_ref").cast("double") * F.col("n_cur")), 6
+        ).alias("emd_bins"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash rollup: q_multimodal_phash_dedup made incremental —
+# the image twin of the MinHash index. State is one 8-byte hash per
+# doc (doc_id, phash); a new landing batch hashes its OWN payloads
+# only, unions into the state, and probes against the persisted
+# corpus via the banded join with the b-side restricted to the batch
+# (|bucket|·|bucket ∩ batch| work — history never re-pairs, history
+# PAYLOADS are never re-read; only their 8-byte hashes live on).
+# ---------------------------------------------------------------------------
+
+_PHASH_STATE_COLS = ("doc_id", "phash")
+
+
+def update_phash_rollup(
+    spark: SparkSession, rollup_dir: str, new_docs: DataFrame
+) -> int:
+    """Hash one new document batch and absorb it into the phash
+    state; returns the published version. Re-absorbing a doc_id is
+    idempotent (hash is a pure function of the payload; state
+    dedupes on doc_id keeping either identical row)."""
+    from .queries.multimodal_q import phash_frame
+
+    fresh = phash_frame(new_docs)
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_PHASH_STATE_COLS)
+        state = (
+            prev.unionByName(fresh.select(*_PHASH_STATE_COLS))
+            .groupBy("doc_id")
+            .agg(F.min("phash").alias("phash"))
+        )
+    else:
+        state = fresh
+    return publish_version(state.select(*_PHASH_STATE_COLS), rollup_dir)
+
+
+def phash_rollup_pairs(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """All near-dup pairs over the absorbed corpus, from state alone
+    — pinned row-identical to the one-shot q_multimodal_phash_dedup
+    over the union of absorbed batches."""
+    from .queries.multimodal_q import phash_pairs
+
+    return phash_pairs(
+        read_version(spark, rollup_dir, version).select(*_PHASH_STATE_COLS)
+    )
+
+
+def probe_phash_rollup(
+    spark: SparkSession, rollup_dir: str, batch_ids: DataFrame
+) -> DataFrame:
+    """Near-dup verdict for a batch against the WHOLE absorbed
+    corpus without re-pairing history: pairs whose b-side is
+    restricted to the batch — a batch doc with any lower-id match
+    (corpus or batch) appears as doc_b, the SemDeDup drop rule."""
+    from .queries.multimodal_q import phash_pairs
+
+    state = read_version(spark, rollup_dir).select(*_PHASH_STATE_COLS)
+    return phash_pairs(state, b_side=batch_ids)
