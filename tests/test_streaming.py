@@ -1801,3 +1801,70 @@ def test_stream_feeds_drift_rollup_matches_one_shot(spark):
     union = spark.read.schema(schema).json(landing)
     want = {tuple(r) for r in psi_report(drift_counts(union)).collect()}
     assert got == want and len(got) > 5  # exact equality, not tolerance
+
+
+def test_stream_feeds_phash_rollup_matches_one_shot(spark):
+    """Streaming image-dedup ingest: an availableNow foreachBatch
+    loop hashes each landed document micro-batch into
+    rollup.update_phash_rollup (payloads read once, at landing), and
+    the corpus pair set derived from the persisted 8-byte hashes
+    equals the one-shot q_multimodal_phash_dedup pair computation
+    over the union — stream ≡ batch for the r12 image family."""
+    from pyspark.sql import types as T
+
+    from twitter_etl_spark import rollup
+    from twitter_etl_spark.queries.multimodal_q import (
+        phash_frame,
+        phash_pairs,
+    )
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    rollup_dir = os.path.join(base, "phash_rollup")
+    os.makedirs(landing)
+
+    words = ["key", "agg", "row", "scan", "slow", "fast", "table"]
+
+    def _doc(i):
+        toks = [words[(i + j) % len(words)] for j in range(10 + i % 5)]
+        if i % 7 == 0:
+            toks = [words[j % len(words)] for j in range(12)]  # near-dups
+        return {"doc_id": i, "text": " ".join(toks)}
+
+    for b in range(3):
+        with open(os.path.join(landing, f"b{b}.json"), "w") as f:
+            for i in range(b * 30, (b + 1) * 30):
+                f.write(json.dumps(_doc(i)) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    versions = []
+
+    def _absorb(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        versions.append(rollup.update_phash_rollup(spark, rollup_dir, batch_df))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(versions) == 3
+
+    got = {
+        tuple(r)
+        for r in rollup.phash_rollup_pairs(spark, rollup_dir).collect()
+    }
+    union = spark.read.schema(schema).json(landing)
+    want = {tuple(r) for r in phash_pairs(phash_frame(union)).collect()}
+    assert got == want and len(got) > 0  # exact equality, not tolerance

@@ -615,9 +615,15 @@ def q_sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ADC: decode once per candidate, score every query against the
     # reconstruction (approx norm comes from the reconstruction too)
+    # eager localCheckpoint: codes + reconstruction embed the full
+    # m x ksub codebook as literals; evaluating once and truncating
+    # the lineage keeps the scoring join's plan (and its codegen)
+    # small — the q_multimodal_phash_dedup lesson applied here
     cands = cands.withColumn(
         "rec", _pq_reconstruct(book)
-    ).withColumn("rnorm", F.sqrt(_dot(F.col("rec"), F.col("rec"))))
+    ).withColumn(
+        "rnorm", F.sqrt(_dot(F.col("rec"), F.col("rec")))
+    ).localCheckpoint()
     qs = (
         e.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
