@@ -186,6 +186,31 @@ def test_no_new_single_partition_exchanges(spark):
     assert not unexpected, unexpected
 
 
+def test_no_decimal_type_outputs(spark):
+    """Sweep every registered query's OUTPUT schema for DecimalType.
+
+    DuckDB oracles (round/sum/avg over parquet DOUBLE) never return
+    DECIMAL, so a Spark-side DecimalType column can only ever
+    hash-mismatch at the driver — the exact class of the r12 red:
+    q_agg_groupingsets' SQL-string literal ``/ 10000.0`` parsed as
+    DecimalType (Spark SQL exact decimal literals) and
+    ``Decimal('1251869314.00')`` hashed != ``1251869314.0`` even
+    though values were numerically identical (VERDICT r12 §wrong #1).
+    The local harness had conflated Decimal with float (harness.py
+    ``_norm``), so the gate was blind to it; this lint plus the
+    harness's distinct ``("dec", ...)`` tag close that gap for good.
+    """
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name in sorted(ALL_QUERIES):
+        df = ALL_QUERIES[name](spark, SF_SMOKE)
+        dec = [f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)]
+        if dec:
+            offenders.append((name, dec))
+    assert not offenders, offenders
+
+
 def test_projection_ops_are_shuffle_free(spark):
     """Hash sampling and frame sampling are per-row projections —
     their plans must contain NO Exchange at any scale."""

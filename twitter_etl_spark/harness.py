@@ -68,7 +68,12 @@ def _norm(v):
     if isinstance(v, bytes):
         return ("y", v)
     if isinstance(v, decimal.Decimal):
-        return ("f", round(float(v), 6))
+        # Distinct tag, NOT ("f", ...): the driver's pandas hash sees
+        # Decimal('1251869314.00') != 1251869314.0, so conflating them
+        # here made the local gate strictly weaker than the driver's —
+        # exactly how the r11 q_agg_groupingsets DECIMAL regression sat
+        # green locally and red at the driver (VERDICT r12 §wrong #2).
+        return ("dec", v)
     if isinstance(v, (_dt.timedelta, np.timedelta64)):
         td = pd.Timedelta(v)
         return ("f", round(td.total_seconds(), 6))
@@ -96,8 +101,22 @@ def _unhashable_columns(sdf) -> list[str]:
     ]
 
 
+def _decimal_columns(sdf) -> list[str]:
+    """Column names with DecimalType — always a latent hash hazard: no
+    DuckDB oracle expression we use (round/sum/avg over parquet DOUBLE)
+    produces DECIMAL, so a Spark-side DecimalType output can only ever
+    hash-mismatch at the driver. Treated as an automatic failure."""
+    from pyspark.sql import types as T
+
+    return [f.name for f in sdf.schema.fields if isinstance(f.dataType, T.DecimalType)]
+
+
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Spill outside the repo: DuckDB's default temp_directory is the cwd,
+    # and a big oracle (the r12 k-core sf1 drill) once spilled 7.9 GB of
+    # duckdb_temp_storage-*.tmp into the working tree (ADVICE r12, high).
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -111,6 +130,10 @@ def compare_query(spark, con, name: str, fn, sql: str, sf_dir: str):
     bad_cols = _unhashable_columns(sdf)
     if bad_cols:
         problems.append(f"driver-unhashable output columns {bad_cols}")
+        return problems
+    dec_cols = _decimal_columns(sdf)
+    if dec_cols:
+        problems.append(f"DecimalType output columns {dec_cols} (driver hash hazard)")
         return problems
     spdf = sdf.toPandas()
     spdf.columns = [c.lower() for c in spdf.columns]
@@ -155,6 +178,11 @@ def main(argv: list[str]) -> int:
             if bad:
                 failed.append(name)
                 print(f"{name}: FAIL  rows-only but driver-unhashable columns {bad}")
+                continue
+            dec = _decimal_columns(sdf)
+            if dec:
+                failed.append(name)
+                print(f"{name}: FAIL  rows-only but DecimalType columns {dec}")
                 continue
             rows = sdf.count()
             print(f"{name}: rows-only OK rows={rows}")

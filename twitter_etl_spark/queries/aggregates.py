@@ -131,7 +131,7 @@ def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment, o_orderstatus,
                count(1) AS n_orders,
-               round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)) / 10000.0, 2) AS revenue
+               round(sum(floor(round(o_totalprice, 9) * 10000 + 0.5)) / CAST(10000.0 AS DOUBLE), 2) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
         """

@@ -28,7 +28,10 @@ def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.try_divide(F.col("n_regionkey"), F.col("n_nationkey") % 3), 6
         ).alias("safe_div"),
-        F.try_to_number(F.col("n_name"), F.lit("999")).alias("bad_cast"),
+        # the decimal parse result is cast to BIGINT: a DecimalType
+        # output column is a driver hash hazard even when (as here)
+        # every value is NULL — see test_plans.py::test_no_decimal_type_outputs
+        F.try_to_number(F.col("n_name"), F.lit("999")).cast("bigint").alias("bad_cast"),
         F.try_add(
             F.lit(_I64_MAX), F.col("n_nationkey").cast("bigint")
         ).alias("overflow_add"),
@@ -41,7 +44,7 @@ ORACLE = {
     "q_fn_try_arith": (
         "SELECT n_nationkey, "
         "round(n_regionkey / nullif(n_nationkey % 3, 0), 6) AS safe_div, "
-        "TRY_CAST(n_name AS DECIMAL(3, 0)) AS bad_cast, "
+        "TRY_CAST(n_name AS DECIMAL(3, 0))::BIGINT AS bad_cast, "
         f"CASE WHEN n_nationkey = 0 THEN {_I64_MAX} "
         "ELSE NULL END::BIGINT AS overflow_add "
         "FROM nation"
