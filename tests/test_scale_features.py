@@ -220,6 +220,62 @@ def test_drift_rollup_emd_finalizer_matches_one_shot(spark):
     assert got == want and len(got) == 1
 
 
+def test_emd_densifies_gap_bins(spark):
+    """The EMD finalizer counts empty interior bins: moving all mass
+    from bin 0 to bin 10 is 10 bins of transport, not 1 — the exact
+    under-report ADVICE r12 flagged on the populated-bins-only
+    frame. n_bins must be the dense grid width (11), and emd_bins
+    the true Wasserstein distance (10)."""
+    from twitter_etl_spark.queries.dq import emd_report
+
+    cnt = spark.createDataFrame(
+        [(0, 5, 0), (10, 0, 5)], "bin int, cr long, cc long"
+    )
+    [row] = emd_report(cnt).collect()
+    assert row.n_bins == 11
+    assert row.emd_bins == 10.0
+
+
+def test_drift_rollup_replay_is_idempotent(spark):
+    """foreachBatch is at-least-once into non-transactional sinks: a
+    replayed batch_id must NOT double-count (ADVICE r12). Re-absorbing
+    the last batch id — and an older id — returns the current version
+    unchanged and leaves the PSI report identical; a genuinely NEW id
+    still absorbs."""
+    from twitter_etl_spark import rollup
+    from twitter_etl_spark.queries.dq import q_drift_psi
+
+    base = tempfile.mkdtemp()
+    rdir = f"{base}/drift_rollup_hwm"
+    d = table(spark, SF_ORACLE, "documents")
+    chunks = [d.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    versions = [
+        rollup.update_drift_rollup(spark, rdir, chunks[i], batch_id=i)
+        for i in range(3)
+    ]
+    assert versions == [1, 2, 3]
+    assert rollup.drift_batch_hwm(rdir) == 2
+
+    report = {tuple(r) for r in rollup.read_drift_psi(spark, rdir).collect()}
+    # replay the last batch and an older batch: skipped, version frozen
+    assert rollup.update_drift_rollup(spark, rdir, chunks[2], batch_id=2) == 3
+    assert rollup.update_drift_rollup(spark, rdir, chunks[0], batch_id=0) == 3
+    after = {tuple(r) for r in rollup.read_drift_psi(spark, rdir).collect()}
+    assert after == report  # no double count
+    assert report == {
+        tuple(r) for r in q_drift_psi(spark, SF_ORACLE).collect()
+    }
+    # a new batch id still absorbs (empty frame: counts unchanged but
+    # version advances and the hwm moves)
+    assert (
+        rollup.update_drift_rollup(
+            spark, rdir, chunks[0].limit(0), batch_id=3
+        )
+        == 4
+    )
+    assert rollup.drift_batch_hwm(rdir) == 3
+
+
 def test_phash_rollup_absorb_and_probe_match_one_shot(spark):
     """update_phash_rollup / phash_rollup_pairs / probe_phash_rollup:
     (1) pairs from the absorbed state == the one-shot

@@ -1780,7 +1780,11 @@ def test_stream_feeds_drift_rollup_matches_one_shot(spark):
     def _absorb(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        versions.append(rollup.update_drift_rollup(spark, rollup_dir, batch_df))
+        versions.append(
+            rollup.update_drift_rollup(
+                spark, rollup_dir, batch_df, batch_id=batch_id
+            )
+        )
 
     q = (
         spark.readStream.schema(schema)

@@ -559,7 +559,11 @@ def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     transport work — i.e. HOW FAR mass moved, which PSI and KS both
     under-report for a small shift applied everywhere). Bins are the
     ordinal n_chars/25 grid of ``q_drift_psi``'s len feature; on a
-    1-D ordinal grid EMD = Σ_bins |ECDF_ref − ECDF_cur| exactly.
+    1-D ordinal grid EMD = Σ_bins |ECDF_ref − ECDF_cur| exactly —
+    PROVIDED the grid is contiguous, so the finalizer densifies it
+    first (``emd_report``): empty interior bins must contribute
+    their |ECDF| gap once per step, else transport across a k-bin
+    gap is counted once instead of k times (ADVICE r12).
 
     Integer-exact cross-engine: ECDFs are compared cross-multiplied
     as |cum_ref·n_cur − cum_cur·n_ref| (BIGINT), summed as BIGINT,
@@ -568,11 +572,9 @@ def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documented at q_stat_mann_whitney).
 
     Scale: one scan → one hash agg on the bin key (map-side
-    partials); the cumulative window runs over the |bins|-row grid,
-    never the corpus (single-partition exchange allowlisted like
-    q_stat_ks_binned's)."""
-    from pyspark.sql import Window
-
+    partials); densification and the cumulative window run over the
+    |bins|-row grid, never the corpus (single-partition exchange
+    allowlisted like q_stat_ks_binned's)."""
     from .sampling import hash_bucket
 
     d = table(spark, sf_dir, "documents")
@@ -586,8 +588,36 @@ def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("side") == "ref", 1).otherwise(0)).alias("cr"),
         F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("cc"),
     )
+    return emd_report(cnt)
+
+
+def emd_report(cnt: DataFrame) -> DataFrame:
+    """Finalize the binned-EMD report from a (bin, cr, cc) counts
+    frame — ONE finalizer shared by ``q_drift_emd`` and
+    ``rollup.read_drift_emd`` (they were inline twins that could
+    silently drift apart; ADVICE r12 low).
+
+    Densifies the ordinal grid first — ``sequence(min, max)``
+    exploded and left-joined to the counts with zero fill — so an
+    empty interior bin contributes its |ECDF_ref − ECDF_cur| gap
+    once per step. On the sparse populated-bins-only frame a k-bin
+    gap contributed ONE term instead of k, under-reporting transport
+    across gaps (ADVICE r12 medium); on the contiguous grid
+    Σ_bins |ECDF| IS the 1-D Wasserstein distance in bin units.
+
+    All |bins|-bounded: the bounds agg is 1 row, the grid explode
+    ≤ (max−min+1) rows, and the counts side broadcasts."""
+    from pyspark.sql import Window
+
+    bounds = cnt.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
+    grid = bounds.select(F.explode(F.sequence("lo", "hi")).alias("bin"))
+    dense = grid.join(F.broadcast(cnt), "bin", "left").select(
+        "bin",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+    )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = cnt.select(
+    cum = dense.select(
         F.sum("cr").over(w).alias("cum_r"), F.sum("cc").over(w).alias("cum_c")
     )
     # the cross-multiplied |cum_r*n_cur - cum_c*n_ref| needs the
@@ -622,8 +652,13 @@ ORACLE["q_drift_emd"] = (
     "sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)::BIGINT AS cr, "
     "sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END)::BIGINT AS cc "
     "FROM base GROUP BY bin), "
+    "bounds AS (SELECT min(bin) AS lo, max(bin) AS hi FROM cnt), "
+    "grid AS (SELECT unnest(generate_series(lo, hi))::INT AS bin "
+    "FROM bounds), "
+    "dense AS (SELECT grid.bin, coalesce(cr, 0)::BIGINT AS cr, "
+    "coalesce(cc, 0)::BIGINT AS cc FROM grid LEFT JOIN cnt USING (bin)), "
     "cum AS (SELECT sum(cr) OVER (ORDER BY bin)::BIGINT AS cum_r, "
-    "sum(cc) OVER (ORDER BY bin)::BIGINT AS cum_c FROM cnt), "
+    "sum(cc) OVER (ORDER BY bin)::BIGINT AS cum_c FROM dense), "
     "tot AS (SELECT sum(cr)::BIGINT AS n_ref, sum(cc)::BIGINT AS n_cur "
     "FROM cnt) "
     "SELECT n_ref, n_cur, count(*)::BIGINT AS n_bins, "

@@ -820,15 +820,53 @@ def probe_substring_cut(
 _DRIFT_STATE_COLS = ("feature", "bin", "n_ref", "n_cur")
 
 
+def drift_batch_hwm(rollup_dir: str, version: int | None = None) -> int:
+    """The batch-id high-water mark recorded alongside a published
+    drift-state version (−1 if none / pre-hwm state). Resolves the
+    ``_LATEST`` pointer first, so the hwm read is consistent with
+    whatever snapshot a concurrent reader sees."""
+    if version is None:
+        latest = os.path.join(rollup_dir, "_LATEST")
+        if not os.path.exists(latest):
+            return -1
+        with open(latest) as f:
+            version = int(f.read().strip())
+    p = os.path.join(rollup_dir, f"_BATCH_HWM_v={version}")
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(f.read().strip())
+
+
 def update_drift_rollup(
-    spark: SparkSession, rollup_dir: str, new_docs: DataFrame
+    spark: SparkSession,
+    rollup_dir: str,
+    new_docs: DataFrame,
+    batch_id: int | None = None,
 ) -> int:
     """Absorb one document batch into the drift-count state; returns
-    the published version. First call bootstraps."""
+    the published version. First call bootstraps.
+
+    The plain-sum monoid is NOT idempotent, and Structured Streaming
+    foreachBatch is at-least-once into non-transactional sinks — a
+    replayed batch would double-count (ADVICE r12). Passing the
+    foreachBatch ``batch_id`` engages a high-water mark: ids ≤ the
+    mark recorded with the current published version are skipped
+    (returning that version unchanged). The mark file is written for
+    the next version BEFORE the ``_LATEST`` flip, so the pointer
+    flip stays the single commit point: a crash between data write
+    and flip leaves the old pointer + old mark, and the replay
+    correctly re-absorbs into a fresh version. Single-writer, like
+    every rollup here (one foreachBatch executes at a time)."""
     from .queries.dq import drift_counts
 
+    have_state = os.path.exists(os.path.join(rollup_dir, "_LATEST"))
+    if batch_id is not None and have_state:
+        if batch_id <= drift_batch_hwm(rollup_dir):
+            with open(os.path.join(rollup_dir, "_LATEST")) as f:
+                return int(f.read().strip())
     fresh = drift_counts(new_docs)
-    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+    if have_state:
         prev = read_version(spark, rollup_dir).select(*_DRIFT_STATE_COLS)
         state = (
             prev.unionByName(fresh.select(*_DRIFT_STATE_COLS))
@@ -837,6 +875,22 @@ def update_drift_rollup(
         )
     else:
         state = fresh
+    if batch_id is not None:
+        # pre-compute the version publish_version will assign (max+1;
+        # single-writer) and stamp the hwm for it before the flip
+        versions = [
+            int(p.split("=")[1])
+            for p in os.listdir(rollup_dir)
+            if p.startswith("v=")
+        ] if os.path.isdir(rollup_dir) else []
+        nxt = max(versions, default=0) + 1
+        new_hwm = max(batch_id, drift_batch_hwm(rollup_dir))
+        os.makedirs(rollup_dir, exist_ok=True)
+        with open(os.path.join(rollup_dir, f"_BATCH_HWM_v={nxt}"), "w") as f:
+            f.write(str(new_hwm))
+        got = publish_version(state.select(*_DRIFT_STATE_COLS), rollup_dir)
+        assert got == nxt, f"single-writer violated: {got} != {nxt}"
+        return got
     return publish_version(state.select(*_DRIFT_STATE_COLS), rollup_dir)
 
 
@@ -860,10 +914,12 @@ def read_drift_emd(
     drift-count state update_drift_rollup maintains — one rollup,
     two finalizers (PSI reads every feature; EMD reads the ordinal
     'len' feature's rows, whose bin key is the stringified
-    n_chars/25 bucket). Same cross-multiplied BIGINT ECDF terms,
-    same single round-6 division; pinned row-identical to the
+    n_chars/25 bucket). Finalization — grid densification, the
+    cross-multiplied BIGINT ECDF terms, the single round-6 division
+    — is the SHARED ``queries.dq.emd_report`` (ADVICE r12: the two
+    inline copies could drift apart); pinned row-identical to the
     one-shot query over the absorbed union."""
-    from pyspark.sql import Window
+    from .queries.dq import emd_report
 
     cnt = (
         read_version(spark, rollup_dir, version)
@@ -874,24 +930,7 @@ def read_drift_emd(
             F.col("n_cur").alias("cc"),
         )
     )
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = cnt.select(
-        F.sum("cr").over(w).alias("cum_r"), F.sum("cc").over(w).alias("cum_c")
-    )
-    tot = cnt.agg(F.sum("cr").alias("n_ref"), F.sum("cc").alias("n_cur"))
-    terms = cum.crossJoin(F.broadcast(tot)).select(
-        "n_ref",
-        "n_cur",
-        F.abs(
-            F.col("cum_r") * F.col("n_cur") - F.col("cum_c") * F.col("n_ref")
-        ).alias("t"),
-    )
-    return terms.groupBy("n_ref", "n_cur").agg(
-        F.count(F.lit(1)).alias("n_bins"),
-        F.round(
-            F.sum("t") / (F.col("n_ref").cast("double") * F.col("n_cur")), 6
-        ).alias("emd_bins"),
-    )
+    return emd_report(cnt)
 
 
 # ---------------------------------------------------------------------------
