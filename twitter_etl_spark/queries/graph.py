@@ -706,14 +706,20 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion rounds, and distances are small integers with min()
     the only combiner — no float, no tie ambiguity.
 
-    Per round: one equi-join of the CURRENT frontier against the
-    directed edge list + a min-agg over (node) — frontier-driven,
-    so work is proportional to the expanding neighborhood, never
-    |V|·hops. The distance frame is localCheckpoint-ed per round
-    (it feeds both the next join and the final union — the dbscan
-    3^rounds lesson again). At 100 TB frontier expansion is the
-    standard co-partitioned join on node id; a visited-set semi-join
-    keeps re-expansion bounded on high-diameter graphs."""
+    Per round: one equi-join of the DELTA frontier (only the nodes
+    first discovered last round, never the whole distance frame —
+    the r12 verdict's full-frame re-expansion fix) against the
+    directed edge list, then a visited-set anti-join so already
+    settled nodes are neither re-expanded nor re-emitted. BFS layers
+    guarantee a node anti-join-surviving at hop r has true distance
+    r, so no min-combiner is needed and the output is identical to
+    the full re-expansion. Work per round is |frontier ∂|·deg, and
+    the frontier SHRINKS once the neighborhood saturates — on
+    high-diameter graphs the full-frame form re-joined every settled
+    node every round. Frames are localCheckpoint-ed per round (each
+    feeds two consumers — the dbscan 3^rounds lesson again). At
+    100 TB frontier expansion is the standard co-partitioned join on
+    node id."""
     e = _edges(spark, sf_dir)
     d = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
@@ -725,16 +731,18 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.lit(0).alias("dist"))
         .localCheckpoint()
     )
-    for _ in range(BFS_HOPS):
-        frontier = d.join(
-            dist.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
-        dist = (
-            dist.unionByName(frontier)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+    frontier = dist.select(F.col("node").alias("src"))
+    for hop in range(1, BFS_HOPS + 1):
+        reached = (
+            d.join(frontier, "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
             .localCheckpoint()
         )
+        dist = dist.unionByName(reached).localCheckpoint()
+        frontier = reached.select(F.col("node").alias("src"))
     return dist
 
 
