@@ -86,17 +86,18 @@ def test_cert_prefix_all_oracle_backed():
     4 rows-only names whose last driver rows>0 check is r2/r3."""
     from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
 
-    # r12 prefix rotates the full r6/r7-stale cohort, which includes
-    # the four rows-only names whose last driver rows>0 check is r7,
-    # plus the r12-new rows-only trained-PQ twin (new ops must cert
-    # in their birth round; its NumPy replica pin is the real gate).
+    # r13 prefix rotates the r7/r8-stale cohorts, which include the
+    # rows-only names whose last driver rows>0 check is r7/r8, plus
+    # the r13-new rows-only BPE encode (new ops must cert in their
+    # birth round; its trainer round-trip replica pin is the real
+    # gate).
     deliberate_rows_only = {
+        "q_text_bpe_encode",
         "q_pack_bestfit",
         "q_sim_kmeans",
-        "q_agg_approx_percentile",
-        "q_dedup_simhash_pairs",
-        "q_sim_ann_pq_trained",
-        "q_text_bpe_merge",
+        "q_text_tfidf_mllib",
+        "q_agg_hll_distinct",
+        "q_agg_topk_sketch",
     }
     prefix = list(ALL_QUERIES)[:50]
     missing = [
@@ -165,7 +166,16 @@ def test_cert_prefix_staleness_policy():
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
         for name, row in json.load(open(f)).items():
-            green = (row.get("err") is None and row.get("rows_match")) or (
+            # hash_match is the driver's real gate for oracle-backed
+            # names — rows_match alone counted the r12 groupingsets
+            # hash-red as "green r12" and demanded it rotate OUT of
+            # the prefix while failing (gen_cert_rotation.py carries
+            # the same fix)
+            green = (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("hash_match", True)
+            ) or (
                 row.get("err") == "no_oracle"
                 and (row.get("spark_rows") or 0) > 0
             )

@@ -382,3 +382,62 @@ def test_ann_lsh_self_audit_recall_column(spark):
     per_q = {r["query_id"]: r["recall_at_10"] for r in rows}
     assert len(per_q) == 5
     assert all(v >= 0.9 for v in per_q.values()), per_q
+
+
+def test_paired_shard_manifest_and_writer(spark, tmp_path):
+    """The cross-modal pair contract, end to end: (1) in the
+    manifest, every doc contributes exactly one payload and one
+    caption entry with the SAME (pack_group, shard_seq) — a sample
+    never splits across tars — and the caption starts exactly where
+    the payload ends; (2) export_paired_shards lays partitions out
+    so reading any one (pack_group, shard_seq) directory yields both
+    kinds for every doc_id in it, in byte_offset order, with content
+    lengths matching the manifest byte counts."""
+    from twitter_etl_spark.multimodal import export_paired_shards
+    from twitter_etl_spark.queries.multimodal_q import (
+        q_multimodal_pair_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_multimodal_pair_manifest(spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["kind"]] = r
+    for doc_id, kinds in by_doc.items():
+        assert set(kinds) == {"payload", "caption"}, doc_id
+        p, c = kinds["payload"], kinds["caption"]
+        assert (p["pack_group"], p["shard_seq"]) == (
+            c["pack_group"],
+            c["shard_seq"],
+        ), doc_id
+        assert c["byte_offset"] == p["byte_offset"] + p["n_bytes"], doc_id
+    # shards actually roll over within at least one pack group
+    assert len({(r["pack_group"], r["shard_seq"]) for r in rows}) > len(
+        {r["pack_group"] for r in rows}
+    )
+
+    out = str(tmp_path / "paired_shards")
+    export_paired_shards(
+        spark.read.parquet(f"{sf}/documents.parquet"), out
+    )
+    back = spark.read.parquet(out)
+    # partition columns survive and every entry carries content of
+    # exactly the manifest's byte count
+    got = back.select(
+        "doc_id", "kind", "n_bytes", "byte_offset",
+        F.octet_length("content").alias("clen"),
+        "pack_group", "shard_seq",
+    ).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert r["clen"] == r["n_bytes"], (r["doc_id"], r["kind"])
+    # spot-read ONE shard directory partition-pruned: both kinds per doc
+    any_r = got[0]
+    one = spark.read.parquet(out).where(
+        (F.col("pack_group") == any_r["pack_group"])
+        & (F.col("shard_seq") == any_r["shard_seq"])
+    )
+    per_doc = (
+        one.groupBy("doc_id").agg(F.collect_set("kind").alias("kinds"))
+    ).collect()
+    assert per_doc and all(set(r["kinds"]) == {"payload", "caption"} for r in per_doc)

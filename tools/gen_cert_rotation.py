@@ -32,7 +32,14 @@ def main() -> int:
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
         for name, row in json.load(open(f)).items():
-            green = (row.get("err") is None and row.get("rows_match")) or (
+            # hash_match is the driver's real gate for oracle-backed
+            # names — rows_match alone called the r12 groupingsets red
+            # "green" and would have rotated it out while failing
+            green = (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("hash_match", True)
+            ) or (
                 row.get("err") == "no_oracle"
                 and (row.get("spark_rows") or 0) > 0
             )

@@ -119,3 +119,56 @@ def decode_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload", "meta").mapInPandas(
         _decode, schema=FEATURE_SCHEMA
     )
+
+
+def export_paired_shards(docs: DataFrame, path: str) -> None:
+    """Write the cross-modal paired shards a multimodal training
+    reader consumes: parquet partitioned by (pack_group, shard_seq),
+    each partition holding its entries in byte_offset order with the
+    content bytes inline — payload and caption ADJACENT in the same
+    shard per the pair contract (``queries.multimodal_q.
+    q_multimodal_pair_manifest`` decides placement; this writer just
+    joins content back onto the manifest and lays files out).
+
+    Scale: the manifest is metadata-only; content joins back on
+    doc_id (one shuffle of the payload bytes — unavoidable when
+    physically packing), then ``repartition(pack_group)`` gives each
+    writer task its own groups and ``sortWithinPartitions`` lays
+    entries in stream order. Partition-pruned readers can open any
+    (pack_group, shard_seq) subset."""
+    from pyspark.sql import functions as F
+
+    from .queries.multimodal_q import _PAIR_CAPTION_CHARS, pair_manifest_frame
+
+    manifest = pair_manifest_frame(docs)
+    cap = F.concat(
+        F.col("lang"),
+        F.lit(": "),
+        F.substring(F.col("text"), 1, _PAIR_CAPTION_CHARS),
+    )
+    content = docs.select(
+        "doc_id",
+        F.col("text").alias("payload_content"),
+        cap.alias("caption_content"),
+    )
+    rows = (
+        manifest.join(content, "doc_id")
+        .select(
+            "doc_id",
+            "pack_group",
+            "shard_seq",
+            "kind",
+            "n_bytes",
+            "byte_offset",
+            F.when(F.col("kind") == "payload", F.col("payload_content"))
+            .otherwise(F.col("caption_content"))
+            .alias("content"),
+        )
+    )
+    (
+        rows.repartition("pack_group")
+        .sortWithinPartitions("pack_group", "shard_seq", "byte_offset")
+        .write.mode("overwrite")
+        .partitionBy("pack_group", "shard_seq")
+        .parquet(path)
+    )

@@ -107,73 +107,68 @@ _MODULES = (
 #   3. Rows-only names in the prefix must be allowlisted in
 #      test_cert_prefix_all_oracle_backed::deliberate_rows_only.
 #
-# r10 prefix was 39 r5-stale names + the 11 r10-new ops (9 r5 names
-# spilled to r11). r11 prefix: the 9 spilled r5 names + 41 oldest-r6
-# names (r11-new ops, when added, displace the youngest r6 fillers
-# from the tail — re-run tools/gen_cert_rotation.py 0 after adding).
+# r12 prefix was the r6/r7-stale cohorts + the 13 r12-new ops. r13
+# prefix (this tuple): the 2 r13-new ops + the 48 stalest re-certs,
+# oldest green driver round first (tools/gen_cert_rotation.py with
+# the hash-aware gate — rows_match alone would have rotated the red
+# q_agg_groupingsets out while failing; it heads the queue instead,
+# per the r12 verdict). The r8 tail continues next round.
 # Names NOT in the prefix keep their module-order position after it.
 _CERT_PREFIX = (
-    # -- r6-stale cohort (last green row: CORRECTNESS_r06); the 7
-    #    TPC-H names were REWRITTEN by the r11 _money_fp sweep after
-    #    their last driver cert — re-certifying the swept code is the
-    #    round's top verdict item.
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_ts_interarrival",
-    "q_udtf_runlength",
-    "q_win_firstlast",
-    "q_win_ntile_sharded",
-    "q_win_rolling_median",
-    # -- r7-stale cohort (last green row: CORRECTNESS_r07)
-    "q_agg_approx_percentile",
-    "q_agg_collect",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_global",
-    "q_agg_groupby",
+    # -- r13-new ops (certs in their birth round, per policy #1)
+    "q_text_bpe_encode",
+    "q_multimodal_pair_manifest",
+    # -- the round's one red (last GREEN row: r7; red r12 — the
+    #    DecimalType literal, fixed this round) + r7-stale cohort
     "q_agg_groupingsets",
-    "q_agg_having",
-    "q_agg_multi_distinct",
-    "q_agg_rollup",
-    "q_agg_stats",
-    "q_clean_pipeline",
-    "q_dedup_exact_global",
-    "q_dedup_keyed",
-    "q_dedup_paragraph",
-    "q_dedup_simhash_pairs",
-    "q_filter_conj",
-    "q_flagship_transform",
-    "q_graph_cc_star",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_interval",
-    "q_join_left",
-    # -- r12-new ops (13 names; they displace the youngest r7 fillers
-    #    from the tail: q_mutate_multi, q_pack_bestfit,
-    #    q_project_rename, q_retrieval_rrf, q_scan_parquet,
-    #    q_sim_kmeans, q_sink_append, q_join_theta, q_join_semi,
-    #    q_join_multiway, q_join_selfasof spill to r13,
-    #    joining the already-spilled q_source_ndjson and q_text_dsir)
-    "q_dedup_semantic_incremental",
-    "q_sim_ann_pq_trained",
-    "q_drift_psi",
-    "q_graph_labelprop",
-    "q_layout_zorder",
-    "q_stat_mann_whitney",
-    "q_text_bpe_merge",
-    "q_seq_pattern",
-    "q_ts_mann_kendall",
-    "q_drift_emd",
-    "q_multimodal_phash_dedup",
-    "q_graph_kcore",
-    "q_graph_bfs",
+    "q_join_multiway",
+    "q_join_selfasof",
+    "q_join_semi",
+    "q_join_theta",
+    "q_mutate_multi",
+    "q_pack_bestfit",
+    "q_project_rename",
+    "q_retrieval_rrf",
+    "q_scan_parquet",
+    "q_sim_kmeans",
+    "q_sink_append",
+    "q_source_ndjson",
+    "q_text_dsir",
+    "q_text_tfidf_mllib",
+    "q_topk_pergroup",
+    "q_tpch_q15",
+    "q_ts_ewma",
+    "q_win_lag_lead",
+    "q_win_moving",
+    "q_win_ntile",
+    "q_win_pctrank",
+    "q_win_range_frame",
+    "q_win_rank",
+    "q_win_rownumber",
+    "q_win_running",
+    # -- r8-stale cohort (last green row: CORRECTNESS_r08)
+    "q_agg_ams_f2",
+    "q_agg_boolcount",
+    "q_agg_countmin",
+    "q_agg_grouping_id",
+    "q_agg_histo_percentile",
+    "q_agg_hll_distinct",
+    "q_agg_hll_md5",
+    "q_agg_lc_setops",
+    "q_agg_linear_count",
+    "q_agg_listagg",
+    "q_agg_mode",
+    "q_agg_moments",
+    "q_agg_percentile_disc",
+    "q_agg_topk_sketch",
+    "q_behavior_dau_wau_mau",
+    "q_behavior_entropy",
+    "q_behavior_rfm",
+    "q_behavior_streaks",
+    "q_dedup_bloom",
+    "q_dedup_containment",
+    "q_dedup_exact_substring",
+    "q_dedup_incremental",
 )
 
 _BY_MODULE: dict = {}

@@ -468,6 +468,21 @@ def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled fold; the step-for-step Python replica pin
     (tests/test_text_ops.py) covers exactness instead, the
     ``q_pack_bestfit`` precedent."""
+    out, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        out, "merge_round int, sym_a string, sym_b string, merged string, n bigint"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The shared BPE training loop: returns ``(merge_rows,
+    encoded_vocab)`` — the learned merge table [(round, a, b, a+b,
+    n), ...] and the (word, n_w, syms) frame with ALL learned merges
+    already applied. The encoded vocabulary is the trainer's natural
+    byproduct, which ``q_text_bpe_encode`` joins against the corpus:
+    encode-the-vocab-then-join is what makes serving tractable — the
+    greedy fold runs once per DISTINCT word, never per corpus
+    token."""
     d = table(spark, sf_dir, "documents")
     words = d.select(F.explode(_tokens()).alias("word")).where(
         F.col("word") != ""
@@ -476,6 +491,7 @@ def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_w"))
         .select(
+            "word",
             "n_w",
             F.expr(
                 "transform(sequence(1, char_length(word)), "
@@ -514,9 +530,43 @@ def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND x = {b} THEN concat(slice(acc, 1, size(acc) - 1), "
             "array({a} || {b})) ELSE concat(acc, array(x)) END)"
         ).format(a=_sql_str(a), b=_sql_str(b))
-        wc = wc.select("n_w", F.expr(merge).alias("syms"))
-    return spark.createDataFrame(
-        out, "merge_round int, sym_a string, sym_b string, merged string, n bigint"
+        wc = wc.select("word", "n_w", F.expr(merge).alias("syms"))
+    return out, wc
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — apply the learned merge table corpus-wide: the
+    tokenize-for-training step every LLM pipeline runs at full
+    corpus scale, and the serving twin ``q_text_bpe_merge`` lacked
+    (VERDICT r12 gap #1: "training exists, serving doesn't").
+    Output per document: whitespace word count and the post-BPE
+    token count under the trained ``BPE_MERGES``-rule merge table.
+    (Reference scope: main.R has no tokenizer — [EXT] LLM-prep.)
+
+    Dataflow is the production shape: train on the cached distinct
+    (word, count) vocabulary (1-row argmax syncs — the documented
+    loop barrier), keep the trainer's final symbol arrays — the
+    ENCODED vocabulary, one greedy fold per distinct word, never per
+    corpus token — then one equi-join of corpus (doc_id, word)
+    tokens against the tiny (word → n_syms) map and a per-doc hash
+    agg. At 100 TB the vocabulary is corpus-sublinear (Heaps' law)
+    and AQE broadcasts it while it fits; document text never
+    re-shuffles.
+
+    Rows-only like the trainer (the merge table is data-dependent,
+    so no static SQL oracle can restate it); exactness is pinned by
+    the round-trip replica in tests/test_text_ops.py — the SAME
+    Python trainer encodes every document and must match per-doc
+    counts exactly."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    enc = vocab.select("word", F.size("syms").alias("n_syms"))
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("word")).where(
+        F.col("word") != ""
+    )
+    return toks.join(enc, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_syms").alias("n_bpe_tokens"),
     )
 
 
@@ -527,3 +577,4 @@ def _sql_str(s: str) -> str:
 
 
 QUERIES["q_text_bpe_merge"] = q_text_bpe_merge
+QUERIES["q_text_bpe_encode"] = q_text_bpe_encode
