@@ -76,6 +76,9 @@ def test_no_cartesian_anywhere_unexpected(spark):
 _SINGLE_PARTITION_OK = {
     "q_agg_global",
     "q_agg_histogram",
+    # 1-row Welch-t agg: map-side integer partials merge to one row
+    # (6 BIGINTs of state), the q_agg_global class
+    "q_stat_welch_t",
     # global sketch agg: partials merge to ONE tiny frequent-items
     # sketch (bounded state), same class as q_agg_global's 1-row agg
     "q_agg_topk_sketch",
@@ -447,11 +450,18 @@ def test_plan_snapshot_matches(spark):
     sys.path.insert(0, os.path.join(root, "tools"))
     import gen_plan_snapshot as gps
 
+    from twitter_etl_spark import cacheutil
+
     committed = json.load(open(os.path.join(root, "PLAN_SNAPSHOT.json")))
     drift = {}
     for name in sorted(ALL_QUERIES):
         if name in gps.SKIP:
             continue
+        # match the generator's cold-form convention: a slot warmed
+        # by an earlier test swaps subtrees for InMemoryRelation and
+        # the fingerprint would depend on session history
+        cacheutil.clear_slots()
+        spark.catalog.clearCache()
         plan = _plan(spark, name)
         got = gps.fingerprint(plan)
         want = committed.get(name)

@@ -1,0 +1,186 @@
+"""Round-13 operator pins: Theil–Sen vs a NumPy replica (with an
+even pair count — the lower/upper-middle median branch), Welch t vs
+a from-scratch replica, PPR integer fixed-point vs a dict replica,
+C4 rule flags on crafted docs, soft-dedup weight conservation."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import tempfile
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+
+def _write(df, d, name):
+    df.write.mode("overwrite").parquet(os.path.join(d, f"{name}.parquet"))
+
+
+def test_theilsen_matches_numpy_even_pair_count(spark):
+    """9 days -> 36 pairs (even): the median is the average of the
+    two middle slopes, the branch Spark float-division would have
+    silently broken (see the DIV note in q_ts_theilsen)."""
+    from twitter_etl_spark.queries.timeseries import q_ts_theilsen
+
+    days = [dt.datetime(2026, 1, 1) + dt.timedelta(days=i) for i in range(9)]
+    counts = [3, 1, 4, 1, 5, 9, 2, 6, 5]  # deliberately non-monotone
+    rows = []
+    eid = 0
+    for d, c in zip(days, counts):
+        for _ in range(c):
+            rows.append((eid, 1, "click", d))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    _write(df, d, "events")
+    out = q_ts_theilsen(spark, d).collect()
+    assert len(out) == 1
+    got = out[0]
+    slopes = sorted(
+        (counts[j] - counts[i]) / (j - i)
+        for i in range(9)
+        for j in range(i + 1, 9)
+    )
+    m = len(slopes)
+    assert m % 2 == 0 and got["n_pairs"] == m
+    want = (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+    assert math.isclose(got["sen_slope"], round(want, 6), abs_tol=1e-9)
+
+
+def test_welch_t_matches_replica(spark):
+    """q_stat_welch_t vs a from-scratch replica on the sf0.001
+    customer fixture (same cents quantization, same formula)."""
+    from twitter_etl_spark.queries.sketches import q_stat_welch_t
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = q_stat_welch_t(spark, sf).collect()[0]
+    rows = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"))
+        .select("c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    a = [
+        math.floor(round(r["c_acctbal"], 9) * 100 + 0.5)
+        for r in rows
+        if r["c_mktsegment"] == "AUTOMOBILE"
+    ]
+    b = [
+        math.floor(round(r["c_acctbal"], 9) * 100 + 0.5)
+        for r in rows
+        if r["c_mktsegment"] == "MACHINERY"
+    ]
+    na, nb = len(a), len(b)
+    va = (sum(x * x for x in a) - sum(a) ** 2 / na) / (na - 1)
+    vb = (sum(x * x for x in b) - sum(b) ** 2 / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (sum(a) / na - sum(b) / nb) / math.sqrt(se2)
+    df_w = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert math.isclose(got["t_stat"], round(t, 6), abs_tol=1e-6)
+    assert math.isclose(got["df_welch"], round(df_w, 4), abs_tol=1e-4)
+    assert math.isclose(got["mean_a"], round(sum(a) / na / 100, 6), abs_tol=1e-6)
+
+
+def test_ppr_matches_integer_replica(spark):
+    """q_graph_ppr vs a dict replica of the exact integer fixed-point
+    recurrence (floor divs in the same places) on sf0.001; also pins
+    that teleport mass flows only to seeds."""
+    from twitter_etl_spark.queries.graph import (
+        _PPR_ITERS,
+        _PPR_SEEDS,
+        PR_SCALE,
+        _edges,
+        q_graph_ppr,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = {(r["a"], r["b"]) for r in _edges(spark, sf).collect()}
+    sym = list(e) + [(b, a) for a, b in e]
+    deg: dict = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    seeds = [
+        n for n, _ in sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:_PPR_SEEDS]
+    seed_base = PR_SCALE // _PPR_SEEDS
+    teleport = (15 * seed_base) // 100
+    ranks = {s: seed_base for s in seeds}
+    for _ in range(_PPR_ITERS):
+        spread: dict = {}
+        for s, dnode in sym:
+            if s in ranks:
+                spread[dnode] = spread.get(dnode, 0) + ranks[s] // deg[s]
+        nxt = {n: (85 * c) // 100 for n, c in spread.items()}
+        for s in seeds:
+            nxt[s] = nxt.get(s, 0) + teleport
+        ranks = nxt
+    want = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["node"], r["rank_fp"]) for r in q_graph_ppr(spark, sf).collect()]
+    assert got == want
+
+
+def test_c4_rules_flags_each_rule(spark):
+    from twitter_etl_spark.queries.llmprep import q_quality_c4_rules
+
+    docs = [
+        (1, "A clean sentence with enough words here.", "en", "s1", 41),
+        (2, "code { leaks } into prose words here.", "en", "s1", 30),
+        (3, "Lorem Ipsum dolor sit amet body text.", "en", "s1", 30),
+        (4, "Enable JavaScript to view this page now.", "en", "s1", 30),
+        (5, "Read our privacy policy and terms today.", "en", "s1", 30),
+        (6, "too short.", "en", "s1", 10),
+        (7, "no terminal punctuation in this one at all", "en", "s1", 43),
+    ]
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tempfile.mkdtemp()
+    _write(df, d, "documents")
+    r = q_quality_c4_rules(spark, d).collect()[0]
+    assert r["n_docs"] == 7
+    assert r["n_brace_ok"] == 6
+    assert r["n_lorem_ok"] == 6
+    assert r["n_js_ok"] == 6
+    assert r["n_policy_ok"] == 6
+    assert r["n_words_ok"] == 6  # doc 6 has 2 words
+    assert r["n_punct_ok"] == 6
+    assert r["n_pass_all"] == 1  # only doc 1 passes everything
+
+
+def test_soft_weights_conserve_cluster_mass(spark):
+    """Per duplicate cluster: Σ soft_weight == 1 (each cluster
+    contributes one document's worth of sampling mass) and
+    Σ eff_tokens == cluster token count / cluster size summed —
+    checked on sf0.001 where q_dedup_normalized gives cluster
+    sizes to cross-check dup_count against."""
+    from twitter_etl_spark.queries.dedup import (
+        q_dedup_normalized,
+        q_dedup_soft_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_dedup_soft_weights(spark, sf)
+    n_docs = out.count()
+    # every doc exactly once
+    assert out.select("doc_id").distinct().count() == n_docs
+    # cluster-mass conservation: total weight == number of clusters
+    total_w = out.agg(F.sum("soft_weight")).collect()[0][0]
+    n_clusters = q_dedup_normalized(spark, sf).count()
+    assert abs(total_w - n_clusters) < 1e-3
+    # dup_count distribution must match the normalized dedup's
+    sizes_a = sorted(
+        r["n_copies"] for r in q_dedup_normalized(spark, sf).collect()
+    )
+    sizes_b = []
+    for r in out.groupBy("dup_count").count().collect():
+        n_clusters_of_size, rem = divmod(r["count"], r["dup_count"])
+        assert rem == 0  # row count per size divisible by the size
+        sizes_b += [r["dup_count"]] * n_clusters_of_size
+    assert sizes_a == sorted(sizes_b)

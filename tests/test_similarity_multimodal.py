@@ -441,3 +441,63 @@ def test_paired_shard_manifest_and_writer(spark, tmp_path):
         one.groupBy("doc_id").agg(F.collect_set("kind").alias("kinds"))
     ).collect()
     assert per_doc and all(set(r["kinds"]) == {"payload", "caption"} for r in per_doc)
+
+
+def test_semantic_adaptive_equals_oneshot_when_cells_small(spark):
+    """With every coarse cell at or under _SEM_TARGET_OCC the
+    adaptive grid does not refine (divisor 256 -> prefix 0), so
+    q_dedup_semantic_adaptive must be ROW-IDENTICAL to
+    q_dedup_semantic — the fixture-independence claim's base case.
+    The precondition is asserted, not assumed."""
+    from twitter_etl_spark.queries.similarity import (
+        _SEM_TARGET_OCC,
+        q_dedup_semantic,
+        q_dedup_semantic_adaptive,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    occ = (
+        table(spark, sf, "embeddings").groupBy("label").count().collect()
+    )
+    assert max(r["count"] for r in occ) <= _SEM_TARGET_OCC
+    a = {tuple(r) for r in q_dedup_semantic_adaptive(spark, sf).collect()}
+    b = {tuple(r) for r in q_dedup_semantic(spark, sf).collect()}
+    assert a == b
+
+
+def test_semantic_adaptive_refines_hot_cell_and_keeps_exact_twins(spark):
+    """A coarse cell pushed past _SEM_TARGET_OCC must (a) actually
+    split — its pair stage runs on strictly smaller refined cells —
+    and (b) NEVER separate exact-duplicate vectors: identical
+    embeddings have identical sign bits, so twin pairs survive any
+    refinement depth and the duplicate is still dropped. This is
+    the recall floor the LSH hand-off note promises."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from twitter_etl_spark.queries.similarity import (
+        _SEM_TARGET_OCC,
+        q_dedup_semantic_adaptive,
+    )
+
+    rng = np.random.RandomState(7)
+    n = _SEM_TARGET_OCC + 88  # one hot label -> 1 refinement bit
+    base = rng.randn(n, 64).astype(np.float32)
+    # orthogonalize-ish: scale so most random pairs are < 0.35 cos
+    rows = [(i, base[i].tolist(), 1) for i in range(n)]
+    # exact twins: 5 duplicates of the first 5 vectors, higher ids
+    rows += [(1000 + i, base[i].tolist(), 1) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, ["vec_id", "embedding", "label"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+    out = {r["vec_id"]: r["kept"] for r in q_dedup_semantic_adaptive(spark, d).collect()}
+    assert len(out) == n + 5
+    for i in range(5):  # every exact twin dropped, original kept
+        assert out[1000 + i] == 0, f"twin of {i} escaped refinement"
+        assert out[i] == 1

@@ -73,11 +73,18 @@ def main() -> int:
     from twitter_etl_spark.queries import ALL_QUERIES
     from twitter_etl_spark.session import get_spark
 
+    from twitter_etl_spark import cacheutil
+
     spark = get_spark("plan-snapshot")
     snap: dict[str, dict[str, int]] = {}
     for name in sorted(ALL_QUERIES):
         if name in SKIP:
             continue
+        # cold-form fingerprints: a warm cache slot swaps a query's
+        # subtree for InMemoryRelation and changes the counts with
+        # session history (see cacheutil.clear_slots)
+        cacheutil.clear_slots()
+        spark.catalog.clearCache()
         plan = (
             ALL_QUERIES[name](spark, SF_DIR)
             ._jdf.queryExecution()

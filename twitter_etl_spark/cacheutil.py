@@ -41,3 +41,21 @@ def cache_latest(
         except Exception:
             pass  # session may have restarted since
     return out
+
+
+def clear_slots() -> None:
+    """Release every slot (plan-fingerprint determinism hook): a
+    persisted slot makes the NEXT build of the same logical plan
+    explain as InMemoryRelation instead of its real subtree, so any
+    tool that fingerprints physical plans must reset slot state (plus
+    ``spark.catalog.clearCache()``) to see the cache-independent cold
+    form — otherwise the fingerprint depends on what ran earlier in
+    the session (the r13 q_text_bpe_encode snapshot flake)."""
+    with _LOCK:
+        slots = list(_SLOTS.values())
+        _SLOTS.clear()
+    for df in slots:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass

@@ -108,7 +108,7 @@ _MODULES = (
 #      test_cert_prefix_all_oracle_backed::deliberate_rows_only.
 #
 # r12 prefix was the r6/r7-stale cohorts + the 13 r12-new ops. r13
-# prefix (this tuple): the 2 r13-new ops + the 48 stalest re-certs,
+# prefix (this tuple): the 8 r13-new ops + the 42 stalest re-certs,
 # oldest green driver round first (tools/gen_cert_rotation.py with
 # the hash-aware gate — rows_match alone would have rotated the red
 # q_agg_groupingsets out while failing; it heads the queue instead,
@@ -118,6 +118,12 @@ _CERT_PREFIX = (
     # -- r13-new ops (certs in their birth round, per policy #1)
     "q_text_bpe_encode",
     "q_multimodal_pair_manifest",
+    "q_dedup_semantic_adaptive",
+    "q_dedup_soft_weights",
+    "q_quality_c4_rules",
+    "q_stat_welch_t",
+    "q_ts_theilsen",
+    "q_graph_ppr",
     # -- the round's one red (last GREEN row: r7; red r12 — the
     #    DecimalType literal, fixed this round) + r7-stale cohort
     "q_agg_groupingsets",
@@ -163,12 +169,6 @@ _CERT_PREFIX = (
     "q_agg_topk_sketch",
     "q_behavior_dau_wau_mau",
     "q_behavior_entropy",
-    "q_behavior_rfm",
-    "q_behavior_streaks",
-    "q_dedup_bloom",
-    "q_dedup_containment",
-    "q_dedup_exact_substring",
-    "q_dedup_incremental",
 )
 
 _BY_MODULE: dict = {}

@@ -1162,3 +1162,56 @@ ORACLE["q_dedup_minhash_est"] = (
     "SELECT doc_a, doc_b, jaccard, jaccard_est, "
     "round(abs(jaccard - jaccard_est), 6) AS abs_err FROM est"
 )
+
+
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup: duplication-aware DOWN-WEIGHTING instead of
+    dropping (the "soft deduplication" family, e.g. SoftDedup —
+    He et al. 2024, arXiv:2407.06654: keep every copy but shrink its
+    sampling weight so the cluster contributes one document's worth
+    of gradient mass). Clusters are the cleaning-chain-normalized
+    digest groups of ``q_dedup_normalized``; every doc gets
+    soft_weight = 1/|cluster| and its effective whitespace-token
+    contribution eff_tokens = n_tokens/|cluster| — the numbers a
+    sampler multiplies into its per-doc rate, preserving diversity
+    that hard keep-first dedup throws away.
+
+    Cross-engine exactness: |cluster| and n_tokens are BIGINTs; the
+    two divisions are single IEEE ops rounded at 6. Scale: identical
+    profile to q_dedup_normalized — the corpus shuffles once keyed
+    on the 32-byte digest (never text), the per-cluster count joins
+    back digest-keyed; viral boilerplate is one hot digest collapsed
+    map-side by the partial count."""
+    d = table(spark, sf_dir, "documents")
+    norm = clean_chain(F.col("text"))
+    keyed = d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_digest"),
+        F.size(_tokens()).alias("n_tokens"),
+    )
+    sizes = keyed.groupBy("norm_digest").agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    return keyed.join(sizes, "norm_digest").select(
+        "doc_id",
+        "dup_count",
+        F.round(F.lit(1.0) / F.col("dup_count"), 6).alias("soft_weight"),
+        F.round(F.col("n_tokens") / F.col("dup_count").cast("double"), 6).alias(
+            "eff_tokens"
+        ),
+    )
+
+
+QUERIES["q_dedup_soft_weights"] = q_dedup_soft_weights
+ORACLE["q_dedup_soft_weights"] = (
+    "WITH keyed AS (SELECT doc_id, "
+    f"md5({sql_clean_chain('text')}) AS norm_digest, "
+    "len(" + _SQL_TOKENS + ")::BIGINT AS n_tokens "
+    "FROM documents), "
+    "sizes AS (SELECT norm_digest, count(*)::BIGINT AS dup_count "
+    "FROM keyed GROUP BY norm_digest) "
+    "SELECT doc_id, dup_count, "
+    "round(1.0 / dup_count, 6) AS soft_weight, "
+    "round(n_tokens / dup_count::DOUBLE, 6) AS eff_tokens "
+    "FROM keyed JOIN sizes USING (norm_digest)"
+)

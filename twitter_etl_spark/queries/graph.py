@@ -767,3 +767,95 @@ ORACLE["q_graph_bfs"] = (
     + ", ".join(_bfs_round(i) for i in range(1, BFS_HOPS + 1))
     + f" SELECT node, dist FROM x{BFS_HOPS}"
 )
+
+
+#: PPR: damping 85/100 (as PageRank), seeds = top-_PPR_SEEDS parts
+#: by degree in the co-order graph, _PPR_ITERS unrolled rounds.
+_PPR_SEEDS = 4
+_PPR_ITERS = 3
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6; the seeded
+    variant behind related-item / account-suggestion features) over
+    the lineitem co-order part graph: teleport mass returns to a
+    SEED SET — here the ``_PPR_SEEDS`` highest-degree parts
+    (degree-desc, partkey-asc tie-break) — instead of spreading
+    uniformly, so rank measures proximity to the seeds. Same
+    integer fixed-point contract as ``q_graph_pagerank``
+    (PR_SCALE = 1e12, all transfers BIGINT floor-div — bit-exact
+    cross-engine, no float convergence drift), ``_PPR_ITERS``
+    unrolled rounds, top-20 by rank for a bounded report.
+
+    Scale: per round one equi-join (ranks are (node, BIGINT) rows —
+    never adjacency lists) + one hash agg; the seed frame is a
+    broadcast-size literal. Symmetric edges from the one distinct
+    co-order pair scan shared with q_graph_degree; oracle rounds are
+    MATERIALIZED CTEs (the k-core sf1 lesson: DuckDB inlines plain
+    CTEs per reference — 3^rounds blowup)."""
+    e = _edges(spark, sf_dir)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = deg.orderBy(F.desc("deg"), F.asc("a")).limit(_PPR_SEEDS).select(
+        F.col("a").alias("node")
+    )
+    seed_base = PR_SCALE // _PPR_SEEDS
+    # teleport vector: base mass only on seeds
+    ranks = seeds.select("node", F.lit(seed_base).alias("r"))
+    esrc = sym.select(F.col("a").alias("src"), F.col("b").alias("dst")).join(
+        deg.select(F.col("a").alias("src"), "deg"), "src"
+    )
+    teleport = (15 * seed_base) // 100
+    for _ in range(_PPR_ITERS):
+        contrib = esrc.join(ranks, esrc["src"] == ranks["node"]).select(
+            "dst", F.expr("r div deg").alias("c")
+        )
+        spread = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.expr("85 * sum(c) div 100").alias("s")
+        )
+        ranks = (
+            spread.join(F.broadcast(seeds.withColumn("t", F.lit(teleport))), "node", "full")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("s"), F.lit(0))
+                    + F.coalesce(F.col("t"), F.lit(0))
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.orderBy(F.desc("r"), F.asc("node")).limit(20).select(
+        "node", F.col("r").alias("rank_fp")
+    )
+
+
+QUERIES["q_graph_ppr"] = q_graph_ppr
+
+
+def _ppr_iter(prev: str, out: str) -> str:
+    seed_base = PR_SCALE // _PPR_SEEDS
+    teleport = (15 * seed_base) // 100
+    return (
+        f"{out} AS MATERIALIZED (SELECT node, "
+        "coalesce(s, 0) + coalesce(t, 0) AS r FROM "
+        "(SELECT e.dst AS node, (85 * (sum(p.r // d.deg))::BIGINT) // 100 AS s "
+        f" FROM sym e JOIN deg d ON e.src = d.src "
+        f" JOIN {prev} p ON p.node = e.src GROUP BY e.dst) sp "
+        f"FULL JOIN (SELECT node, {teleport}::BIGINT AS t FROM seeds) se "
+        "USING (node))"
+    )
+
+
+ORACLE["q_graph_ppr"] = (
+    "WITH e AS MATERIALIZED (" + _EDGES + "), "
+    "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e "
+    "UNION ALL SELECT b, a FROM e), "
+    "deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg "
+    "FROM sym GROUP BY src), "
+    "seeds AS MATERIALIZED (SELECT src AS node FROM deg "
+    f"ORDER BY deg DESC, src ASC LIMIT {_PPR_SEEDS}), "
+    f"it0 AS (SELECT node, {PR_SCALE // _PPR_SEEDS}::BIGINT AS r FROM seeds), "
+    + ", ".join(_ppr_iter(f"it{i}", f"it{i+1}") for i in range(_PPR_ITERS))
+    + f" SELECT node, r AS rank_fp FROM it{_PPR_ITERS} "
+    "ORDER BY r DESC, node ASC LIMIT 20"
+)

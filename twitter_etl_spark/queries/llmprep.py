@@ -505,3 +505,91 @@ ORACLE = {
         "ORDER BY n DESC, l_suppkey LIMIT 10"
     ),
 }
+
+
+def q_quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic rule family (Raffel et al. 2020, §2.2 —
+    the cleaning rules behind the C4 corpus), re-expressed at
+    document granularity over the fixture and aggregated per source
+    exactly like ``q_quality_gopher`` (the two rule families a real
+    curation job runs back-to-back):
+
+    - r_brace:  no '{' or '}' (code/templating leak)
+    - r_lorem:  no 'lorem ipsum' (placeholder boilerplate)
+    - r_js:     no 'javascript' (noscript warnings)
+    - r_policy: no 'privacy policy' / 'cookie policy' / 'terms of
+      use' (legal boilerplate pages)
+    - r_words:  ≥ 5 whitespace words
+    - r_punct:  trimmed text ends in terminal punctuation
+      (. ! ? or closing quote — C4's sentence-filter applied at the
+      doc grain this fixture has)
+
+    All flags are pure string predicates (contains / regexp on the
+    lowercased text) — integer-exact, no float anywhere; counts
+    collapse map-side to one row per source."""
+    d = table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    toks = _tokens()
+    r_brace = (~low.contains("{") & ~low.contains("}")).cast("bigint")
+    r_lorem = (~low.contains("lorem ipsum")).cast("bigint")
+    r_js = (~low.contains("javascript")).cast("bigint")
+    r_policy = (
+        ~low.contains("privacy policy")
+        & ~low.contains("cookie policy")
+        & ~low.contains("terms of use")
+    ).cast("bigint")
+    r_words = (F.size(toks) >= 5).cast("bigint")
+    r_punct = F.trim(F.col("text")).rlike(r"[.!?\"']$").cast("bigint")
+    flags = d.select(
+        "source",
+        r_brace.alias("r_brace"),
+        r_lorem.alias("r_lorem"),
+        r_js.alias("r_js"),
+        r_policy.alias("r_policy"),
+        r_words.alias("r_words"),
+        r_punct.alias("r_punct"),
+    )
+    pass_all = (
+        (F.col("r_brace") == 1)
+        & (F.col("r_lorem") == 1)
+        & (F.col("r_js") == 1)
+        & (F.col("r_policy") == 1)
+        & (F.col("r_words") == 1)
+        & (F.col("r_punct") == 1)
+    ).cast("bigint")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("r_brace").alias("n_brace_ok"),
+        F.sum("r_lorem").alias("n_lorem_ok"),
+        F.sum("r_js").alias("n_js_ok"),
+        F.sum("r_policy").alias("n_policy_ok"),
+        F.sum("r_words").alias("n_words_ok"),
+        F.sum("r_punct").alias("n_punct_ok"),
+        F.sum(pass_all).alias("n_pass_all"),
+    )
+
+
+QUERIES["q_quality_c4_rules"] = q_quality_c4_rules
+ORACLE["q_quality_c4_rules"] = (
+    "WITH flags AS (SELECT source, "
+    "(NOT contains(lower(text), '{') AND NOT contains(lower(text), '}'))"
+    "::BIGINT AS r_brace, "
+    "(NOT contains(lower(text), 'lorem ipsum'))::BIGINT AS r_lorem, "
+    "(NOT contains(lower(text), 'javascript'))::BIGINT AS r_js, "
+    "(NOT contains(lower(text), 'privacy policy') "
+    " AND NOT contains(lower(text), 'cookie policy') "
+    " AND NOT contains(lower(text), 'terms of use'))::BIGINT AS r_policy, "
+    "(len(" + _SQL_TOKENS + ") >= 5)::BIGINT AS r_words, "
+    "regexp_matches(trim(text), '[.!?\"'']$')::BIGINT AS r_punct "
+    "FROM documents) "
+    "SELECT source, count(*)::BIGINT AS n_docs, "
+    "sum(r_brace)::BIGINT AS n_brace_ok, "
+    "sum(r_lorem)::BIGINT AS n_lorem_ok, "
+    "sum(r_js)::BIGINT AS n_js_ok, "
+    "sum(r_policy)::BIGINT AS n_policy_ok, "
+    "sum(r_words)::BIGINT AS n_words_ok, "
+    "sum(r_punct)::BIGINT AS n_punct_ok, "
+    "sum(r_brace * r_lorem * r_js * r_policy * r_words * r_punct)::BIGINT "
+    "AS n_pass_all "
+    "FROM flags GROUP BY source"
+)

@@ -1820,3 +1820,89 @@ ORACLE["q_stat_mann_whitney"] = (
     "round(u2_a / (n_a::DOUBLE * n_b) - 1.0, 6) AS rank_biserial "
     "FROM agg"
 )
+
+
+def q_stat_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t-test (unequal variances) between the
+    AUTOMOBILE and MACHINERY balance distributions — the PARAMETRIC
+    lens that completes the drift quartet (KS: worst ECDF gap;
+    chi-squared: reshaping; Mann-Whitney: rank slide; Welch: mean
+    shift in original units, with its Satterthwaite df).
+
+    Cross-engine exactness: balances reduce through the
+    ``_money_fp`` idiom at CENTS scale (2dp money -> exact BIGINT),
+    so n, Σx and Σx² are association-order-proof integer sums —
+    BIGINT ceiling for Σx² is ~9e18 / (1e6)² ≈ 9e6 rows per segment
+    at max balance, i.e. ~sf60; past that pre-center on an integer
+    pivot or promote to DOUBLE (exact to 2^53). Every downstream
+    step (means, variances, t, df) is a fixed tree of IEEE
+    double ops on identical integers, rounded at 6 only for output.
+
+    Scale: one scan, map-side partial sums to a 1-row frame —
+    the cheapest query in the drift family."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
+    )
+    from .tpch import _money_fp
+
+    x = _money_fp(F.col("c_acctbal"), scale=100)
+    is_a = (F.col("c_mktsegment") == "AUTOMOBILE").cast("long")
+    is_b = (F.col("c_mktsegment") == "MACHINERY").cast("long")
+    agg = c.select(
+        is_a.alias("ia"), is_b.alias("ib"), x.alias("x")
+    ).agg(
+        F.sum("ia").alias("n_a"),
+        F.sum("ib").alias("n_b"),
+        F.sum(F.col("ia") * F.col("x")).alias("sa"),
+        F.sum(F.col("ib") * F.col("x")).alias("sb"),
+        F.sum(F.col("ia") * F.col("x") * F.col("x")).alias("qa"),
+        F.sum(F.col("ib") * F.col("x") * F.col("x")).alias("qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    va = (F.col("qa").cast("double") - F.col("sa").cast("double") * F.col("sa") / na) / (na - 1.0)
+    vb = (F.col("qb").cast("double") - F.col("sb").cast("double") * F.col("sb") / nb) / (nb - 1.0)
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t_stat = (ma - mb) / F.sqrt(se2)
+    df_ws = se2 * se2 / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ma / 100.0, 6).alias("mean_a"),
+        F.round(mb / 100.0, 6).alias("mean_b"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(df_ws, 4).alias("df_welch"),
+    )
+
+
+QUERIES["q_stat_welch_t"] = q_stat_welch_t
+ORACLE["q_stat_welch_t"] = (
+    "WITH c AS (SELECT c_mktsegment, "
+    "  floor(round(c_acctbal, 9) * 100 + 0.5)::BIGINT AS x "
+    "  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')), "
+    "agg AS (SELECT "
+    "  sum((c_mktsegment = 'AUTOMOBILE')::INT)::BIGINT AS n_a, "
+    "  sum((c_mktsegment = 'MACHINERY')::INT)::BIGINT AS n_b, "
+    "  sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN x ELSE 0 END)::BIGINT AS sa, "
+    "  sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN x ELSE 0 END)::BIGINT AS sb, "
+    "  sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN x * x ELSE 0 END)::BIGINT AS qa, "
+    "  sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN x * x ELSE 0 END)::BIGINT AS qb "
+    "  FROM c), "
+    "s AS (SELECT n_a, n_b, "
+    "  sa::DOUBLE / n_a::DOUBLE AS ma, sb::DOUBLE / n_b::DOUBLE AS mb, "
+    "  (qa::DOUBLE - sa::DOUBLE * sa / n_a::DOUBLE) / (n_a::DOUBLE - 1.0) AS va, "
+    "  (qb::DOUBLE - sb::DOUBLE * sb / n_b::DOUBLE) / (n_b::DOUBLE - 1.0) AS vb "
+    "  FROM agg), "
+    "se AS (SELECT *, va / n_a::DOUBLE AS sea, vb / n_b::DOUBLE AS seb, "
+    "  va / n_a::DOUBLE + vb / n_b::DOUBLE AS se2 FROM s) "
+    "SELECT n_a, n_b, round(ma / 100.0, 6) AS mean_a, "
+    "round(mb / 100.0, 6) AS mean_b, "
+    "round((ma - mb) / sqrt(se2), 6) AS t_stat, "
+    "round(se2 * se2 / (sea * sea / (n_a::DOUBLE - 1.0) "
+    "  + seb * seb / (n_b::DOUBLE - 1.0)), 4) AS df_welch "
+    "FROM se"
+)

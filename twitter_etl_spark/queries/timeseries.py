@@ -1208,3 +1208,77 @@ ORACLE["q_ts_mann_kendall"] = (
     "FROM s JOIN nd ON s.event_type = nd.event_type "
     "JOIN ties ON s.event_type = ties.event_type"
 )
+
+
+def q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator per event type over the daily-count
+    series — the robust trend MAGNITUDE companion to
+    ``q_ts_mann_kendall`` (MK answers "is it trending", Sen's slope
+    answers "by how much per day", breakdown point 29%): the median
+    of all pairwise slopes (c_j − c_i)/(j − i) over day pairs.
+
+    Cross-engine exactness: every slope is one IEEE division of two
+    integers (BIGINT daily counts, integer day gaps) — identical in
+    both engines; the median is the EXACT rank-picked middle (avg of
+    the two middles on even counts), spelled with row_number in both
+    engines rather than engine median() variants whose interpolation
+    rules differ. Equal-slope orderings are interchangeable for the
+    median, so the sort needs no tie-break.
+
+    Scale: the pair join is CALENDAR-bounded like Mann-Kendall's
+    (≤ days²/2 pairs per type — day grids stay ~365 rows/year no
+    matter the event volume); the median window runs per type over
+    that bounded slope set, never over events."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("m"),
+    )
+    # integer DIV, not `/`: Column `/` is float division, which on
+    # even m turns the lower-middle test into rn == m/2 + 0.5 (never
+    # true) and silently drops one of the two medians
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(m + 1) DIV 2"))
+        | (F.col("rn") == F.expr("m DIV 2 + 1"))
+    )
+    return mid.groupBy("event_type").agg(
+        F.max("m").alias("n_pairs"),
+        F.round(F.avg("slope"), 6).alias("sen_slope"),
+    )
+
+
+QUERIES["q_ts_theilsen"] = q_ts_theilsen
+ORACLE["q_ts_theilsen"] = (
+    "WITH daily AS (SELECT event_type, date_trunc('day', ts)::DATE AS day, "
+    "count(*)::BIGINT AS c FROM events GROUP BY 1, 2), "
+    "slopes AS (SELECT a.event_type, "
+    "  (b.c - a.c)::DOUBLE / date_diff('day', a.day, b.day) AS slope "
+    "  FROM daily a JOIN daily b ON a.event_type = b.event_type "
+    "  AND a.day < b.day), "
+    "ranked AS (SELECT event_type, slope, "
+    "  row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn, "
+    "  count(*) OVER (PARTITION BY event_type) AS m FROM slopes) "
+    "SELECT event_type, max(m)::BIGINT AS n_pairs, "
+    "round(avg(slope), 6) AS sen_slope FROM ranked "
+    "WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY event_type"
+)
