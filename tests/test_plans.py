@@ -79,6 +79,12 @@ _SINGLE_PARTITION_OK = {
     # 1-row Welch-t agg: map-side integer partials merge to one row
     # (6 BIGINTs of state), the q_agg_global class
     "q_stat_welch_t",
+    # per-round 1-row MAX-normalization aggs over the (node, BIGINT)
+    # rank frames — bounded state, the q_agg_global class (r13)
+    "q_graph_hits",
+    # 1-row budget/remainder aggs over the O(#languages) mixture
+    # frame — everything past the first hash agg is broadcast-size
+    "q_mix_epochs_capped",
     # global sketch agg: partials merge to ONE tiny frequent-items
     # sketch (bounded state), same class as q_agg_global's 1-row agg
     "q_agg_topk_sketch",

@@ -184,3 +184,119 @@ def test_soft_weights_conserve_cluster_mass(spark):
         assert rem == 0  # row count per size divisible by the size
         sizes_b += [r["dup_count"]] * n_clusters_of_size
     assert sizes_a == sorted(sizes_b)
+
+
+def test_mix_epochs_capped_budget_conserved_and_cap_respected(spark):
+    """Σ alloc_tok == budget (2·Σ n_tok) exactly up to rounding, no
+    language exceeds the cap, and at least one capped + one uncapped
+    language exist on the sf0.01 fixture (the partial-binding regime
+    the constants were chosen for)."""
+    from twitter_etl_spark.queries.webcorpus import (
+        MIX_EPOCH_CAP,
+        q_mix_epochs_capped,
+    )
+
+    rows = q_mix_epochs_capped(spark, "/root/testdata/sf0.01").collect()
+    total_n = sum(r["n_tok"] for r in rows)
+    assert abs(sum(r["alloc_tok"] for r in rows) - 2.0 * total_n) < 0.1
+    assert all(r["epochs"] <= MIX_EPOCH_CAP + 1e-9 for r in rows)
+    kinds = {r["capped"] for r in rows}
+    assert kinds == {0, 1}
+
+
+def test_mix_epochs_capped_two_round_cascade(spark):
+    """Water-filling cascade: a crafted corpus where round 1 caps the
+    smallest language and the redistributed budget pushes the SECOND
+    language over in round 2 — pinned against a Python replica of the
+    exact recurrence."""
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.webcorpus import (
+        MIX_CAP_ROUNDS,
+        MIX_EPOCH_CAP,
+        MIX_TAU,
+        q_mix_epochs_capped,
+    )
+
+    # token counts engineered so caps bind in sequence: tiny gets a
+    # huge temperature boost; once frozen, mid crosses the cap too
+    specs = [("aa", 8), ("bb", 640), ("cc", 1144)]
+    docs, did = [], 0
+    for lang, n_tok in specs:
+        # 8 tokens per doc
+        for _ in range(n_tok // 8):
+            docs.append((did, "w " * 7 + "w", lang, "s", 15))
+            did += 1
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    n = {lang: t for lang, t in specs}
+    B = 2.0 * sum(n.values())
+    p = {k: v**MIX_TAU for k, v in n.items()}
+    fixed: dict = {}
+    rounds_with_new = 0
+    for _ in range(MIX_CAP_ROUNDS):
+        act = [k for k in n if k not in fixed]
+        rem = B - sum(fixed.values())
+        pact = sum(p[k] for k in act)
+        newly = [k for k in act if p[k] / pact * rem > MIX_EPOCH_CAP * n[k]]
+        if newly:
+            rounds_with_new += 1
+        for k in newly:
+            fixed[k] = MIX_EPOCH_CAP * n[k]
+    assert rounds_with_new >= 2, "fixture fails to cascade; retune specs"
+    act = [k for k in n if k not in fixed]
+    rem = B - sum(fixed.values())
+    pact = sum(p[k] for k in act)
+    want = {
+        k: (fixed[k] if k in fixed else p[k] / pact * rem) for k in n
+    }
+    got = {r["lang"]: r for r in q_mix_epochs_capped(spark, d).collect()}
+    for k in n:
+        assert abs(got[k]["alloc_tok"] - round(want[k], 2)) < 1e-6, k
+        assert got[k]["capped"] == int(k in fixed)
+
+
+def test_hits_matches_integer_replica(spark):
+    """q_graph_hits vs a dict replica of the exact fixed-point
+    recurrence (same floor divs, same max normalization) on
+    sf0.001; also pins hub/authority side separation."""
+    from twitter_etl_spark.queries.graph import (
+        _HITS_ITERS,
+        _HITS_SCALE,
+        q_graph_hits,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = {
+        (r["o_custkey"], r["l_suppkey"])
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"]).collect()
+    }
+    hubs = {c: _HITS_SCALE for c, _ in edges}
+    for _ in range(_HITS_ITERS):
+        ar: dict = {}
+        for c, s in edges:
+            if c in hubs:
+                ar[s] = ar.get(s, 0) + hubs[c]
+        am = max(ar.values())
+        auths = {s: (v * _HITS_SCALE) // am for s, v in ar.items()}
+        hr: dict = {}
+        for c, s in edges:
+            if s in auths:
+                hr[c] = hr.get(c, 0) + auths[s]
+        hm = max(hr.values())
+        hubs = {c: (v * _HITS_SCALE) // hm for c, v in hr.items()}
+    want_a = sorted(auths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want_h = sorted(hubs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = q_graph_hits(spark, sf).collect()
+    got_a = [(r["node"], r["score_fp"]) for r in got if r["kind"] == "authority"]
+    got_h = [(r["node"], r["score_fp"]) for r in got if r["kind"] == "hub"]
+    assert got_a == want_a
+    assert got_h == want_h

@@ -108,7 +108,7 @@ _MODULES = (
 #      test_cert_prefix_all_oracle_backed::deliberate_rows_only.
 #
 # r12 prefix was the r6/r7-stale cohorts + the 13 r12-new ops. r13
-# prefix (this tuple): the 8 r13-new ops + the 42 stalest re-certs,
+# prefix (this tuple): the 10 r13-new ops + the 40 stalest re-certs,
 # oldest green driver round first (tools/gen_cert_rotation.py with
 # the hash-aware gate — rows_match alone would have rotated the red
 # q_agg_groupingsets out while failing; it heads the queue instead,
@@ -124,6 +124,8 @@ _CERT_PREFIX = (
     "q_stat_welch_t",
     "q_ts_theilsen",
     "q_graph_ppr",
+    "q_graph_hits",
+    "q_mix_epochs_capped",
     # -- the round's one red (last GREEN row: r7; red r12 — the
     #    DecimalType literal, fixed this round) + r7-stale cohort
     "q_agg_groupingsets",
@@ -167,8 +169,6 @@ _CERT_PREFIX = (
     "q_agg_moments",
     "q_agg_percentile_disc",
     "q_agg_topk_sketch",
-    "q_behavior_dau_wau_mau",
-    "q_behavior_entropy",
 )
 
 _BY_MODULE: dict = {}

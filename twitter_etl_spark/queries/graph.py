@@ -859,3 +859,105 @@ ORACLE["q_graph_ppr"] = (
     + f" SELECT node, r AS rank_fp FROM it{_PPR_ITERS} "
     "ORDER BY r DESC, node ASC LIMIT 20"
 )
+
+
+#: HITS fixed-point scale. Ceiling: per-round raw scores are
+#: ≤ max_degree · SCALE and the normalization multiplies by SCALE
+#: before the integer divide, so max_degree · SCALE² must stay
+#: < 2^63 — at 10^6 that is ~9.2e6 max degree (the fixture's is
+#: ~10³); a fatter graph lowers the scale, it never overflows
+#: silently (Spark long overflow raises under ANSI).
+_HITS_SCALE = 10**6
+_HITS_ITERS = 3
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, JACM) over the
+    customer→supplier purchase graph (the bipartite frame of
+    q_graph_jaccard): hubs are customers whose purchases concentrate
+    on high-authority suppliers, authorities are suppliers bought by
+    strong hubs — mutual reinforcement, ``_HITS_ITERS`` unrolled
+    rounds. Where PageRank needs damping to exist on this shape,
+    HITS normalizes per round: scores renormalize by the MAX (an
+    integer-exact stand-in for the usual L2 norm — same argmax
+    ordering per round, no cross-engine sqrt), all transfers BIGINT
+    floor-div (the q_graph_pagerank fixed-point contract). Top 10
+    per side by (score, id) for a bounded report.
+
+    Scale: per round two (node, BIGINT) equi-joins + hash aggs and
+    two 1-row max aggs — rank rows only, never adjacency lists;
+    the final top-k compiles to TakeOrderedAndProject."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hubs = edges.select("cust").distinct().withColumn(
+        "h", F.lit(_HITS_SCALE)
+    )
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            edges.join(hubs, "cust")
+            .groupBy("supp")
+            .agg(F.sum("h").alias("ar"))
+        )
+        a_max = a_raw.agg(F.max("ar").alias("am"))
+        auths = a_raw.crossJoin(F.broadcast(a_max)).select(
+            "supp", F.expr(f"ar * {_HITS_SCALE} div am").alias("a")
+        )
+        h_raw = (
+            edges.join(auths, "supp")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("hr"))
+        )
+        h_max = h_raw.agg(F.max("hr").alias("hm"))
+        hubs = h_raw.crossJoin(F.broadcast(h_max)).select(
+            "cust", F.expr(f"hr * {_HITS_SCALE} div hm").alias("h")
+        ).localCheckpoint()
+    top_a = auths.orderBy(F.desc("a"), F.asc("supp")).limit(10).select(
+        F.lit("authority").alias("kind"),
+        F.col("supp").alias("node"),
+        F.col("a").alias("score_fp"),
+    )
+    top_h = hubs.orderBy(F.desc("h"), F.asc("cust")).limit(10).select(
+        F.lit("hub").alias("kind"),
+        F.col("cust").alias("node"),
+        F.col("h").alias("score_fp"),
+    )
+    return top_a.unionByName(top_h)
+
+
+QUERIES["q_graph_hits"] = q_graph_hits
+
+
+def _hits_round(h_prev: str, i: int) -> str:
+    return (
+        f"ar{i} AS MATERIALIZED (SELECT supp, sum(h)::BIGINT AS ar "
+        f"FROM e JOIN {h_prev} USING (cust) GROUP BY supp), "
+        f"a{i} AS MATERIALIZED (SELECT supp, "
+        f"(ar * {_HITS_SCALE}) // (SELECT max(ar) FROM ar{i}) AS a "
+        f"FROM ar{i}), "
+        f"hr{i} AS MATERIALIZED (SELECT cust, sum(a)::BIGINT AS hr "
+        f"FROM e JOIN a{i} USING (supp) GROUP BY cust), "
+        f"h{i} AS MATERIALIZED (SELECT cust, "
+        f"(hr * {_HITS_SCALE}) // (SELECT max(hr) FROM hr{i}) AS h "
+        f"FROM hr{i})"
+    )
+
+
+ORACLE["q_graph_hits"] = (
+    "WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, "
+    "l_suppkey AS supp FROM orders JOIN lineitem "
+    "ON o_orderkey = l_orderkey), "
+    f"h0 AS (SELECT DISTINCT cust, {_HITS_SCALE}::BIGINT AS h FROM e), "
+    + ", ".join(_hits_round(f"h{i}", i + 1) for i in range(_HITS_ITERS))
+    + f" SELECT * FROM ("
+    "SELECT 'authority' AS kind, supp AS node, a AS score_fp "
+    f"FROM a{_HITS_ITERS} ORDER BY a DESC, supp ASC LIMIT 10) "
+    "UNION ALL SELECT * FROM ("
+    "SELECT 'hub' AS kind, cust AS node, h AS score_fp "
+    f"FROM h{_HITS_ITERS} ORDER BY h DESC, cust ASC LIMIT 10)"
+)

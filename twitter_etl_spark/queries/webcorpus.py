@@ -529,3 +529,119 @@ ORACLE["q_text_bigram_lm"] = (
     "round(sum(fp)::BIGINT / count(*) / 1e6, 4) AS avg_neglogp2 "
     "FROM big JOIN model USING (prev, cur) GROUP BY doc_id"
 )
+
+
+#: epoch cap for the constrained mixture (the LLaMA-recipe "no
+#: source repeats more than ~4 epochs" rule, tightened to bind on
+#: this fixture's language skew) and the bounded redistribution
+#: round count (the BFS_HOPS contract: fixed, documented, identical
+#: in both engines).
+MIX_EPOCH_CAP = 2.2
+MIX_CAP_ROUNDS = 3
+
+
+def q_mix_epochs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped training mixture (water-filling): temperature
+    sampling (w ∝ n^τ, the q_mix_weights rule) says how the token
+    budget WANTS to split, but real recipes also cap repetition —
+    a source may not run past ``MIX_EPOCH_CAP`` epochs. Sources
+    whose proportional share exceeds their cap are FROZEN at
+    cap·n_tok and their excess budget redistributes over the
+    remaining sources' temperature weights; ``MIX_CAP_ROUNDS``
+    unrolled rounds (a newly enlarged share can push another source
+    over — the classic water-filling cascade; this fixture
+    converges in one, the test pins a crafted two-round cascade).
+    Budget = 2·Σn_tok (scale-free: derived from the corpus itself).
+
+    Output per language: n_tok, alloc_tok, epochs, capped flag —
+    the sampling plan a data-loader executes.
+
+    Scale: one hash agg over documents; everything after is
+    O(|languages|) arithmetic on a broadcast-size frame (the 1-row
+    budget/remainder aggs are the allowlisted q_agg_global class).
+    Double determinism: Σ n^τ over ≤|languages| values, the same
+    certified class as q_mix_weights' denominator."""
+    d = table(spark, sf_dir, "documents")
+    base = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n_tok")
+    ).select(
+        "lang",
+        "n_tok",
+        F.pow("n_tok", F.lit(MIX_TAU)).alias("p"),
+        (F.lit(MIX_EPOCH_CAP) * F.col("n_tok")).alias("cap_tok"),
+    )
+    budget = base.agg((2.0 * F.sum("n_tok")).alias("b"))
+    state = base.crossJoin(F.broadcast(budget)).withColumn(
+        "fixed_tok", F.lit(None).cast("double")
+    )
+    for _ in range(MIX_CAP_ROUNDS):
+        aggs = state.agg(
+            (F.first("b") - F.sum(F.coalesce("fixed_tok", F.lit(0.0)))).alias(
+                "rem"
+            ),
+            F.sum(
+                F.when(F.col("fixed_tok").isNull(), F.col("p"))
+            ).alias("pact"),
+        )
+        share = F.col("p") / F.col("pact") * F.col("rem")
+        state = (
+            state.crossJoin(F.broadcast(aggs))
+            .withColumn(
+                "fixed_tok",
+                F.when(F.col("fixed_tok").isNotNull(), F.col("fixed_tok"))
+                .when(share > F.col("cap_tok"), F.col("cap_tok")),
+            )
+            .drop("rem", "pact")
+        )
+    aggs = state.agg(
+        (F.first("b") - F.sum(F.coalesce("fixed_tok", F.lit(0.0)))).alias("rem"),
+        F.sum(F.when(F.col("fixed_tok").isNull(), F.col("p"))).alias("pact"),
+    )
+    alloc = F.coalesce(
+        F.col("fixed_tok"), F.col("p") / F.col("pact") * F.col("rem")
+    )
+    return state.crossJoin(F.broadcast(aggs)).select(
+        "lang",
+        "n_tok",
+        F.round(alloc, 2).alias("alloc_tok"),
+        F.round(alloc / F.col("n_tok"), 4).alias("epochs"),
+        F.col("fixed_tok").isNotNull().cast("int").alias("capped"),
+    )
+
+
+QUERIES["q_mix_epochs_capped"] = q_mix_epochs_capped
+
+
+def _mix_cap_round(prev: str, out: str) -> str:
+    return (
+        f"{out} AS (SELECT lang, n_tok, p, cap_tok, b, "
+        "CASE WHEN fixed_tok IS NOT NULL THEN fixed_tok "
+        "WHEN p / pact * rem > cap_tok THEN cap_tok END AS fixed_tok "
+        f"FROM {prev} CROSS JOIN (SELECT "
+        "any_value(b) - sum(coalesce(fixed_tok, 0.0)) AS rem, "
+        "sum(CASE WHEN fixed_tok IS NULL THEN p END) AS pact "
+        f"FROM {prev}))"
+    )
+
+
+ORACLE["q_mix_epochs_capped"] = (
+    "WITH base AS (SELECT lang, "
+    "sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tok, "
+    f"pow(sum(len(string_split_regex(trim(text), '\\s+'))), {MIX_TAU}) AS p, "
+    f"{MIX_EPOCH_CAP} * sum(len(string_split_regex(trim(text), '\\s+'))) "
+    "AS cap_tok FROM documents GROUP BY lang), "
+    "r0 AS (SELECT lang, n_tok, p, cap_tok, b, "
+    "CAST(NULL AS DOUBLE) AS fixed_tok FROM base "
+    "CROSS JOIN (SELECT 2.0 * sum(n_tok) AS b FROM base)), "
+    + ", ".join(
+        _mix_cap_round(f"r{i}", f"r{i+1}") for i in range(MIX_CAP_ROUNDS)
+    )
+    + f" SELECT lang, n_tok, "
+    "round(coalesce(fixed_tok, p / pact * rem), 2) AS alloc_tok, "
+    "round(coalesce(fixed_tok, p / pact * rem) / n_tok, 4) AS epochs, "
+    "(fixed_tok IS NOT NULL)::INT AS capped "
+    f"FROM r{MIX_CAP_ROUNDS} CROSS JOIN (SELECT "
+    "any_value(b) - sum(coalesce(fixed_tok, 0.0)) AS rem, "
+    "sum(CASE WHEN fixed_tok IS NULL THEN p END) AS pact "
+    f"FROM r{MIX_CAP_ROUNDS})"
+)
