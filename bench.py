@@ -123,11 +123,26 @@ HEADLINE = [
     "q_multimodal_phash_dedup",
     "q_graph_kcore",
     "q_graph_bfs",
+    # r13 additions — tracked from birth
+    "q_dedup_semantic_adaptive",
+    "q_dedup_soft_weights",
+    "q_quality_c4_rules",
+    "q_stat_welch_t",
+    "q_ts_theilsen",
+    "q_graph_ppr",
+    "q_graph_hits",
+    "q_mix_epochs_capped",
+    "q_multimodal_pair_manifest",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no
 # oracle; the headline total stays a correctness-certified suite).
-SIDECAR = ["q_ts_lttb", "q_sim_ann_pq_trained", "q_text_bpe_merge"]
+SIDECAR = [
+    "q_ts_lttb",
+    "q_sim_ann_pq_trained",
+    "q_text_bpe_merge",
+    "q_text_bpe_encode",
+]
 
 #: per-query repetitions; the reported time is the minimum and the
 #: max-min spread is reported alongside so cross-round comparisons

@@ -794,7 +794,13 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATERIALIZED CTEs (the k-core sf1 lesson: DuckDB inlines plain
     CTEs per reference — 3^rounds blowup)."""
     e = _edges(spark, sf_dir)
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # eager localCheckpoint (the k-core lesson): sym feeds the degree
+    # agg, the seed top-k AND every round's join — uncheckpointed,
+    # the distinct co-order self-join re-executes 5+ times (measured
+    # 7.8 s -> 4.5 s best-of-3 at sf0.1)
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     seeds = deg.orderBy(F.desc("deg"), F.asc("a")).limit(_PPR_SEEDS).select(
         F.col("a").alias("node")
