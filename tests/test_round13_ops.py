@@ -300,3 +300,57 @@ def test_hits_matches_integer_replica(spark):
     got_h = [(r["node"], r["score_fp"]) for r in got if r["kind"] == "hub"]
     assert got_a == want_a
     assert got_h == want_h
+
+
+def test_softdedup_rollup_chunks_equal_oneshot_and_replay_safe(spark):
+    """Absorb the sf0.001 corpus in 3 chunks: the finalized digest
+    weights must equal the one-shot q_dedup_soft_weights aggregated
+    to digest grain; replaying a batch_id must be a no-op (the
+    plain-sum monoid double-counts without the high-water mark)."""
+    import tempfile
+
+    from twitter_etl_spark.rollup import (
+        read_softdedup_weights,
+        update_softdedup_rollup,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    d = table(spark, sf, "documents")
+    rd = tempfile.mkdtemp()
+    for i in range(3):
+        update_softdedup_rollup(
+            spark, rd, d.where(F.col("doc_id") % 3 == i), batch_id=i
+        )
+    got = {
+        r["norm_digest"]: (r["dup_count"], r["keeper_doc_id"], r["soft_weight"])
+        for r in read_softdedup_weights(spark, rd).collect()
+    }
+    # reference: the one-shot view aggregated to digest grain
+    from twitter_etl_spark.cleaning import clean_chain
+
+    ref = (
+        d.select("doc_id", F.md5(clean_chain(F.col("text"))).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("mn"))
+        .collect()
+    )
+    want = {r["g"]: (r["n"], r["mn"], round(1.0 / r["n"], 6)) for r in ref}
+    assert got == want
+    # replay: batch_id 2 again — version unchanged, counts unchanged
+    v_before = update_softdedup_rollup(
+        spark, rd, d.where(F.col("doc_id") % 3 == 2), batch_id=2
+    )
+    got2 = {
+        r["norm_digest"]: (r["dup_count"], r["keeper_doc_id"], r["soft_weight"])
+        for r in read_softdedup_weights(spark, rd).collect()
+    }
+    assert got2 == want
+    # and a genuinely new batch still absorbs
+    extra = spark.createDataFrame(
+        [(999999, "replay sentinel text", "en", "s", 20)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    v_after = update_softdedup_rollup(spark, rd, extra, batch_id=3)
+    assert v_after > v_before
+    assert len(read_softdedup_weights(spark, rd).collect()) == len(want) + 1

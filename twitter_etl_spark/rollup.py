@@ -820,9 +820,11 @@ def probe_substring_cut(
 _DRIFT_STATE_COLS = ("feature", "bin", "n_ref", "n_cur")
 
 
-def drift_batch_hwm(rollup_dir: str, version: int | None = None) -> int:
+def batch_hwm(rollup_dir: str, version: int | None = None) -> int:
     """The batch-id high-water mark recorded alongside a published
-    drift-state version (−1 if none / pre-hwm state). Resolves the
+    rollup version (−1 if none / pre-hwm state) — dir-generic: any
+    plain-sum rollup that must survive foreachBatch replay uses the
+    same ``_BATCH_HWM_v=N`` sidecar convention. Resolves the
     ``_LATEST`` pointer first, so the hwm read is consistent with
     whatever snapshot a concurrent reader sees."""
     if version is None:
@@ -836,6 +838,32 @@ def drift_batch_hwm(rollup_dir: str, version: int | None = None) -> int:
         return -1
     with open(p) as f:
         return int(f.read().strip())
+
+
+#: drift's original name for the hwm reader (kept: pinned by the
+#: r12 streaming tests; the sidecar convention is now shared)
+drift_batch_hwm = batch_hwm
+
+
+def _publish_with_hwm(state, cols, rollup_dir: str, batch_id: int) -> int:
+    """Publish a rollup version with its replay high-water mark
+    stamped BEFORE the ``_LATEST`` flip (the flip stays the single
+    commit point — a crash between data write and flip leaves the
+    old pointer + old mark, and the replay correctly re-absorbs
+    into a fresh version). Single-writer, like every rollup here."""
+    versions = [
+        int(p.split("=")[1])
+        for p in os.listdir(rollup_dir)
+        if p.startswith("v=")
+    ] if os.path.isdir(rollup_dir) else []
+    nxt = max(versions, default=0) + 1
+    new_hwm = max(batch_id, batch_hwm(rollup_dir))
+    os.makedirs(rollup_dir, exist_ok=True)
+    with open(os.path.join(rollup_dir, f"_BATCH_HWM_v={nxt}"), "w") as f:
+        f.write(str(new_hwm))
+    got = publish_version(state.select(*cols), rollup_dir)
+    assert got == nxt, f"single-writer violated: {got} != {nxt}"
+    return got
 
 
 def update_drift_rollup(
@@ -876,21 +904,7 @@ def update_drift_rollup(
     else:
         state = fresh
     if batch_id is not None:
-        # pre-compute the version publish_version will assign (max+1;
-        # single-writer) and stamp the hwm for it before the flip
-        versions = [
-            int(p.split("=")[1])
-            for p in os.listdir(rollup_dir)
-            if p.startswith("v=")
-        ] if os.path.isdir(rollup_dir) else []
-        nxt = max(versions, default=0) + 1
-        new_hwm = max(batch_id, drift_batch_hwm(rollup_dir))
-        os.makedirs(rollup_dir, exist_ok=True)
-        with open(os.path.join(rollup_dir, f"_BATCH_HWM_v={nxt}"), "w") as f:
-            f.write(str(new_hwm))
-        got = publish_version(state.select(*_DRIFT_STATE_COLS), rollup_dir)
-        assert got == nxt, f"single-writer violated: {got} != {nxt}"
-        return got
+        return _publish_with_hwm(state, _DRIFT_STATE_COLS, rollup_dir, batch_id)
     return publish_version(state.select(*_DRIFT_STATE_COLS), rollup_dir)
 
 
@@ -992,3 +1006,79 @@ def probe_phash_rollup(
 
     state = read_version(spark, rollup_dir).select(*_PHASH_STATE_COLS)
     return phash_pairs(state, b_side=batch_ids)
+
+
+# ---------------------------------------------------------------------------
+# Soft-dedup weight rollup: q_dedup_soft_weights made incremental —
+# the duplication-aware sampling weights are pure functions of the
+# per-digest cluster counts, and counts are a plain-sum monoid. State
+# = (norm_digest, n, mn): 32-byte digest + copy count + smallest
+# doc_id, absorbed batch by batch (O(batch + |state|) per update,
+# history text never re-read). Because weights SHRINK as more copies
+# arrive, the read-time finalizer always reflects the whole absorbed
+# corpus — exactly what a sampler wants between crawls. Replay-safe
+# via the shared batch high-water mark (plain sums double-count on
+# foreachBatch replay otherwise — the drift-rollup lesson).
+# ---------------------------------------------------------------------------
+
+_SOFT_STATE_COLS = ("norm_digest", "n", "mn")
+
+
+def _soft_partial(new_docs: DataFrame) -> DataFrame:
+    from .cleaning import clean_chain
+
+    return (
+        new_docs.select(
+            "doc_id", F.md5(clean_chain(F.col("text"))).alias("norm_digest")
+        )
+        .groupBy("norm_digest")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("mn"))
+    )
+
+
+def update_softdedup_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    new_docs: DataFrame,
+    batch_id: int | None = None,
+) -> int:
+    """Absorb one document batch into the digest-count state;
+    returns the published version. First call bootstraps. With a
+    foreachBatch ``batch_id``, replayed ids ≤ the published
+    high-water mark are skipped (plain-sum monoid + at-least-once
+    delivery = double count otherwise)."""
+    have_state = os.path.exists(os.path.join(rollup_dir, "_LATEST"))
+    if batch_id is not None and have_state:
+        if batch_id <= batch_hwm(rollup_dir):
+            with open(os.path.join(rollup_dir, "_LATEST")) as f:
+                return int(f.read().strip())
+    fresh = _soft_partial(new_docs)
+    if have_state:
+        prev = read_version(spark, rollup_dir).select(*_SOFT_STATE_COLS)
+        state = (
+            prev.unionByName(fresh.select(*_SOFT_STATE_COLS))
+            .groupBy("norm_digest")
+            .agg(F.sum("n").alias("n"), F.min("mn").alias("mn"))
+        )
+    else:
+        state = fresh
+    if batch_id is not None:
+        return _publish_with_hwm(state, _SOFT_STATE_COLS, rollup_dir, batch_id)
+    return publish_version(state.select(*_SOFT_STATE_COLS), rollup_dir)
+
+
+def read_softdedup_weights(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """Cluster-level soft-dedup weights finalized from the persisted
+    counts: (norm_digest, dup_count, keeper_doc_id, soft_weight) —
+    join ``q_dedup_soft_weights``'s per-doc view back on the digest.
+    Pinned row-identical (at digest grain) to the one-shot query
+    over the union of absorbed batches."""
+    st = read_version(spark, rollup_dir, version)
+    return st.select(
+        "norm_digest",
+        F.col("n").alias("dup_count"),
+        F.col("mn").alias("keeper_doc_id"),
+        F.round(F.lit(1.0) / F.col("n"), 6).alias("soft_weight"),
+    )
