@@ -133,6 +133,7 @@ HEADLINE = [
     "q_graph_hits",
     "q_mix_epochs_capped",
     "q_multimodal_pair_manifest",
+    "q_sim_knn_graph",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

@@ -354,3 +354,67 @@ def test_softdedup_rollup_chunks_equal_oneshot_and_replay_safe(spark):
     v_after = update_softdedup_rollup(spark, rd, extra, batch_id=3)
     assert v_after > v_before
     assert len(read_softdedup_weights(spark, rd).collect()) == len(want) + 1
+
+
+def test_sample_rollup_chunks_equal_oneshot_and_idempotent(spark):
+    """min-k monoid: absorbing the sf0.001 corpus in 4 chunks must
+    yield EXACTLY the k smallest (key, doc_id) rows of the whole
+    corpus (the one-shot order-by-key pick); re-absorbing a chunk is
+    idempotent (deterministic keys + doc_id dedup)."""
+    import tempfile
+
+    from twitter_etl_spark.rollup import (
+        SAMPLE_ROLLUP_K,
+        _sample_keys,
+        read_sample_rollup,
+        update_sample_rollup,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    d = table(spark, sf, "documents")
+    rd = tempfile.mkdtemp()
+    for i in range(4):
+        update_sample_rollup(spark, rd, d.where(F.col("doc_id") % 4 == i))
+    got = sorted(
+        (r["sample_key"], r["doc_id"]) for r in read_sample_rollup(spark, rd).collect()
+    )
+    allk = sorted(
+        (r["sample_key"], r["doc_id"]) for r in _sample_keys(d).collect()
+    )
+    assert got == allk[:SAMPLE_ROLLUP_K]
+    v = update_sample_rollup(spark, rd, d.where(F.col("doc_id") % 4 == 2))
+    got2 = sorted(
+        (r["sample_key"], r["doc_id"])
+        for r in read_sample_rollup(spark, rd, v).collect()
+    )
+    assert got2 == got
+
+
+def test_knn_graph_mutual_and_bounded(spark):
+    """Every mutual edge must appear in BOTH endpoints' directed
+    top-k (mutuality), no vector holds more than k edges, and every
+    edge is one of the near-dup scan's pairs (the 0.35 floor)."""
+    from twitter_etl_spark.queries.similarity import (
+        _KNN_GRAPH_K,
+        q_sim_embedding_neardup,
+        q_sim_knn_graph,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = [
+        (r["vec_a"], r["vec_b"]) for r in q_sim_knn_graph(spark, sf).collect()
+    ]
+    assert edges and len(set(edges)) == len(edges)
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_sim_embedding_neardup(spark, sf).collect()
+    }
+    assert set(edges) <= pairs
+    from collections import Counter
+
+    degree = Counter()
+    for a, b in edges:
+        degree[a] += 1
+        degree[b] += 1
+    assert max(degree.values()) <= _KNN_GRAPH_K

@@ -1872,3 +1872,79 @@ def test_stream_feeds_phash_rollup_matches_one_shot(spark):
     union = spark.read.schema(schema).json(landing)
     want = {tuple(r) for r in phash_pairs(phash_frame(union)).collect()}
     assert got == want and len(got) > 0  # exact equality, not tolerance
+
+
+def test_stream_feeds_softdedup_rollup_matches_one_shot(spark):
+    """Streaming soft-dedup weight upkeep: an availableNow
+    foreachBatch loop absorbs each landed micro-batch into
+    rollup.update_softdedup_rollup (with its foreachBatch batch_id —
+    the replay-safe path), and the finalized digest weights equal
+    the one-shot aggregation over the union of all batches —
+    stream ≡ batch extended to the r13 soft-dedup family."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from twitter_etl_spark import rollup
+    from twitter_etl_spark.cleaning import clean_chain
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    rollup_dir = os.path.join(base, "soft_rollup")
+    os.makedirs(landing)
+
+    texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon"]
+    for b in range(3):
+        with open(os.path.join(landing, f"b{b}.json"), "w") as f:
+            for i in range(b * 30, (b + 1) * 30):
+                f.write(
+                    json.dumps(
+                        {"doc_id": i, "text": texts[i % 4], "lang": "en"}
+                    )
+                    + "\n"
+                )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    versions = []
+
+    def _absorb(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        versions.append(
+            rollup.update_softdedup_rollup(
+                spark, rollup_dir, batch_df, batch_id=batch_id
+            )
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(versions) == 3
+
+    got = {
+        (r["norm_digest"], r["dup_count"], r["keeper_doc_id"], r["soft_weight"])
+        for r in rollup.read_softdedup_weights(spark, rollup_dir).collect()
+    }
+    union = spark.read.schema(schema).json(landing)
+    want = {
+        (r["g"], r["n"], r["mn"], round(1.0 / r["n"], 6))
+        for r in union.select(
+            "doc_id", F.md5(clean_chain(F.col("text"))).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("mn"))
+        .collect()
+    }
+    assert got == want and len(got) == 3  # 3 distinct texts (slot 0 == slot 2)

@@ -1304,3 +1304,87 @@ def _sem_adaptive_sql() -> str:
 
 
 ORACLE["q_dedup_semantic_adaptive"] = _sem_adaptive_sql()
+
+
+#: mutual-kNN neighborhood size.
+_KNN_GRAPH_K = 5
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-nearest-neighbor graph construction over the
+    embedding corpus — the edge-building step of graph-based
+    curation (connected-component semantic clusters, kNN-graph
+    label propagation, hubness diagnostics): an edge (a, b) exists
+    iff b is in a's cosine top-``_KNN_GRAPH_K`` AND a is in b's
+    (mutuality prunes asymmetric hub edges). Neighborhoods are
+    exact WITHIN the coarse cell (the label-blocked, hot-cell-capped
+    pair scan of q_sim_embedding_neardup — the IVF-cell contract:
+    cross-cell recall is the ANN path's job) and floored at that
+    scan's 0.35 cosine threshold — neighborhoods can hold FEWER than
+    k edges, never junk ones (the radius-bounded kNN variant).
+
+    Deterministic: ranking key (round-6 cosine DESC, neighbor id
+    ASC) is a total order. Output: mutual edges a < b with their
+    cosine.
+
+    Scale: the pair scan is the audited salted/capped stage; the
+    two top-k windows partition BY VECTOR (never global); the
+    mutual filter is a self-semi-join on the (small) directed top-k
+    edge set — each stage is bounded by corpus x k, not corpus²."""
+    from pyspark.sql import Window
+
+    pairs = q_sim_embedding_neardup(spark, sf_dir).select(
+        "vec_a", "vec_b", "cos_sim"
+    )
+    # both directions: per-vector candidate list
+    directed = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    topk = directed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KNN_GRAPH_K
+    )
+    fwd = topk.select("src", "dst", "cos_sim")
+    rev = topk.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = fwd.join(rev, ["src", "dst"], "left_semi")
+    return (
+        mutual.where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+
+
+QUERIES["q_sim_knn_graph"] = q_sim_knn_graph
+ORACLE["q_sim_knn_graph"] = (
+    # within-cell exact pairs (the q_sim_embedding_neardup oracle)
+    # -> both directions -> per-src top-k -> mutual -> a < b
+    "WITH e0 AS (SELECT vec_id, label, " + _V + " AS v FROM embeddings), "
+    "keep AS (SELECT label FROM e0 GROUP BY label "
+    f"         HAVING count(*) <= {MAX_BLOCK_SIZE}), "
+    "e AS (SELECT e0.* FROM e0 JOIN keep USING (label)), "
+    "pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    "round(list_dot_product(a.v, b.v) / "
+    "      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) "
+    "  AS cos_sim "
+    "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE round(list_dot_product(a.v, b.v) / "
+    "      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) "
+    "  >= 0.35), "
+    "directed AS (SELECT vec_a AS src, vec_b AS dst, cos_sim FROM pairs "
+    "UNION ALL SELECT vec_b, vec_a, cos_sim FROM pairs), "
+    "topk AS (SELECT * FROM (SELECT src, dst, cos_sim, "
+    "row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) "
+    f"AS rk FROM directed) WHERE rk <= {_KNN_GRAPH_K}) "
+    "SELECT f.src AS vec_a, f.dst AS vec_b, f.cos_sim "
+    "FROM topk f JOIN topk r ON f.src = r.dst AND f.dst = r.src "
+    "WHERE f.src < f.dst"
+)

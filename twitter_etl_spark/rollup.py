@@ -1082,3 +1082,70 @@ def read_softdedup_weights(
         F.col("mn").alias("keeper_doc_id"),
         F.round(F.lit(1.0) / F.col("n"), 6).alias("soft_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reservoir-sample rollup: a corpus-wide uniform sample MAINTAINED
+# across crawls without ever rescanning history. "k smallest
+# md5-derived keys" is a mergeable monoid — min-k(A ∪ B) =
+# min-k(min-k(A) ∪ min-k(B)) — so the state is just the current
+# winners (≤ k rows); each batch computes its own top-k candidates
+# (TakeOrderedAndProject, no shuffle of the batch) and the merge
+# re-ranks ≤ 2k rows. The keys are the q_sample_weighted hash-uniform
+# construction with weight 1 (uniform), so the maintained sample is
+# EXACTLY what the one-shot order-by-key query would pick over the
+# union — pinned by a chunks ≡ one-shot test. The deterministic-key
+# trick also makes re-absorbing a doc_id idempotent (same key, the
+# distinct keeps one copy) — no HWM needed, unlike the plain-sum
+# rollups.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_STATE_COLS = ("doc_id", "lang", "sample_key")
+SAMPLE_ROLLUP_K = 50
+
+
+def _sample_keys(new_docs: DataFrame) -> DataFrame:
+    u = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        % F.lit(1_000_000_000)
+        + 1
+    ) / F.lit(1_000_000_001.0)
+    return new_docs.select(
+        "doc_id", "lang", F.round(u, 9).alias("sample_key")
+    )
+
+
+def update_sample_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    new_docs: DataFrame,
+    k: int = SAMPLE_ROLLUP_K,
+) -> int:
+    """Absorb one document batch into the maintained uniform sample;
+    returns the published version. Per batch: the batch's own top-k
+    candidates (per-partition top-k + k-merge — the batch never
+    shuffles), then a ≤ 2k-row re-rank against the persisted
+    winners. NULL keys (null text) sort last, as in
+    q_sample_weighted."""
+    fresh = _sample_keys(new_docs).orderBy(
+        F.asc_nulls_last("sample_key"), F.asc_nulls_last("doc_id")
+    ).limit(k)
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_SAMPLE_STATE_COLS)
+        state = prev.unionByName(fresh.select(*_SAMPLE_STATE_COLS)).dropDuplicates(
+            ["doc_id"]
+        )
+    else:
+        state = fresh
+    winners = state.orderBy(
+        F.asc_nulls_last("sample_key"), F.asc_nulls_last("doc_id")
+    ).limit(k)
+    return publish_version(winners.select(*_SAMPLE_STATE_COLS), rollup_dir)
+
+
+def read_sample_rollup(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """The maintained k-row uniform sample (doc_id, lang,
+    sample_key)."""
+    return read_version(spark, rollup_dir, version).select(*_SAMPLE_STATE_COLS)
