@@ -134,6 +134,8 @@ HEADLINE = [
     "q_mix_epochs_capped",
     "q_multimodal_pair_manifest",
     "q_sim_knn_graph",
+    "q_behavior_topk_paths",
+    "q_text_pmi",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

@@ -418,3 +418,77 @@ def test_knn_graph_mutual_and_bounded(spark):
         degree[a] += 1
         degree[b] += 1
     assert max(degree.values()) <= _KNN_GRAPH_K
+
+
+def test_topk_paths_sessionization_and_prefix(spark):
+    """Crafted events: a 31-minute gap must split the session (two
+    path rows), and a 7-event session must truncate to the first
+    _PATH_LEN types — pinned against hand-computed paths."""
+    from twitter_etl_spark.queries.behavior import (
+        _PATH_LEN,
+        q_behavior_topk_paths,
+    )
+
+    t0 = dt.datetime(2026, 2, 1, 12, 0, 0)
+
+    rows = []
+    # user 1: 7 events 1 min apart -> one session, path = first 5
+    types = ["view", "click", "click", "purchase", "view", "click", "error"]
+    for i, ty in enumerate(types):
+        rows.append((i, 1, ty, t0 + dt.timedelta(minutes=i)))
+    # user 2: 2 events split by a 31-minute gap -> two 1-event paths
+    rows.append((100, 2, "signup", t0))
+    rows.append((101, 2, "view", t0 + dt.timedelta(minutes=31)))
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    )
+    d = tempfile.mkdtemp()
+    _write(df, d, "events")
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in q_behavior_topk_paths(spark, d).collect()
+    }
+    assert got == {
+        ">".join(types[:_PATH_LEN]): 1,
+        "signup": 1,
+        "view": 1,
+    }
+
+
+def test_pmi_matches_python_replica(spark):
+    """q_text_pmi vs a from-scratch replica (same cap, same support
+    floor, same formula) on sf0.001."""
+    from collections import Counter
+
+    from twitter_etl_spark.queries.text import (
+        _PMI_DOC_CAP,
+        _PMI_MIN_PAIRS,
+        _PMI_TOPK,
+        q_text_pmi,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents").select("doc_id", "text").collect()
+    n = len(docs)
+    dfa: Counter = Counter()
+    dfab: Counter = Counter()
+    for r in docs:
+        toks = sorted(
+            {t for t in r["text"].strip().split() if len(t) >= 2}
+        )[:_PMI_DOC_CAP]
+        dfa.update(toks)
+        for i in range(len(toks)):
+            for j in range(i + 1, len(toks)):
+                dfab[(toks[i], toks[j])] += 1
+    cands = [
+        (t1, t2, c, round(math.log(n * c / (dfa[t1] * dfa[t2])), 6))
+        for (t1, t2), c in dfab.items()
+        if c >= _PMI_MIN_PAIRS
+    ]
+    want = sorted(cands, key=lambda x: (-x[3], x[0], x[1]))[:_PMI_TOPK]
+    got = [
+        (r["t1"], r["t2"], r["df_ab"], r["pmi"])
+        for r in q_text_pmi(spark, sf).collect()
+    ]
+    assert got == want

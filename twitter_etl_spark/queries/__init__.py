@@ -108,7 +108,7 @@ _MODULES = (
 #      test_cert_prefix_all_oracle_backed::deliberate_rows_only.
 #
 # r12 prefix was the r6/r7-stale cohorts + the 13 r12-new ops. r13
-# prefix (this tuple): the 11 r13-new ops + the 39 stalest re-certs,
+# prefix (this tuple): the 13 r13-new ops + the 37 stalest re-certs,
 # oldest green driver round first (tools/gen_cert_rotation.py with
 # the hash-aware gate — rows_match alone would have rotated the red
 # q_agg_groupingsets out while failing; it heads the queue instead,
@@ -127,6 +127,8 @@ _CERT_PREFIX = (
     "q_graph_hits",
     "q_mix_epochs_capped",
     "q_sim_knn_graph",
+    "q_behavior_topk_paths",
+    "q_text_pmi",
     # -- the round's one red (last GREEN row: r7; red r12 — the
     #    DecimalType literal, fixed this round) + r7-stale cohort
     "q_agg_groupingsets",
@@ -167,8 +169,6 @@ _CERT_PREFIX = (
     "q_agg_linear_count",
     "q_agg_listagg",
     "q_agg_mode",
-    "q_agg_moments",
-    "q_agg_percentile_disc",
 )
 
 _BY_MODULE: dict = {}

@@ -621,3 +621,84 @@ ORACLE["q_seq_pattern"] = (
     "len(regexp_extract_all(journey, 'v[ce]*p'))::BIGINT AS n_matches, "
     "md5(journey) AS journey_md5 FROM j"
 )
+
+
+#: journey-path prefix length and report size for q_behavior_topk_paths.
+_PATH_LEN = 5
+_PATH_TOPK = 20
+
+
+def q_behavior_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k session journey paths — "what do sessions actually do":
+    gap-sessionize (the 30-minute q_sessionize_batch rule), take each
+    session's first ``_PATH_LEN`` event types in (ts, event_id)
+    order as its path string, and report the ``_PATH_TOPK`` most
+    common paths with session counts — the product-analytics
+    "behavior flows" report (Sankey input), complementing
+    q_seq_pattern's regex matcher with the unsupervised view.
+
+    Determinism: (ts, event_id) is a total order, the path prefix is
+    a pure function of it, and the top-k key (n_sessions DESC, path
+    ASC) is total. Scale: ONE shuffle on user_id (the windows and
+    the per-session collect ride the same sort), then a hash agg on
+    path strings ≤ _PATH_LEN event-type names long (bounded key) —
+    top-k compiles to TakeOrderedAndProject. The _PATH_LEN prefix
+    cap is the per-entity bound (JACCARD_MAX_PIVOT family): hot
+    sessions can't inflate the path key."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts")), 1
+    ).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = e.withColumn("session_id", F.sum(is_new).over(wc))
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    first_n = s.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= _PATH_LEN
+    )
+    paths = first_n.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.col("event_type").alias("t"))
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(_PATH_TOPK)
+    )
+
+
+QUERIES["q_behavior_topk_paths"] = q_behavior_topk_paths
+ORACLE["q_behavior_topk_paths"] = (
+    "WITH g AS (SELECT user_id, ts, event_id, event_type, "
+    "  CASE WHEN lag(epoch_us(ts)) OVER "
+    "    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "  OR epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+    "  THEN 1 ELSE 0 END AS is_new FROM events), "
+    "s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id "
+    "  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "  CURRENT ROW) AS session_id FROM g), "
+    "fn AS (SELECT * FROM (SELECT *, row_number() OVER "
+    "  (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn "
+    f"  FROM s) WHERE rn <= {_PATH_LEN}), "
+    "paths AS (SELECT user_id, session_id, "
+    "  string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+    "  FROM fn GROUP BY user_id, session_id) "
+    "SELECT path, count(*)::BIGINT AS n_sessions FROM paths "
+    f"GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT {_PATH_TOPK}"
+)

@@ -578,3 +578,95 @@ def _sql_str(s: str) -> str:
 
 QUERIES["q_text_bpe_merge"] = q_text_bpe_merge
 QUERIES["q_text_bpe_encode"] = q_text_bpe_encode
+
+
+#: PMI: per-doc distinct-token cap, min pair support, report size.
+_PMI_DOC_CAP = 16
+_PMI_MIN_PAIRS = 5
+_PMI_TOPK = 20
+
+
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k token-pair pointwise mutual information — the classic
+    collocation / co-occurrence lens (Church & Hanks 1990): for
+    tokens a < b, PMI = ln(n_docs · df_ab / (df_a · df_b)) over
+    document-level co-occurrence, reported for pairs with support
+    ≥ ``_PMI_MIN_PAIRS``, top ``_PMI_TOPK`` by (PMI, pair).
+
+    Per-doc distinct tokens are CAPPED at ``_PMI_DOC_CAP`` (the
+    alphabetically-first ones — deterministic, stated by the oracle
+    too): the in-doc pair stage is bounded at cap²/2 per document
+    regardless of document length, the JACCARD_MAX_PIVOT family.
+    df_a counts over the SAME capped relation, so the statistic is
+    exact over the capped corpus.
+
+    Integer-exact until one final ln + round-6: df counts are
+    BIGINTs and the PMI argument is one exact integer ratio
+    (n·c_ab as BIGINT stays < 2^63 up to ~1e9 docs with c_ab ≤ n).
+
+    Scale: one (doc, token) explode + distinct, a per-doc ranked-cap
+    window (partitioned BY DOC — never global), one pair hash agg
+    keyed on the (a, b) string pair (map-side combine collapses hot
+    collocations), and one broadcast-size token-df join; top-k is
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .distinct()
+    )
+    wd = Window.partitionBy("doc_id").orderBy("tok")
+    capped = toks.withColumn("rn", F.row_number().over(wd)).filter(
+        F.col("rn") <= _PMI_DOC_CAP
+    ).select("doc_id", "tok")
+    dfa = capped.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a = capped.select("doc_id", F.col("tok").alias("t1"))
+    b = capped.select("doc_id", F.col("tok").alias("t2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("df_ab"))
+        .where(F.col("df_ab") >= _PMI_MIN_PAIRS)
+    )
+    out = (
+        pairs.join(dfa.select(F.col("tok").alias("t1"), F.col("df").alias("df_a")), "t1")
+        .join(dfa.select(F.col("tok").alias("t2"), F.col("df").alias("df_b")), "t2")
+        .select(
+            "t1",
+            "t2",
+            "df_ab",
+            F.round(
+                F.log(
+                    (F.lit(n_docs) * F.col("df_ab")).cast("double")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2")).limit(_PMI_TOPK)
+
+
+QUERIES["q_text_pmi"] = q_text_pmi
+ORACLE["q_text_pmi"] = (
+    "WITH toks AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
+    "unnest(" + _SQL_TOKENS + ") AS tok FROM documents) "
+    "WHERE length(tok) >= 2), "
+    "capped AS (SELECT doc_id, tok FROM (SELECT doc_id, tok, "
+    "row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS rn "
+    f"FROM toks) WHERE rn <= {_PMI_DOC_CAP}), "
+    "dfa AS (SELECT tok, count(*)::BIGINT AS df FROM capped GROUP BY tok), "
+    "pairs AS (SELECT a.tok AS t1, b.tok AS t2, count(*)::BIGINT AS df_ab "
+    "  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.tok < b.tok "
+    f"  GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_PAIRS}), "
+    "n AS (SELECT count(*)::BIGINT AS n_docs FROM documents) "
+    "SELECT t1, t2, df_ab, "
+    "round(ln((n_docs * df_ab)::DOUBLE / (da.df * db.df)), 6) AS pmi "
+    "FROM pairs CROSS JOIN n "
+    "JOIN dfa da ON pairs.t1 = da.tok JOIN dfa db ON pairs.t2 = db.tok "
+    f"ORDER BY pmi DESC, t1 ASC, t2 ASC LIMIT {_PMI_TOPK}"
+)
