@@ -86,18 +86,16 @@ def test_cert_prefix_all_oracle_backed():
     4 rows-only names whose last driver rows>0 check is r2/r3."""
     from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
 
-    # r13 prefix rotates the r7/r8-stale cohorts, which include the
-    # rows-only names whose last driver rows>0 check is r7/r8, plus
-    # the r13-new rows-only BPE encode (new ops must cert in their
-    # birth round; its trainer round-trip replica pin is the real
-    # gate).
+    # r14 prefix rotates the full r8-stale cohort + the 11 stalest
+    # r9 names, which include the rows-only names whose last driver
+    # rows>0 check is r8/r9 (each carries an independent pytest
+    # replica/bound pin — that is the real gate for these).
     deliberate_rows_only = {
-        "q_text_bpe_encode",
-        "q_pack_bestfit",
-        "q_sim_kmeans",
-        "q_text_tfidf_mllib",
-        "q_agg_hll_distinct",
         "q_agg_topk_sketch",
+        "q_ts_lttb",
+        "q_agg_approx_distinct",
+        "q_dedup_minhash",
+        "q_dedup_simhash",
     }
     prefix = list(ALL_QUERIES)[:50]
     missing = [

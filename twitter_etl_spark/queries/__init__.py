@@ -107,68 +107,68 @@ _MODULES = (
 #   3. Rows-only names in the prefix must be allowlisted in
 #      test_cert_prefix_all_oracle_backed::deliberate_rows_only.
 #
-# r12 prefix was the r6/r7-stale cohorts + the 13 r12-new ops. r13
-# prefix (this tuple): the 13 r13-new ops + the 37 stalest re-certs,
-# oldest green driver round first (tools/gen_cert_rotation.py with
-# the hash-aware gate — rows_match alone would have rotated the red
-# q_agg_groupingsets out while failing; it heads the queue instead,
-# per the r12 verdict). The r8 tail continues next round.
+# r13 prefix was the 13 r13-new ops + the 37 stalest re-certs. r14
+# prefix (this tuple): the 50 stalest re-certs oldest green driver
+# round first — the full 39-name r8 cohort plus the 11 stalest r9
+# names (tools/gen_cert_rotation.py 0, hash-aware gate). r14-new ops
+# displace the youngest r9 fillers from the tail as they land, never
+# the stale cohort.
 # Names NOT in the prefix keep their module-order position after it.
 _CERT_PREFIX = (
-    # -- r13-new ops (certs in their birth round, per policy #1)
-    "q_text_bpe_encode",
-    "q_multimodal_pair_manifest",
-    "q_dedup_semantic_adaptive",
-    "q_dedup_soft_weights",
-    "q_quality_c4_rules",
-    "q_stat_welch_t",
-    "q_ts_theilsen",
-    "q_graph_ppr",
-    "q_graph_hits",
-    "q_mix_epochs_capped",
-    "q_sim_knn_graph",
-    "q_behavior_topk_paths",
-    "q_text_pmi",
-    # -- the round's one red (last GREEN row: r7; red r12 — the
-    #    DecimalType literal, fixed this round) + r7-stale cohort
-    "q_agg_groupingsets",
-    "q_join_multiway",
-    "q_join_selfasof",
-    "q_join_semi",
-    "q_join_theta",
-    "q_mutate_multi",
-    "q_pack_bestfit",
-    "q_project_rename",
-    "q_retrieval_rrf",
-    "q_scan_parquet",
-    "q_sim_kmeans",
-    "q_sink_append",
-    "q_source_ndjson",
-    "q_text_dsir",
-    "q_text_tfidf_mllib",
-    "q_topk_pergroup",
-    "q_tpch_q15",
-    "q_ts_ewma",
-    "q_win_lag_lead",
-    "q_win_moving",
-    "q_win_ntile",
-    "q_win_pctrank",
-    "q_win_range_frame",
-    "q_win_rank",
-    "q_win_rownumber",
-    "q_win_running",
-    # -- r8-stale cohort (last green row: CORRECTNESS_r08)
-    "q_agg_ams_f2",
-    "q_agg_boolcount",
-    "q_agg_countmin",
-    "q_agg_grouping_id",
-    "q_agg_histo_percentile",
-    "q_agg_hll_distinct",
-    "q_agg_hll_md5",
-    "q_agg_lc_setops",
-    "q_agg_linear_count",
-    "q_agg_listagg",
-    "q_agg_mode",
+    # -- r14 rotation: the 50 stalest re-certs oldest-first
+    #    (the full r8 cohort of 39 + the 11 stalest r9 names;
+    #    tools/gen_cert_rotation.py 0). New r14 ops displace the
+    #    youngest r9 fillers from the tail as they land.
+    "q_agg_moments",  # r8
+    "q_agg_percentile_disc",  # r8
+    "q_agg_topk_sketch",  # r8
+    "q_behavior_dau_wau_mau",  # r8
+    "q_behavior_entropy",  # r8
+    "q_behavior_rfm",  # r8
+    "q_behavior_streaks",  # r8
+    "q_dedup_bloom",  # r8
+    "q_dedup_containment",  # r8
+    "q_dedup_exact_substring",  # r8
+    "q_dedup_incremental",  # r8
+    "q_dedup_minhash_est",  # r8
+    "q_dedup_url_canonical",  # r8
+    "q_dq_profile",  # r8
+    "q_fn_sqludf",  # r8
+    "q_fn_url",  # r8
+    "q_fn_variant",  # r8
+    "q_fn_xml",  # r8
+    "q_funnel_strict",  # r8
+    "q_geo_grid_join",  # r8
+    "q_geo_knn",  # r8
+    "q_graph_jaccard",  # r8
+    "q_join_bloom",  # r8
+    "q_join_lateral",  # r8
+    "q_multimodal_shard_manifest",  # r8
+    "q_sample_weighted",  # r8
+    "q_sim_lsh_rhp",  # r8
+    "q_sql_pipe",  # r8
+    "q_sql_recursive_bom",  # r8
+    "q_stat_ks_binned",  # r8
+    "q_text_bigram_lm",  # r8
+    "q_text_bpe_pairs",  # r8
+    "q_text_ccnet_bucket",  # r8
+    "q_ts_anomaly_window",  # r8
+    "q_ts_cusum",  # r8
+    "q_ts_decay_sum",  # r8
+    "q_ts_lttb",  # r8
+    "q_udtf_splitn",  # r8
+    "q_win_nth",  # r8
+    "q_agg_approx_distinct",  # r9
+    "q_agg_kmv_distinct",  # r9
+    "q_dedup_minhash",  # r9
+    "q_dedup_normalized",  # r9
+    "q_dedup_simhash",  # r9
+    "q_except",  # r9
+    "q_fn_array",  # r9
+    "q_fn_case",  # r9
+    "q_fn_cast",  # r9
+    "q_fn_date",  # r9
+    "q_fn_json",  # r9
 )
 
 _BY_MODULE: dict = {}
