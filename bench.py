@@ -136,6 +136,10 @@ HEADLINE = [
     "q_sim_knn_graph",
     "q_behavior_topk_paths",
     "q_text_pmi",
+    # r14 additions — tracked from birth
+    "q_sim_knn_clusters",
+    "q_merge_cdc",
+    "q_multimodal_align_score",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

@@ -134,6 +134,9 @@ _SINGLE_PARTITION_OK = {
     # 1-row quintile-threshold agg over the per-user frame, broadcast
     # back — the scale-safe replacement for a global ntile sort
     "q_behavior_rfm",
+    # 1-row percentile_disc decile-threshold agg over the per-doc
+    # score frame, broadcast back — same class (r14)
+    "q_multimodal_align_score",
     "q_dq_checks",
     "q_dq_profile",  # 1-row whole-table profile agg, explode-pivoted
     "q_funnel_conversion",
@@ -148,6 +151,7 @@ _SINGLE_PARTITION_OK = {
     "q_text_tfidf",
     "q_text_unigram_logprob",
     "q_text_bigram_lm",  # 1-row vocab-size agg, broadcast onto the model
+    "q_text_pmi",  # 1-row n_docs agg broadcast onto the pair frame (r14)
     "q_text_ccnet_bucket",  # inherits unigram_logprob's 1-row total agg
     "q_text_zipf",
     "q_retrieval_rrf",  # rank windows ride the two LIMIT-20 arm frames

@@ -391,6 +391,49 @@ def test_sample_rollup_chunks_equal_oneshot_and_idempotent(spark):
     assert got2 == got
 
 
+def test_sample_rollup_changed_text_deterministic_survivor(spark):
+    """r13 advice: re-absorbing a doc_id with CHANGED text produces
+    two candidate rows with different sample_keys; the survivor must
+    be the MIN key (what the one-shot over the union ranks by), not
+    an arbitrary dropDuplicates pick. Run the merge both
+    batch-orders and demand identical published state."""
+    import tempfile
+
+    from twitter_etl_spark.rollup import (
+        read_sample_rollup,
+        update_sample_rollup,
+    )
+
+    a = spark.createDataFrame(
+        [(i, "en", f"text v1 of {i}") for i in range(30)],
+        ["doc_id", "lang", "text"],
+    )
+    b = spark.createDataFrame(
+        [(i, "en", f"text v2 of {i}") for i in range(30)],
+        ["doc_id", "lang", "text"],
+    )
+    states = []
+    for first, second in ((a, b), (b, a)):
+        rd = tempfile.mkdtemp()
+        update_sample_rollup(spark, rd, first, k=10)
+        v = update_sample_rollup(spark, rd, second, k=10)
+        states.append(
+            sorted(
+                (r["doc_id"], r["sample_key"])
+                for r in read_sample_rollup(spark, rd, v).collect()
+            )
+        )
+    assert states[0] == states[1]
+    # and each survivor is the min of that doc's two candidate keys
+    from twitter_etl_spark.rollup import _sample_keys
+
+    keys = {}
+    for r in _sample_keys(a.unionByName(b)).collect():
+        keys.setdefault(r["doc_id"], []).append(r["sample_key"])
+    for doc_id, key in states[0]:
+        assert key == min(keys[doc_id]), doc_id
+
+
 def test_knn_graph_mutual_and_bounded(spark):
     """Every mutual edge must appear in BOTH endpoints' directed
     top-k (mutuality), no vector holds more than k edges, and every

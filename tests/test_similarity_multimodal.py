@@ -152,6 +152,37 @@ def test_semantic_dedup_consistent_with_neardup_pairs(spark):
     assert dropped == pair_bs
 
 
+def test_semantic_dedup_overcap_cell_marked_unjudged(spark):
+    """r13 verdict #2: a cell past MAX_BLOCK_SIZE passes its vectors
+    through kept=1 — that hand-off must now be OBSERVABLE as
+    judged=0 (previously a silent no-dedup cliff). Under-cap cells
+    keep judged=1 and still dedup exact twins."""
+    import os
+    import tempfile
+
+    from twitter_etl_spark.queries.similarity import (
+        MAX_BLOCK_SIZE,
+        q_dedup_semantic,
+    )
+
+    hot = [(i, [1.0, 0.0, 0.0, 0.0], 7) for i in range(MAX_BLOCK_SIZE + 5)]
+    cold = [(100000, [0.0, 1.0, 0.0, 0.0], 8), (100001, [0.0, 1.0, 0.0, 0.0], 8)]
+    df = spark.createDataFrame(
+        hot + cold, ["vec_id", "embedding", "label"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = q_dedup_semantic(spark, d).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(out) == len(hot) + 2
+    # over-cap cell: every vector unjudged and passed through kept
+    for i in range(MAX_BLOCK_SIZE + 5):
+        assert by_id[i]["judged"] == 0 and by_id[i]["kept"] == 1
+    # under-cap cell: judged, and the exact twin dropped
+    assert by_id[100000]["judged"] == 1 and by_id[100000]["kept"] == 1
+    assert by_id[100001]["judged"] == 1 and by_id[100001]["kept"] == 0
+
+
 def test_kmeans_matches_numpy_replica(spark):
     """q_sim_kmeans vs a step-for-step NumPy Lloyd replica (same
     deterministic init, same tie-break, same empty-cluster rule):
@@ -461,9 +492,15 @@ def test_semantic_adaptive_equals_oneshot_when_cells_small(spark):
         table(spark, sf, "embeddings").groupBy("label").count().collect()
     )
     assert max(r["count"] for r in occ) <= _SEM_TARGET_OCC
-    a = {tuple(r) for r in q_dedup_semantic_adaptive(spark, sf).collect()}
-    b = {tuple(r) for r in q_dedup_semantic(spark, sf).collect()}
+    a = {
+        (r["vec_id"], r["label"], r["kept"])
+        for r in q_dedup_semantic_adaptive(spark, sf).collect()
+    }
+    oneshot = q_dedup_semantic(spark, sf).collect()
+    b = {(r["vec_id"], r["label"], r["kept"]) for r in oneshot}
     assert a == b
+    # every cell under cap here, so the one-shot judged everything
+    assert all(r["judged"] == 1 for r in oneshot)
 
 
 def test_semantic_adaptive_refines_hot_cell_and_keeps_exact_twins(spark):
@@ -501,3 +538,19 @@ def test_semantic_adaptive_refines_hot_cell_and_keeps_exact_twins(spark):
     for i in range(5):  # every exact twin dropped, original kept
         assert out[1000 + i] == 0, f"twin of {i} escaped refinement"
         assert out[i] == 1
+
+    # (a) the hot cell ACTUALLY splits (r13 advice: twin recall alone
+    # would stay green if the divisor ladder regressed to never
+    # refine). NumPy replica of the plan's cell assignment: occupancy
+    # n+5 in (TARGET, 2*TARGET] -> 1 refinement bit -> divisor 128,
+    # so the sign-prefix must land vectors in >1 distinct refined
+    # cell for this rng (which it does — pinned here).
+    from twitter_etl_spark.queries.similarity import SEM_REFINE_PLANES
+
+    assert _SEM_TARGET_OCC < n + 5 <= 2 * _SEM_TARGET_OCC
+    eq = np.floor(base.astype(np.float64) * 1000 + 0.5)
+    planes = np.array(SEM_REFINE_PLANES, dtype=np.float64)  # (8, dim)
+    bits = (eq @ planes.T > 0).astype(np.int64)  # (n, 8)
+    weights = 1 << np.arange(7, -1, -1)
+    refined = (bits @ weights) // 128  # divisor for 1-bit refinement
+    assert len(set(refined.tolist())) > 1, "hot cell did not split"

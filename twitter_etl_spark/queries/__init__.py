@@ -108,16 +108,20 @@ _MODULES = (
 #      test_cert_prefix_all_oracle_backed::deliberate_rows_only.
 #
 # r13 prefix was the 13 r13-new ops + the 37 stalest re-certs. r14
-# prefix (this tuple): the 50 stalest re-certs oldest green driver
-# round first — the full 39-name r8 cohort plus the 11 stalest r9
-# names (tools/gen_cert_rotation.py 0, hash-aware gate). r14-new ops
-# displace the youngest r9 fillers from the tail as they land, never
-# the stale cohort.
+# prefix (this tuple): the r14-new ops + the stalest re-certs oldest
+# green driver round first — the full 39-name r8 cohort plus the
+# stalest r9 names (tools/gen_cert_rotation.py, hash-aware gate).
+# Each new r14 op displaced the youngest r9 filler from the tail,
+# never the stale cohort.
 # Names NOT in the prefix keep their module-order position after it.
 _CERT_PREFIX = (
-    # -- r14 rotation: the 50 stalest re-certs oldest-first
-    #    (the full r8 cohort of 39 + the 11 stalest r9 names;
-    #    tools/gen_cert_rotation.py 0). New r14 ops displace the
+    # -- r14-new ops (certs in their birth round, per policy #1)
+    "q_sim_knn_clusters",
+    "q_merge_cdc",
+    "q_multimodal_align_score",
+    # -- r14 rotation: the stalest re-certs oldest-first (the full
+    #    r8 cohort of 39 + the stalest r9 names;
+    #    tools/gen_cert_rotation.py). New r14 ops displace the
     #    youngest r9 fillers from the tail as they land.
     "q_agg_moments",  # r8
     "q_agg_percentile_disc",  # r8
@@ -166,9 +170,6 @@ _CERT_PREFIX = (
     "q_except",  # r9
     "q_fn_array",  # r9
     "q_fn_case",  # r9
-    "q_fn_cast",  # r9
-    "q_fn_date",  # r9
-    "q_fn_json",  # r9
 )
 
 _BY_MODULE: dict = {}

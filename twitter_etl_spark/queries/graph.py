@@ -264,38 +264,37 @@ def _small_star(E: DataFrame) -> DataFrame:
     )
 
 
-def q_graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+def star_components(
+    pairs: DataFrame,
+    max_rounds: int = _CC_STAR_MAX_ROUNDS,
+    caller: str = "star_components",
+) -> DataFrame:
     """Connected components by alternating large-star/small-star
-    (Kiveris et al. 2014) over the SAME near-dup pair graph as
-    ``q_dedup_cluster`` — the O(log n)-round algorithm that replaces
-    min-label propagation when component diameters are adversarial
-    (label propagation needs diameter rounds; star contraction
-    collapses any path in logarithmically many).
+    (Kiveris et al. 2014) over an (u, v) undirected pair frame —
+    the reusable core of :func:`q_graph_cc_star`, shared with the
+    mutual-kNN semantic cluster stage
+    (``similarity.q_sim_knn_clusters``). Returns one row per node
+    that appears in ``pairs``: (node, cluster_id = component min).
 
-    Each phase is one hash-agg (per-node min) + one join-back —
-    identical dataflow blocks to propagation, but the edge set
-    CONTRACTS toward a star forest instead of carrying labels, so
-    convergence (edge set unchanged, checked with two anti-joins) is
-    reached in O(log n) rounds regardless of diameter. Output is
-    identical to ``q_dedup_cluster`` by construction — per-doc
-    component-min label — so it certifies against the same recursive
-    -CTE oracle, and the equality is additionally pinned in
-    tests/test_corpus.py."""
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    Each phase is one hash-agg (per-node min) + one join-back; the
+    edge set CONTRACTS toward a star forest, so convergence (edge
+    set unchanged, checked with two anti-joins) is reached in
+    O(log n) rounds regardless of diameter. The convergence probes
+    are documented eager loop barriers (the k-core/cc class)."""
     nodes = (
-        pairs.select(F.col("doc_a").alias("node"))
-        .union(pairs.select(F.col("doc_b").alias("node")))
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select(F.col("v").alias("node")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     E = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .where(F.col("u") != F.col("v"))
+        pairs.where(F.col("u") != F.col("v"))
+        .select("u", "v")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     converged = False
-    for _ in range(_CC_STAR_MAX_ROUNDS):
+    for _ in range(max_rounds):
         new_E = _small_star(_large_star(E)).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -312,10 +311,10 @@ def q_graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         import warnings
 
         warnings.warn(
-            f"q_graph_cc_star: star contraction hit the "
-            f"{_CC_STAR_MAX_ROUNDS}-round cap before the edge set "
+            f"{caller}: star contraction hit the "
+            f"{max_rounds}-round cap before the edge set "
             f"stabilized (needs ~log2 of the largest component); labels "
-            f"may not be component minima. Raise _CC_STAR_MAX_ROUNDS.",
+            f"may not be component minima. Raise the round cap.",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -324,12 +323,42 @@ def q_graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
     lab = sym.groupBy("u").agg(F.min("v").alias("min_v"))
     out = nodes.join(lab, nodes["node"] == lab["u"], "left").select(
-        F.col("node").alias("doc_id"),
+        "node",
         F.least(F.coalesce("min_v", "node"), "node").alias("cluster_id"),
     )
+    # Eager localCheckpoint BEFORE dropping the caches (the
+    # k-core/PPR lesson, bitten again in r14): the returned frame's
+    # lineage otherwise nests 2 self-referencing star phases per
+    # round — each phase references its input twice, so a consumer
+    # re-executing after unpersist re-plans a 4^rounds expression
+    # tree (q_sim_knn_clusters measured MINUTES of planning at
+    # sf0.001 before this fence; the loop itself converges in
+    # seconds). The labels frame is (node, cluster_id) — tiny
+    # relative to anything upstream.
+    out = out.localCheckpoint()
     E.unpersist()
     nodes.unpersist()
     return out
+
+
+def q_graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al. 2014) over the SAME near-dup pair graph as
+    ``q_dedup_cluster`` — the O(log n)-round algorithm that replaces
+    min-label propagation when component diameters are adversarial
+    (label propagation needs diameter rounds; star contraction
+    collapses any path in logarithmically many). Dataflow lives in
+    :func:`star_components` (shared with the semantic kNN cluster
+    stage). Output is identical to ``q_dedup_cluster`` by
+    construction — per-doc component-min label — so it certifies
+    against the same recursive-CTE oracle, and the equality is
+    additionally pinned in tests/test_corpus.py."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    return star_components(pairs, caller="q_graph_cc_star").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
 
 
 QUERIES = {

@@ -74,6 +74,78 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic CDC changelog over ``orders`` with
+    all three op kinds (derived, not random, so the oracle
+    reproduces it): keys %100 in [0,10) get a v2 price update (U),
+    keys %100 in [10,16) get a v2 tombstone (D), and key %100 == 10
+    is RE-INSERTED at v3 (I) — the delete-then-reinsert sequence
+    that breaks naive delete-wins merges."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 100
+    upd = o.filter(k < 10).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.round(F.col("o_totalprice"), 2) + F.lit(1.0)).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    dele = o.filter((k >= 10) & (k < 16)).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+        F.lit("D").alias("op"),
+    )
+    reins = o.filter(k == 10).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.round(F.col("o_totalprice"), 2) + F.lit(2.0)).alias("o_totalprice"),
+        F.lit(3).alias("version"),
+        F.lit("I").alias("op"),
+    )
+    return upd.union(dele).union(reins)
+
+
+def q_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge WITH DELETES (r13 verdict #4) — the full batch
+    ``MERGE INTO`` / changelog-compaction shape real lakehouse
+    pipelines run daily: ops I/U/D, latest-version-wins INCLUDING
+    tombstones, rows whose last op is D vanish from the snapshot,
+    and a later re-insert resurrects the key. Emits the surviving
+    snapshot with the winning version and ``last_op`` for lineage.
+
+    Same skew-robust plan as :func:`q_merge_upsert`: one union +
+    one ``max_by(struct, version)`` hash agg per key (map-side
+    partials collapse hot keys), then a post-agg tombstone filter —
+    no window sort, no join. At cluster scale the base is bucketed
+    on the merge key so only the changelog shuffles."""
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit(1).alias("version"),
+        F.lit("I").alias("op"),
+    )
+    merged = base.union(_cdc_changelog(spark, sf_dir))
+    winner = F.max_by(
+        F.struct("o_custkey", "o_totalprice", "version", "op"),
+        F.col("version"),
+    )
+    return (
+        merged.groupBy("o_orderkey")
+        .agg(winner.alias("w"))
+        .filter(F.col("w.op") != "D")
+        .select(
+            "o_orderkey",
+            F.col("w.o_custkey").alias("o_custkey"),
+            F.col("w.o_totalprice").alias("o_totalprice"),
+            F.col("w.version").alias("version"),
+            F.col("w.op").alias("last_op"),
+        )
+    )
+
+
 def q_fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long melt: per-status order metrics unpivoted to
     (status, metric, value) — ``DataFrame.unpivot`` generates k rows
@@ -110,9 +182,24 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_merge_upsert": q_merge_upsert,
+    "q_merge_cdc": q_merge_cdc,
     "q_fn_unpivot": q_fn_unpivot,
     "q_source_csv": q_source_csv,
 }
+
+_CDC_MERGED_CTE = (
+    "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, "
+    "1 AS version, 'I' AS op FROM orders "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) + 1.0, 2, 'U' "
+    "FROM orders WHERE o_orderkey % 100 < 10 "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, round(o_totalprice, 2), 2, 'D' "
+    "FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 16 "
+    "UNION ALL "
+    "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) + 2.0, 3, 'I' "
+    "FROM orders WHERE o_orderkey % 100 = 10"
+)
 
 _MERGED_CTE = (
     "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, "
@@ -128,6 +215,14 @@ ORACLE = {
         "SELECT o_orderkey, arg_max(o_custkey, version) AS o_custkey, "
         "arg_max(o_totalprice, version) AS o_totalprice, "
         "max(version) AS version FROM merged GROUP BY o_orderkey"
+    ),
+    "q_merge_cdc": (
+        "WITH merged AS (" + _CDC_MERGED_CTE + "), "
+        "w AS (SELECT o_orderkey, arg_max(o_custkey, version) AS o_custkey, "
+        "arg_max(o_totalprice, version) AS o_totalprice, "
+        "max(version) AS version, arg_max(op, version) AS last_op "
+        "FROM merged GROUP BY o_orderkey) "
+        "SELECT * FROM w WHERE last_op <> 'D'"
     ),
     "q_fn_unpivot": (
         "WITH wide AS (SELECT o_orderstatus, count(*)::DOUBLE AS n_orders, "

@@ -477,3 +477,137 @@ ORACLE["q_multimodal_phash_dedup"] = (
     "AND a.band_val = b.band_val AND a.doc_id < b.doc_id "
     f"WHERE bit_count(xor(a.phash, b.phash)) <= {_PH_MAX_HAMMING}"
 )
+
+
+#: alignment-score geometry: 8-dim features both sides, bottom
+#: decile flagged (the CLIP-style pair filter's keep/drop knob).
+_ALIGN_DIM = 8
+_ALIGN_LOW_Q = 0.10
+
+
+def q_multimodal_align_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal alignment scoring — the CLIP-style pair filter of
+    multimodal curation (Radford et al. 2021's score, stub
+    features), consuming the SAME payload/caption pairing as
+    ``q_multimodal_pair_manifest`` (r13 verdict #5): per document,
+    an 8-dim "image" feature (row sums of the dHash 8x8 byte-sample
+    thumbnail — the stub decode of q_multimodal_phash_dedup; a real
+    codec swaps only this projection) is scored against an 8-dim
+    caption feature (character histogram of the manifest's
+    ``lang: text[:48]`` caption, hashed into 8 ascii%8 buckets) by
+    cosine, and the bottom ``_ALIGN_LOW_Q`` of pairs is flagged
+    ``low_align`` — the drop set a curation job would cut.
+
+    Integer-exact until one final sqrt/round: both feature vectors
+    are small-int arrays, the dot/norms are exact BIGINT sums.
+
+    Scale: features are pure per-row projections over the payload
+    read (no shuffle, no UDF); the decile threshold is ONE 1-row
+    percentile_disc agg broadcast back (the q_behavior_rfm quantile
+    pattern — never a global sort of scores)."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ln = F.length("text")
+    stride = F.greatest(F.floor(ln / _PH_PIX).cast("int"), F.lit(1))
+    px = [
+        F.ascii(
+            F.substring(
+                F.col("text"),
+                ((F.lit(i) * stride) % ln + 1).cast("int"),
+                1,
+            )
+        )
+        for i in range(_PH_PIX)
+    ]
+    img = [
+        sum([px[r * _PH_COLS + c] for c in range(1, _PH_COLS)],
+            px[r * _PH_COLS]).cast("long")
+        for r in range(_ALIGN_DIM)
+    ]
+    cap = F.concat(
+        F.col("lang"),
+        F.lit(": "),
+        F.substring(F.col("text"), 1, _PAIR_CAPTION_CHARS),
+    )
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(cap)),
+        lambda i: F.ascii(cap.substr(i, F.lit(1))) % _ALIGN_DIM,
+    )
+    hist = [
+        F.size(F.filter(codes, lambda x: x == F.lit(r))).cast("long")
+        for r in range(_ALIGN_DIM)
+    ]
+    dot = sum(
+        [img[r] * hist[r] for r in range(1, _ALIGN_DIM)], img[0] * hist[0]
+    )
+    n_img = sum([img[r] * img[r] for r in range(1, _ALIGN_DIM)], img[0] * img[0])
+    n_cap = sum(
+        [hist[r] * hist[r] for r in range(1, _ALIGN_DIM)], hist[0] * hist[0]
+    )
+    scored = d.select(
+        "doc_id",
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(n_img.cast("double")) * F.sqrt(n_cap.cast("double"))),
+            6,
+        ).alias("align_score"),
+    )
+    thr = scored.agg(
+        F.expr(
+            f"percentile_disc({_ALIGN_LOW_Q}) WITHIN GROUP (ORDER BY align_score)"
+        ).alias("__thr")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "align_score",
+        F.when(F.col("align_score") <= F.col("__thr"), 1)
+        .otherwise(0)
+        .alias("low_align"),
+    )
+
+
+QUERIES["q_multimodal_align_score"] = q_multimodal_align_score
+
+
+def _align_sql() -> str:
+    img = [
+        "("
+        + " + ".join(
+            f"ascii(substr(text, ((({r * _PH_COLS + c} * s) % L) + 1)::INT, 1))"
+            for c in range(_PH_COLS)
+        )
+        + ")::BIGINT"
+        for r in range(_ALIGN_DIM)
+    ]
+    hist = [
+        "len(list_filter(codes, x -> x = " + str(r) + "))::BIGINT"
+        for r in range(_ALIGN_DIM)
+    ]
+    dot = " + ".join(f"i{r} * h{r}" for r in range(_ALIGN_DIM))
+    n_img = " + ".join(f"i{r} * i{r}" for r in range(_ALIGN_DIM))
+    n_cap = " + ".join(f"h{r} * h{r}" for r in range(_ALIGN_DIM))
+    img_cols = ", ".join(f"{img[r]} AS i{r}" for r in range(_ALIGN_DIM))
+    hist_cols = ", ".join(f"{hist[r]} AS h{r}" for r in range(_ALIGN_DIM))
+    return (
+        "WITH p AS (SELECT doc_id, text, lang, "
+        f"greatest((length(text) // {_PH_PIX}), 1) AS s, "
+        "length(text) AS L FROM documents WHERE length(text) > 0), "
+        "c AS (SELECT doc_id, text, s, L, "
+        f"lang || ': ' || substring(text, 1, {_PAIR_CAPTION_CHARS}) AS cap "
+        "FROM p), "
+        "codes_t AS (SELECT doc_id, text, s, L, "
+        "list_transform(range(1, length(cap) + 1), "
+        f"i -> ascii(substring(cap, i::INT, 1)) % {_ALIGN_DIM}) AS codes "
+        "FROM c), "
+        f"f AS (SELECT doc_id, {img_cols}, {hist_cols} FROM codes_t), "
+        f"scored AS (SELECT doc_id, round(({dot})::DOUBLE / "
+        f"(sqrt(({n_img})::DOUBLE) * sqrt(({n_cap})::DOUBLE)), 6) "
+        "AS align_score FROM f), "
+        f"thr AS (SELECT quantile_disc(align_score, {_ALIGN_LOW_Q}) AS t "
+        "FROM scored) "
+        "SELECT doc_id, align_score, "
+        "CASE WHEN align_score <= thr.t THEN 1 ELSE 0 END AS low_align "
+        "FROM scored CROSS JOIN thr"
+    )
+
+
+ORACLE["q_multimodal_align_score"] = _align_sql()

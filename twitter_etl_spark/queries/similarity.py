@@ -287,17 +287,41 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint — it can approach corpus size at 100 TB.
 
     Output: every vector with ``kept`` 1/0 (int for cross-engine
-    hash stability) — the keep-list a curation job would apply."""
+    hash stability) — the keep-list a curation job would apply —
+    plus ``judged`` 1/0 (r13 verdict #2): 0 marks a vector whose
+    cell was OVER the hot-cell cap, i.e. it passed through unjudged
+    (kept=1 by hand-off, not by similarity). Past ~sf2 occupancy the
+    fixed grid degrades to judged=0 everywhere — that cliff is now
+    observable output a consumer can alert on instead of silently
+    getting no dedup. The occupancy-adaptive grid
+    (:func:`q_dedup_semantic_adaptive`, measured 0.68 decade slope)
+    is the production spelling; this fixed-cell form is the
+    oracle-simple baseline."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    judged = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .select(
+            "label",
+            F.when(F.col("__occ") <= MAX_BLOCK_SIZE, 1)
+            .otherwise(0)
+            .alias("judged"),
+        )
+    )
     dropped = (
         q_sim_embedding_neardup(spark, sf_dir)
         .select(F.col("vec_b").alias("d_id"))
         .distinct()
     )
-    return e.join(dropped, e.vec_id == F.col("d_id"), "left").select(
-        "vec_id",
-        "label",
-        F.when(F.col("d_id").isNull(), 1).otherwise(0).alias("kept"),
+    return (
+        e.join(F.broadcast(judged), "label")
+        .join(dropped, e.vec_id == F.col("d_id"), "left")
+        .select(
+            "vec_id",
+            "label",
+            F.when(F.col("d_id").isNull(), 1).otherwise(0).alias("kept"),
+            "judged",
+        )
     )
 
 
@@ -724,17 +748,18 @@ ORACLE = {
     ),
     "q_dedup_semantic": (
         "WITH e0 AS (SELECT vec_id, label, " + _V + " AS v FROM embeddings), "
-        "keep AS (SELECT label FROM e0 GROUP BY label "
-        "         HAVING count(*) <= 4096), "
-        "e AS (SELECT e0.* FROM e0 JOIN keep USING (label)), "
+        "occ AS (SELECT label, "
+        "  CASE WHEN count(*) <= 4096 THEN 1 ELSE 0 END AS judged "
+        "  FROM e0 GROUP BY label), "
+        "e AS (SELECT e0.* FROM e0 JOIN occ USING (label) WHERE occ.judged = 1), "
         "dropped AS (SELECT DISTINCT b.vec_id AS d_id "
         "  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
         "  WHERE round(list_dot_product(a.v, b.v) / "
         "        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) "
         "    >= 0.35) "
         "SELECT e0.vec_id, e0.label, "
-        "  CASE WHEN d.d_id IS NULL THEN 1 ELSE 0 END AS kept "
-        "FROM e0 LEFT JOIN dropped d ON e0.vec_id = d.d_id"
+        "  CASE WHEN d.d_id IS NULL THEN 1 ELSE 0 END AS kept, occ.judged "
+        "FROM e0 JOIN occ USING (label) LEFT JOIN dropped d ON e0.vec_id = d.d_id"
     ),
 }
 
@@ -1193,6 +1218,46 @@ def _sem_refine_planes() -> list[list[int]]:
 SEM_REFINE_PLANES = _sem_refine_planes()
 
 
+def sem_refine_sig(e_with_eq: DataFrame) -> DataFrame:
+    """(vec_id, __sig): the 8-bit sign-prefix refinement signature —
+    a PURE per-vector function (integer plane dots via the shared
+    Arrow-matmul path), so the adaptive rollup can persist it with
+    the vector state and a re-absorbed vec_id dedups to the
+    identical row."""
+    return _rhp_signature(
+        e_with_eq, SEM_REFINE_PLANES, 1, _SEM_REFINE_BITS, "sem_refine_sig"
+    ).withColumnRenamed("b0", "__sig")
+
+
+def adaptive_cells(state: DataFrame) -> DataFrame:
+    """(vec_id, label, v, norm, __sig) -> the same vectors keyed by
+    the occupancy-adaptive composite cell (label replaced by
+    ``label * 2^bits + __sig DIV divisor``), ready for
+    ``_pairs_from_state``. The divisor ladder is recomputed from the
+    CURRENT occupancies every call — that is the operator's whole
+    point (cells subdivide as the corpus grows), so the rollup
+    stores the signature, never the cell."""
+    t = _SEM_TARGET_OCC
+    div = F.when(F.col("__occ") <= t, 256)
+    for k in range(1, _SEM_REFINE_BITS):
+        div = div.when(F.col("__occ") <= t * (1 << k), 256 >> k)
+    div = div.otherwise(1)
+    occ = (
+        state.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .select("label", div.alias("__div"))
+    )
+    return (
+        state.join(F.broadcast(occ), "label")
+        .withColumn(
+            "__cell",
+            F.col("label").cast("long") * (1 << _SEM_REFINE_BITS)
+            + F.expr("__sig DIV __div"),
+        )
+        .select("vec_id", F.col("__cell").alias("label"), "v", "norm")
+    )
+
+
 def q_dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with an occupancy-adaptive cell grid (module note
     above): the drop rule of :func:`q_dedup_semantic` (lower-id
@@ -1220,31 +1285,13 @@ def q_dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-coarse-cell occupancy -> power-of-two split factor. The
     # divisor ladder is INTEGER-exact (no log2 floats to disagree
     # across engines): occupancy in (TARGET*2^(k-1), TARGET*2^k]
-    # refines by k bits, i.e. prefix divisor 2^(8-k).
-    t = _SEM_TARGET_OCC
-    div = F.when(F.col("__occ") <= t, 256)
-    for k in range(1, _SEM_REFINE_BITS):
-        div = div.when(F.col("__occ") <= t * (1 << k), 256 >> k)
-    div = div.otherwise(1)
-    occ = (
-        e.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("__occ"))
-        .select("label", div.alias("__div"))
-    )
-    sig = _rhp_signature(
-        e, SEM_REFINE_PLANES, 1, _SEM_REFINE_BITS, "sem_refine_sig"
-    ).withColumnRenamed("b0", "__sig")
-    cells = (
-        e.join(F.broadcast(occ), "label")
-        .join(sig, "vec_id")
-        .withColumn(
-            "__cell",
-            F.col("label").cast("long") * (1 << _SEM_REFINE_BITS)
-            + F.expr("__sig DIV __div"),
+    # refines by k bits, i.e. prefix divisor 2^(8-k). Ladder + cell
+    # composition live in :func:`adaptive_cells` (shared with the
+    # adaptive rollup's keeplist/probe readers).
+    state = adaptive_cells(
+        e.join(sem_refine_sig(e), "vec_id").select(
+            "vec_id", "label", "v", "norm", "__sig"
         )
-    )
-    state = cells.select(
-        "vec_id", F.col("__cell").alias("label"), "v", "norm"
     )
     dropped = (
         _pairs_from_state(state)
@@ -1364,10 +1411,13 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_sim_knn_graph"] = q_sim_knn_graph
-ORACLE["q_sim_knn_graph"] = (
-    # within-cell exact pairs (the q_sim_embedding_neardup oracle)
-    # -> both directions -> per-src top-k -> mutual -> a < b
-    "WITH e0 AS (SELECT vec_id, label, " + _V + " AS v FROM embeddings), "
+
+# within-cell exact pairs (the q_sim_embedding_neardup oracle)
+# -> both directions -> per-src top-k -> mutual -> a < b.
+# Kept as a bare CTE chain so the cluster-stage oracle below can
+# prepend WITH RECURSIVE and continue the chain.
+_KNN_CTES = (
+    "e0 AS (SELECT vec_id, label, " + _V + " AS v FROM embeddings), "
     "keep AS (SELECT label FROM e0 GROUP BY label "
     f"         HAVING count(*) <= {MAX_BLOCK_SIZE}), "
     "e AS (SELECT e0.* FROM e0 JOIN keep USING (label)), "
@@ -1383,8 +1433,70 @@ ORACLE["q_sim_knn_graph"] = (
     "UNION ALL SELECT vec_b, vec_a, cos_sim FROM pairs), "
     "topk AS (SELECT * FROM (SELECT src, dst, cos_sim, "
     "row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst ASC) "
-    f"AS rk FROM directed) WHERE rk <= {_KNN_GRAPH_K}) "
+    f"AS rk FROM directed) WHERE rk <= {_KNN_GRAPH_K})"
+)
+
+ORACLE["q_sim_knn_graph"] = (
+    "WITH " + _KNN_CTES + " "
     "SELECT f.src AS vec_a, f.dst AS vec_b, f.cos_sim "
     "FROM topk f JOIN topk r ON f.src = r.dst AND f.dst = r.src "
     "WHERE f.src < f.dst"
+)
+
+
+def q_sim_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cluster resolution over the mutual-kNN graph — the
+    SemDeDup-paper cluster stage (Abbas et al. 2023) and the first
+    consumer of :func:`q_sim_knn_graph` (r13 verdict #3): connected
+    components over the mutual edges, one row per vector that
+    participates in at least one edge, with ``cluster_id`` = the
+    component-min vec_id (the canonical member a keep-canonical
+    policy retains), the component's ``cluster_size``, and ``canon``
+    1/0 marking the canonical member itself.
+
+    Components come from the shared large-star/small-star
+    contraction (``graph.star_components`` — O(log n) rounds, each
+    one hash-agg + join-back; the same machinery certified under
+    ``q_graph_cc_star``), so adversarial component diameters cost
+    log rounds, not diameter rounds. The size join shuffles on
+    cluster_id only — (node, cluster_id) rows, never vectors."""
+    from .graph import star_components
+
+    edges = q_sim_knn_graph(spark, sf_dir).select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    )
+    comp = star_components(edges, caller="q_sim_knn_clusters")
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "cluster_id").select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        "cluster_size",
+        F.when(F.col("node") == F.col("cluster_id"), 1)
+        .otherwise(0)
+        .alias("canon"),
+    )
+
+
+QUERIES["q_sim_knn_clusters"] = q_sim_knn_clusters
+ORACLE["q_sim_knn_clusters"] = (
+    "WITH RECURSIVE " + _KNN_CTES + ", "
+    "knn AS (SELECT f.src AS vec_a, f.dst AS vec_b "
+    "  FROM topk f JOIN topk r ON f.src = r.dst AND f.dst = r.src "
+    "  WHERE f.src < f.dst), "
+    "edges AS (SELECT vec_a AS src, vec_b AS dst FROM knn "
+    "          UNION ALL SELECT vec_b, vec_a FROM knn), "
+    "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+    "reach(node, lab) AS ("
+    "  SELECT node, node FROM nodes "
+    "  UNION "
+    "  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node), "
+    "cc AS (SELECT node AS vec_id, min(lab) AS cluster_id "
+    "       FROM reach GROUP BY node), "
+    "sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size "
+    "       FROM cc GROUP BY cluster_id) "
+    "SELECT vec_id, cc.cluster_id, sz.cluster_size, "
+    "CASE WHEN vec_id = cc.cluster_id THEN 1 ELSE 0 END AS canon "
+    "FROM cc JOIN sz ON cc.cluster_id = sz.cluster_id"
 )

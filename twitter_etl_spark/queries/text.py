@@ -608,11 +608,15 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (partitioned BY DOC — never global), one pair hash agg
     keyed on the (a, b) string pair (map-side combine collapses hot
     collocations), and one broadcast-size token-df join; top-k is
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject. n_docs stays INSIDE the plan as a 1-row
+    broadcast count frame (the q_text_bigram_lm pattern) — no
+    driver-side count() job at plan-construction time (r13 advice:
+    an eager corpus scan per invocation, firing even during
+    explain/fingerprint tooling)."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n_frame = d.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = (
         d.select("doc_id", F.explode(_tokens()).alias("tok"))
         .where(F.length("tok") >= 2)
@@ -635,13 +639,14 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         pairs.join(dfa.select(F.col("tok").alias("t1"), F.col("df").alias("df_a")), "t1")
         .join(dfa.select(F.col("tok").alias("t2"), F.col("df").alias("df_b")), "t2")
+        .crossJoin(F.broadcast(n_frame))
         .select(
             "t1",
             "t2",
             "df_ab",
             F.round(
                 F.log(
-                    (F.lit(n_docs) * F.col("df_ab")).cast("double")
+                    (F.col("n_docs") * F.col("df_ab")).cast("double")
                     / (F.col("df_a") * F.col("df_b"))
                 ),
                 6,

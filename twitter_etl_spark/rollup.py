@@ -572,6 +572,122 @@ def probe_semdedup_rollup(
     )
 
 
+# ---------------------------------------------------------------------------
+# Occupancy-ADAPTIVE semantic-dedup rollup (r13 verdict #7): the
+# persisted-state twin of q_dedup_semantic_adaptive — the declared
+# production spelling of semantic dedup. State per vector adds the
+# 8-bit refinement SIGNATURE (a pure per-vector function, so
+# re-absorption still dedups to the identical row) to the fixed-grid
+# state; the refinement DIVISOR is deliberately NOT stored — it is a
+# function of current cell occupancy and is recomputed at read time,
+# which is exactly how the grid subdivides as the corpus grows. The
+# keeplist regenerated from state alone equals the one-shot adaptive
+# query over the union of absorbed batches; the probe judges a new
+# batch with the pair scan's b-side restricted to the batch.
+# ---------------------------------------------------------------------------
+
+_SEMA_STATE_COLS = ("vec_id", "label", "v", "norm", "sig")
+
+
+def _sema_vec_rows(new_embeddings: DataFrame) -> DataFrame:
+    from .queries.similarity import _vec_state, sem_refine_sig
+
+    e = _vec_state(new_embeddings)
+    eq = new_embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)),
+        ).alias("eq"),
+    )
+    sig = sem_refine_sig(eq).withColumnRenamed("__sig", "sig")
+    return e.join(sig, "vec_id").select(*_SEMA_STATE_COLS)
+
+
+def update_semdedup_adaptive_rollup(
+    spark: SparkSession, rollup_dir: str, new_embeddings: DataFrame
+) -> int:
+    """Absorb one (vec_id, embedding, label) batch into the adaptive
+    semantic-dedup state; returns the published version. Merge =
+    union + dropDuplicates(vec_id) — every state column is a pure
+    function of the embedding row, so re-absorption is idempotent
+    (no HWM needed, the deterministic-key class)."""
+    fresh = _sema_vec_rows(new_embeddings)
+    if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
+        prev = read_version(spark, rollup_dir).select(*_SEMA_STATE_COLS)
+        state = prev.unionByName(fresh).dropDuplicates(["vec_id"])
+    else:
+        state = fresh
+    return publish_version(state.select(*_SEMA_STATE_COLS), rollup_dir)
+
+
+def _sema_cells(st: DataFrame) -> DataFrame:
+    from .queries.similarity import adaptive_cells
+
+    return adaptive_cells(
+        st.select(
+            "vec_id", "label", "v", "norm", F.col("sig").alias("__sig")
+        )
+    )
+
+
+def semdedup_adaptive_keeplist(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """(vec_id, label, kept) regenerated from the stored state ALONE
+    — row-identical to ``q_dedup_semantic_adaptive`` over the union
+    of absorbed batches (test-pinned): the divisor ladder re-derives
+    from current occupancies, so a cell that crossed the 512 target
+    since the last absorb is judged on its REFINED subcells."""
+    from .queries.similarity import _pairs_from_state
+
+    st = read_version(spark, rollup_dir, version).select(*_SEMA_STATE_COLS)
+    dropped = (
+        _pairs_from_state(_sema_cells(st))
+        .select(F.col("vec_b").alias("d_id"))
+        .distinct()
+    )
+    return st.join(dropped, st.vec_id == F.col("d_id"), "left").select(
+        "vec_id",
+        "label",
+        F.when(F.col("d_id").isNull(), 1).otherwise(0).alias("kept"),
+    )
+
+
+def probe_semdedup_adaptive_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    batch_embeddings: DataFrame,
+    version: int | None = None,
+) -> DataFrame:
+    """(vec_id, label, kept) for a NEW embedding batch judged
+    against the persisted corpus WITHOUT absorbing it — the adaptive
+    twin of :func:`probe_semdedup_rollup`. Occupancies (and so the
+    refinement ladder) count <state ∪ batch>, parity with the
+    one-shot adaptive op on the union; the pair scan's b-side is
+    restricted to the batch, so only |cell|·|cell ∩ batch| dot
+    products run. Pinned row-identical to
+    ``q_dedup_semantic_adaptive`` over the union restricted to batch
+    rows (the drop rule is pairwise — it never reads kept status —
+    so the restriction is exact, the q_dedup_semantic_incremental
+    argument)."""
+    from .queries.similarity import _pairs_from_state
+
+    st = read_version(spark, rollup_dir, version).select(*_SEMA_STATE_COLS)
+    bt = _sema_vec_rows(batch_embeddings)
+    union = st.unionByName(bt).dropDuplicates(["vec_id"])
+    dropped = (
+        _pairs_from_state(_sema_cells(union), b_side=bt.select("vec_id"))
+        .select(F.col("vec_b").alias("d_id"))
+        .distinct()
+    )
+    return bt.join(dropped, bt.vec_id == F.col("d_id"), "left").select(
+        "vec_id",
+        "label",
+        F.when(F.col("d_id").isNull(), 1).otherwise(0).alias("kept"),
+    )
+
+
 def theta_overlap_from_kmv_rollup(
     spark: SparkSession,
     rollup_dir: str,
@@ -1127,13 +1243,29 @@ def update_sample_rollup(
     shuffles), then a ≤ 2k-row re-rank against the persisted
     winners. NULL keys (null text) sort last, as in
     q_sample_weighted."""
+    from pyspark.sql import Window
+
     fresh = _sample_keys(new_docs).orderBy(
         F.asc_nulls_last("sample_key"), F.asc_nulls_last("doc_id")
     ).limit(k)
     if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
         prev = read_version(spark, rollup_dir).select(*_SAMPLE_STATE_COLS)
-        state = prev.unionByName(fresh.select(*_SAMPLE_STATE_COLS)).dropDuplicates(
-            ["doc_id"]
+        # Deterministic survivor per doc_id (r13 advice): if a doc_id
+        # is re-absorbed with CHANGED text, its sample_key differs
+        # between the persisted row and the fresh one —
+        # dropDuplicates would keep an arbitrary copy and silently
+        # break the chunks ≡ one-shot pin. Keep the MIN sample_key
+        # (nulls last, lang as final tiebreak), which is also what
+        # the one-shot query over the union would rank by. ≤ 2k rows
+        # here, so the window is trivial.
+        wd = Window.partitionBy("doc_id").orderBy(
+            F.asc_nulls_last("sample_key"), F.asc_nulls_last("lang")
+        )
+        state = (
+            prev.unionByName(fresh.select(*_SAMPLE_STATE_COLS))
+            .withColumn("_rn", F.row_number().over(wd))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
     else:
         state = fresh
