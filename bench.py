@@ -140,6 +140,9 @@ HEADLINE = [
     "q_sim_knn_clusters",
     "q_merge_cdc",
     "q_multimodal_align_score",
+    "q_ts_periodogram",
+    "q_dq_fd_check",
+    "q_stream_late_batch",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

@@ -131,6 +131,9 @@ _SINGLE_PARTITION_OK = {
     # by both sides of the lag join) + 8-group power sums — all
     # calendar-bounded, never event-volume-bound
     "q_ts_xcorr_daily",
+    # calendar min/max bounds + 1-row totals agg broadcast onto the
+    # day axis; the ×9 explode and phase join ride the calendar (r14)
+    "q_ts_periodogram",
     # 1-row quintile-threshold agg over the per-user frame, broadcast
     # back — the scale-safe replacement for a global ntile sort
     "q_behavior_rfm",

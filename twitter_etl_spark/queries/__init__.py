@@ -119,6 +119,9 @@ _CERT_PREFIX = (
     "q_sim_knn_clusters",
     "q_merge_cdc",
     "q_multimodal_align_score",
+    "q_ts_periodogram",
+    "q_dq_fd_check",
+    "q_stream_late_batch",
     # -- r14 rotation: the stalest re-certs oldest-first (the full
     #    r8 cohort of 39 + the stalest r9 names;
     #    tools/gen_cert_rotation.py). New r14 ops displace the
@@ -167,9 +170,6 @@ _CERT_PREFIX = (
     "q_dedup_minhash",  # r9
     "q_dedup_normalized",  # r9
     "q_dedup_simhash",  # r9
-    "q_except",  # r9
-    "q_fn_array",  # r9
-    "q_fn_case",  # r9
 )
 
 _BY_MODULE: dict = {}

@@ -666,3 +666,46 @@ ORACLE["q_drift_emd"] = (
     "/ (n_ref::DOUBLE * n_cur), 6) AS emd_bins "
     "FROM cum CROSS JOIN tot GROUP BY n_ref, n_cur"
 )
+
+
+def q_dq_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the schema-inference /
+    data-contract check a warehouse runs before trusting a column
+    as a key: for the candidate dependency ``c_nationkey ->
+    c_mktsegment`` over customer, report per LHS value how many
+    rows, how many DISTINCT RHS values, the majority-RHS support,
+    and the violation count (rows outside the majority — the rows a
+    repair job would quarantine). ``fd_holds`` = 1 iff the LHS value
+    maps to exactly one RHS value; the dependency holds globally iff
+    every row has it 1. A real deployment sweeps many candidate
+    pairs with the same two-agg plan.
+
+    All-integer output; exactly two hash aggregations ((lhs, rhs)
+    counts, then lhs rollup) — partial aggregation collapses hot
+    keys map-side, nothing else shuffles at any scale."""
+    c = table(spark, sf_dir, "customer")
+    pair = c.groupBy(
+        F.col("c_nationkey").alias("lhs"),
+        F.col("c_mktsegment").alias("rhs"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return pair.groupBy("lhs").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_rhs"),
+        F.max("n").cast("long").alias("majority_n"),
+        (F.sum("n") - F.max("n")).cast("long").alias("n_violations"),
+        F.when(F.count(F.lit(1)) == 1, 1).otherwise(0).alias("fd_holds"),
+    )
+
+
+QUERIES["q_dq_fd_check"] = q_dq_fd_check
+
+ORACLE["q_dq_fd_check"] = (
+    "WITH pair AS (SELECT c_nationkey AS lhs, c_mktsegment AS rhs, "
+    "count(*)::BIGINT AS n FROM customer GROUP BY 1, 2) "
+    "SELECT lhs, sum(n)::BIGINT AS n_rows, "
+    "count(*)::BIGINT AS n_distinct_rhs, "
+    "max(n)::BIGINT AS majority_n, "
+    "(sum(n) - max(n))::BIGINT AS n_violations, "
+    "CASE WHEN count(*) = 1 THEN 1 ELSE 0 END AS fd_holds "
+    "FROM pair GROUP BY lhs"
+)

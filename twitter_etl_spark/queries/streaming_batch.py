@@ -75,10 +75,64 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: allowed lateness before the watermark drops an event (the
+#: ``withWatermark`` delay of the streaming twin), in microseconds.
+_LATE_ALLOWED_US = 300_000_000  # 5 minutes
+
+
+def q_stream_late_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting — the batch twin of Structured
+    Streaming's watermark semantics (``withWatermark("ts", "5
+    minutes")``): replaying events in ARRIVAL order (event_id — the
+    deterministic stand-in for processing order), the watermark
+    after each arrival is ``max(event time seen so far) − allowed
+    lateness``; an event is LATE (would be dropped by a stateful
+    op) iff its own event time is already behind the watermark
+    established by PRIOR arrivals. Reports, per event type: events,
+    late events, the worst lateness in seconds, and the late
+    fraction — the numbers an ops dashboard needs to size the
+    watermark delay before data loss.
+
+    Watermarks are tracked PER EVENT TYPE — the per-source-partition
+    watermark model (each Kafka partition advances its own clock;
+    Spark takes the min across partitions). That keeps the
+    running-max window PARTITIONED (never a global sort): one
+    shuffle on event_type, then a rows-frame running max over
+    (event_id, ts) pairs — 16-byte rows at any corpus size."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    wm = F.max(us).over(w) - F.lit(_LATE_ALLOWED_US)
+    tagged = e.select(
+        "event_type",
+        us.alias("us"),
+        wm.alias("wm"),
+    ).select(
+        "event_type",
+        F.when(F.col("us") < F.col("wm"), 1).otherwise(0).alias("late"),
+        F.when(
+            F.col("us") < F.col("wm"), F.col("wm") - F.col("us")
+        ).alias("late_us"),
+    )
+    return tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("late").cast("long").alias("n_late"),
+        F.coalesce((F.max("late_us") / 1_000_000).cast("long"), F.lit(0)).alias(
+            "max_late_s"
+        ),
+        F.round(F.sum("late") / F.count(F.lit(1)), 6).alias("late_frac"),
+    )
+
+
 QUERIES = {
     "q_stream_tumbling_batch": q_stream_tumbling_batch,
     "q_stream_sliding_batch": q_stream_sliding_batch,
     "q_sessionize_batch": q_sessionize_batch,
+    "q_stream_late_batch": q_stream_late_batch,
 }
 
 ORACLE = {
@@ -94,6 +148,20 @@ ORACLE = {
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
         "FROM events, (VALUES (0), (300)) offsets(off) "
         "GROUP BY 1"
+    ),
+    "q_stream_late_batch": (
+        "WITH t AS (SELECT event_type, epoch_us(ts)::BIGINT AS us, "
+        "  max(epoch_us(ts)::BIGINT) OVER (PARTITION BY event_type "
+        "    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        f"    - {_LATE_ALLOWED_US} AS wm FROM events), "
+        "tagged AS (SELECT event_type, "
+        "  CASE WHEN us < wm THEN 1 ELSE 0 END AS late, "
+        "  CASE WHEN us < wm THEN wm - us END AS late_us FROM t) "
+        "SELECT event_type, count(*)::BIGINT AS n_events, "
+        "sum(late)::BIGINT AS n_late, "
+        "coalesce((max(late_us) // 1000000), 0)::BIGINT AS max_late_s, "
+        "round(sum(late) * 1.0 / count(*), 6) AS late_frac "
+        "FROM tagged GROUP BY event_type"
     ),
     "q_sessionize_batch": (
         "WITH gaps AS ("

@@ -1282,3 +1282,157 @@ ORACLE["q_ts_theilsen"] = (
     "round(avg(slope), 6) AS sen_slope FROM ranked "
     "WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY event_type"
 )
+
+
+# ---------------------------------------------------------------------------
+# Periodogram (discrete Fourier power at candidate periods) — "find
+# the weekly cycle" over the daily activity series. Cross-engine
+# trick: cos/sin never evaluate at runtime — the P distinct phase
+# factors per candidate period are PRE-QUANTIZED (×1e6, floor+0.5)
+# in Python at import and inlined as the SAME integer literals into
+# both engines, so the per-day terms and their sums are exact BIGINT
+# arithmetic; float enters only in the final normalize/round.
+# Overflow ceiling: |centered| ≤ n_days·max_daily ≈ 1.2e7 at sf1,
+# ×1e6 scale ×n_days ≈ 3e16 per sum — comfortably under 2^63 to
+# ~sf30 of this fixture (the q_stat_welch_t documented-ceiling
+# class; rescale _PGRAM_SCALE for bigger deployments).
+# ---------------------------------------------------------------------------
+
+_PGRAM_PERIODS = tuple(range(2, 11))
+_PGRAM_SCALE = 10**6
+
+
+def _pgram_phase_rows() -> list[tuple[int, int, int, int]]:
+    import math
+
+    rows = []
+    for p in _PGRAM_PERIODS:
+        for k in range(p):
+            a = 2.0 * math.pi * k / p
+            rows.append(
+                (
+                    p,
+                    k,
+                    int(math.floor(math.cos(a) * _PGRAM_SCALE + 0.5)),
+                    int(math.floor(math.sin(a) * _PGRAM_SCALE + 0.5)),
+                )
+            )
+    return rows
+
+
+def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram over the daily event-count series: for each
+    candidate period P (2..10 days), the fraction of series variance
+    concentrated at that frequency —
+    ``2·(Σ x̃_t·cos(2πt/P))² + (Σ x̃_t·sin(2πt/P))² / (n·Σ x̃²)``
+    with x̃ the exactly-centered series (n·x − Σx, all BIGINT). The
+    seasonality detector that picks the period
+    ``q_ts_seasonal_decompose`` assumes; a weekly cycle surfaces as
+    the P=7 spike.
+
+    Plan: one map-side-collapsing day agg over events, the dense
+    calendar join (q_ts_gapfill contract), ONE 1-row totals agg
+    broadcast back, a ×|periods| explode on the CALENDAR axis (never
+    the data), a broadcast equi-join against the |Σ periods|-row
+    phase-literal table, and a |periods|-group hash agg of BIGINT
+    sums."""
+    from pyspark.sql import types as T
+
+    e = _events_daily(spark, sf_dir)
+    daily = e.groupBy("day").agg(F.count(F.lit(1)).alias("x"))
+    g = (
+        _calendar(daily.select("day"))
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.min("day").alias("d0"),
+    )
+    cent = g.crossJoin(F.broadcast(tot)).select(
+        F.datediff("day", "d0").cast("long").alias("t"),
+        (F.col("n") * F.col("x") - F.col("sx")).alias("cs"),
+        "n",
+    )
+    phases = spark.createDataFrame(
+        _pgram_phase_rows(),
+        T.StructType(
+            [
+                T.StructField("period", T.LongType()),
+                T.StructField("phase", T.LongType()),
+                T.StructField("c6", T.LongType()),
+                T.StructField("s6", T.LongType()),
+            ]
+        ),
+    )
+    exploded = cent.select(
+        "t",
+        "cs",
+        "n",
+        F.explode(F.array(*[F.lit(p).cast("long") for p in _PGRAM_PERIODS])).alias(
+            "period"
+        ),
+    ).withColumn("phase", F.pmod(F.col("t"), F.col("period")))
+    sums = (
+        exploded.join(F.broadcast(phases), ["period", "phase"])
+        .groupBy("period")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.sum(F.col("cs") * F.col("c6")).alias("sc"),
+            F.sum(F.col("cs") * F.col("s6")).alias("ss"),
+            F.sum(F.col("cs") * F.col("cs")).alias("scs2"),
+        )
+    )
+    num = (
+        F.col("sc").cast("double") * F.col("sc").cast("double")
+        + F.col("ss").cast("double") * F.col("ss").cast("double")
+    )
+    den = (
+        F.lit(float(_PGRAM_SCALE) * float(_PGRAM_SCALE))
+        * F.col("n_days").cast("double")
+        * F.col("scs2").cast("double")
+    )
+    return sums.select(
+        F.col("period").cast("int").alias("period"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.lit(2.0) * num / F.nullif(den, F.lit(0.0)), 6).alias(
+            "power_frac"
+        ),
+    )
+
+
+QUERIES["q_ts_periodogram"] = q_ts_periodogram
+
+
+def _pgram_sql() -> str:
+    vals = ", ".join(
+        f"({p}, {k}, {c6}, {s6})" for p, k, c6, s6 in _pgram_phase_rows()
+    )
+    return (
+        "WITH d AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x "
+        "  FROM events GROUP BY 1), "
+        "bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM d), "
+        "cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE "
+        "  AS day FROM bnd), "
+        "g AS (SELECT cal.day, coalesce(x, 0)::BIGINT AS x "
+        "  FROM cal LEFT JOIN d USING (day)), "
+        "tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, "
+        "  min(day) AS d0 FROM g), "
+        "cent AS (SELECT (g.day - tot.d0)::BIGINT AS t, "
+        "  (tot.n * g.x - tot.sx)::BIGINT AS cs, tot.n FROM g CROSS JOIN tot), "
+        f"ph(period, phase, c6, s6) AS (VALUES {vals}), "
+        "ex AS (SELECT cent.*, ph.period, ph.c6, ph.s6 FROM cent "
+        "  JOIN ph ON (cent.t % ph.period) = ph.phase), "
+        "s AS (SELECT period, max(n)::BIGINT AS n_days, "
+        "  sum(cs * c6)::BIGINT AS sc, sum(cs * s6)::BIGINT AS ss, "
+        "  sum(cs * cs)::BIGINT AS scs2 FROM ex GROUP BY period) "
+        "SELECT period::INT AS period, n_days, "
+        "round(2.0 * (sc::DOUBLE * sc::DOUBLE + ss::DOUBLE * ss::DOUBLE) "
+        f"/ nullif({float(_PGRAM_SCALE * _PGRAM_SCALE)!r} * n_days::DOUBLE "
+        "* scs2::DOUBLE, 0.0), 6) AS power_frac "
+        "FROM s"
+    )
+
+
+ORACLE["q_ts_periodogram"] = _pgram_sql()
