@@ -143,6 +143,9 @@ HEADLINE = [
     "q_ts_periodogram",
     "q_dq_fd_check",
     "q_stream_late_batch",
+    "q_multimodal_conflict",
+    "q_attribution_position",
+    "q_behavior_lifecycle",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

@@ -94,8 +94,6 @@ def test_cert_prefix_all_oracle_backed():
         "q_agg_topk_sketch",
         "q_ts_lttb",
         "q_agg_approx_distinct",
-        "q_dedup_minhash",
-        "q_dedup_simhash",
     }
     prefix = list(ALL_QUERIES)[:50]
     missing = [

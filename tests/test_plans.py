@@ -140,6 +140,9 @@ _SINGLE_PARTITION_OK = {
     # 1-row percentile_disc decile-threshold agg over the per-doc
     # score frame, broadcast back — same class (r14)
     "q_multimodal_align_score",
+    # 1-row week-bounds agg + churn lag over the O(#weeks) calendar
+    # axis — the q_ts_gapfill class (r14)
+    "q_behavior_lifecycle",
     "q_dq_checks",
     "q_dq_profile",  # 1-row whole-table profile agg, explode-pivoted
     "q_funnel_conversion",

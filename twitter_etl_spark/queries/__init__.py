@@ -122,6 +122,9 @@ _CERT_PREFIX = (
     "q_ts_periodogram",
     "q_dq_fd_check",
     "q_stream_late_batch",
+    "q_multimodal_conflict",
+    "q_attribution_position",
+    "q_behavior_lifecycle",
     # -- r14 rotation: the stalest re-certs oldest-first (the full
     #    r8 cohort of 39 + the stalest r9 names;
     #    tools/gen_cert_rotation.py). New r14 ops displace the
@@ -167,9 +170,6 @@ _CERT_PREFIX = (
     "q_win_nth",  # r8
     "q_agg_approx_distinct",  # r9
     "q_agg_kmv_distinct",  # r9
-    "q_dedup_minhash",  # r9
-    "q_dedup_normalized",  # r9
-    "q_dedup_simhash",  # r9
 )
 
 _BY_MODULE: dict = {}

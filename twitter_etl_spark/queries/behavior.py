@@ -179,6 +179,75 @@ def q_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    40/20/40 credit model marketing analytics runs beside first/last
+    touch: for each purchase, the same-user non-purchase touches in
+    the prior 30 minutes (ts, event_id order) split one conversion
+    credit as 40% to the first touch, 40% to the last, 20% shared
+    by the middles. Reported per channel (touch event_type):
+    touches, conversions participated in, and total credit.
+
+    INTEGER credit arithmetic — no float sums to drift cross-engine:
+    credits are basis points (n=1 → 10000; n=2 → 5000/5000; n≥3 →
+    4000/4000 ends, middles get 2000 DIV (n−2) each with the
+    remainder to the EARLIEST middle), summed as BIGINTs; the single
+    float division by 10⁴ happens on the final per-channel sum.
+
+    Scale: the user_id equi-join anchors the touch match (time
+    post-filter, never a nested loop); the rank/count windows
+    partition per PURCHASE (bounded by the 30-min window), and the
+    channel rollup is a tiny hash agg."""
+    e = table(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = p.join(
+        t,
+        (p.user_id == t.t_user)
+        & (F.col("purchase_ts") >= F.col("touch_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("touch_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    wr = Window.partitionBy("p_id").orderBy("touch_ts", "touch_id")
+    wn = Window.partitionBy("p_id")
+    ranked = joined.select(
+        "p_id",
+        "channel",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    n, rn = F.col("n"), F.col("rn")
+    mid_base = F.expr("2000 DIV (n - 2)")
+    mid_rem = F.expr("2000 % (n - 2)")
+    bp = (
+        F.when(n == 1, 10000)
+        .when(n == 2, 5000)
+        .when((rn == 1) | (rn == n), 4000)
+        .when(rn == 2, mid_base + mid_rem)
+        .otherwise(mid_base)
+    )
+    return (
+        ranked.withColumn("bp", bp.cast("long"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.count_distinct("p_id").alias("n_conversions"),
+            F.round(F.sum("bp") / 10000.0, 4).alias("credit"),
+        )
+    )
+
+
 def q_behavior_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order behavioral transition counts (the Markov-chain /
     clickstream-path-mining primitive): per user, consecutive
@@ -701,4 +770,132 @@ ORACLE["q_behavior_topk_paths"] = (
     "  FROM fn GROUP BY user_id, session_id) "
     "SELECT path, count(*)::BIGINT AS n_sessions FROM paths "
     f"GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT {_PATH_TOPK}"
+)
+
+
+QUERIES["q_attribution_position"] = q_attribution_position
+
+ORACLE["q_attribution_position"] = (
+    "WITH t AS (SELECT user_id AS t_user, event_type AS channel, "
+    "  ts AS touch_ts, event_id AS touch_id FROM events "
+    "  WHERE event_type <> 'purchase'), "
+    "p AS (SELECT user_id, event_id AS p_id, ts AS purchase_ts "
+    "  FROM events WHERE event_type = 'purchase'), "
+    "j AS (SELECT p.p_id, t.channel, t.touch_ts, t.touch_id "
+    "  FROM p JOIN t ON p.user_id = t.t_user "
+    "  AND p.purchase_ts >= t.touch_ts "
+    "  AND p.purchase_ts <= t.touch_ts + INTERVAL 30 MINUTE), "
+    "r AS (SELECT p_id, channel, "
+    "  row_number() OVER (PARTITION BY p_id ORDER BY touch_ts, touch_id) AS rn, "
+    "  count(*) OVER (PARTITION BY p_id)::BIGINT AS n FROM j), "
+    "c AS (SELECT p_id, channel, CASE "
+    "  WHEN n = 1 THEN 10000 "
+    "  WHEN n = 2 THEN 5000 "
+    "  WHEN rn = 1 OR rn = n THEN 4000 "
+    "  WHEN rn = 2 THEN (2000 // (n - 2)) + (2000 % (n - 2)) "
+    "  ELSE 2000 // (n - 2) END::BIGINT AS bp FROM r) "
+    "SELECT channel, count(*)::BIGINT AS n_touches, "
+    "count(DISTINCT p_id)::BIGINT AS n_conversions, "
+    "round(sum(bp) / 10000.0, 4) AS credit "
+    "FROM c GROUP BY channel"
+)
+
+
+def q_behavior_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the new/retained/resurrected/churned
+    weekly user ledger every growth team reports: a user active in
+    week w is NEW (first-ever active week), RETAINED (also active in
+    w−1) or RESURRECTED (active before, but not in w−1); CHURNED at
+    w counts users active in w−1 but not w — identically
+    active(w−1) − retained(w), so it needs no per-user anti-join.
+    Reported over the DENSE weekly calendar (a week with zero
+    activity still shows its churn).
+
+    Scale: one (user, week) dedup agg, one per-USER lag window, one
+    weekly hash agg — the event log shuffles once on user_id, never
+    self-joins. The dense-grid join and the churn lag ride the
+    O(#weeks) calendar axis (q_ts_gapfill contract), and the 1-row
+    min/max bounds agg is the documented calendar class."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    aw = e.distinct()
+    wu = Window.partitionBy("user_id").orderBy("week")
+    classed = aw.withColumn("prev", F.lag("week").over(wu)).select(
+        "week",
+        F.when(F.col("prev").isNull(), "new")
+        .when(
+            F.col("prev") == F.col("week") - F.expr("INTERVAL 7 DAYS"),
+            "retained",
+        )
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    weekly = classed.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((F.col("status") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("status") == "retained").cast("long")).alias(
+            "n_retained"
+        ),
+        F.sum((F.col("status") == "resurrected").cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+    bounds = weekly.agg(F.min("week").alias("w0"), F.max("week").alias("w1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("w0", "w1", F.expr("INTERVAL 7 DAYS"))
+        ).alias("week")
+    )
+    dense = grid.join(weekly, "week", "left").select(
+        "week",
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(c)
+            for c in ("n_active", "n_new", "n_retained", "n_resurrected")
+        ],
+    )
+    wcal = Window.orderBy("week")
+    return dense.select(
+        F.unix_timestamp("week").alias("week_epoch"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(
+            F.lag("n_active").over(wcal) - F.col("n_retained"), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_churned"),
+    )
+
+
+QUERIES["q_behavior_lifecycle"] = q_behavior_lifecycle
+
+ORACLE["q_behavior_lifecycle"] = (
+    "WITH aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week "
+    "  FROM events), "
+    "cl AS (SELECT week, CASE "
+    "  WHEN prev IS NULL THEN 'new' "
+    "  WHEN prev = week - INTERVAL 7 DAY THEN 'retained' "
+    "  ELSE 'resurrected' END AS status FROM "
+    "  (SELECT week, lag(week) OVER (PARTITION BY user_id ORDER BY week) "
+    "   AS prev FROM aw)), "
+    "weekly AS (SELECT week, count(*)::BIGINT AS n_active, "
+    "  sum((status = 'new')::INT)::BIGINT AS n_new, "
+    "  sum((status = 'retained')::INT)::BIGINT AS n_retained, "
+    "  sum((status = 'resurrected')::INT)::BIGINT AS n_resurrected "
+    "  FROM cl GROUP BY week), "
+    "bnd AS (SELECT min(week) AS w0, max(week) AS w1 FROM weekly), "
+    "grid AS (SELECT unnest(generate_series(w0, w1, INTERVAL 7 DAY)) "
+    "  AS week FROM bnd), "
+    "dense AS (SELECT grid.week, coalesce(n_active, 0)::BIGINT AS n_active, "
+    "  coalesce(n_new, 0)::BIGINT AS n_new, "
+    "  coalesce(n_retained, 0)::BIGINT AS n_retained, "
+    "  coalesce(n_resurrected, 0)::BIGINT AS n_resurrected "
+    "  FROM grid LEFT JOIN weekly ON grid.week = weekly.week) "
+    "SELECT epoch(week)::BIGINT AS week_epoch, n_active, n_new, "
+    "n_retained, n_resurrected, "
+    "coalesce(lag(n_active) OVER (ORDER BY week) - n_retained, 0)::BIGINT "
+    "  AS n_churned "
+    "FROM dense"
 )

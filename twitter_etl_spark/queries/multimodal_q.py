@@ -611,3 +611,114 @@ def _align_sql() -> str:
 
 
 ORACLE["q_multimodal_align_score"] = _align_sql()
+
+
+#: caption-divergence threshold for the conflict flag.
+_CONFLICT_JACCARD = 0.30
+
+
+def q_multimodal_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal CONSISTENCY audit — the second consumer of the
+    pairing surface: documents whose payloads are perceptual
+    near-duplicates (``q_multimodal_phash_dedup``'s banded dHash
+    pairs, Hamming ≤ 12) but whose captions DIVERGE (word-3-gram
+    Jaccard < ``_CONFLICT_JACCARD`` between the two ``lang:
+    text[:48]`` captions). Same image + different caption is the
+    classic multimodal label-noise signature (mislabeled near-dup,
+    stolen/re-captioned content); a curation job routes conflicts to
+    arbitration instead of blindly keeping the lower doc_id. Output:
+    every near-dup pair with its Hamming distance, caption Jaccard,
+    and ``conflict`` 1/0.
+
+    Scale: the pair list is the ALREADY-BOUNDED phash candidate set
+    (banded LSH, hot bands df-capped), so the caption comparison is
+    a per-pair array intersect over ≤ ~10-token shingle sets — two
+    small equi-joins of the pair list against the per-doc caption
+    shingles, payload bytes never touched after the hash."""
+    d = table(spark, sf_dir, "documents")
+    pairs = phash_pairs(phash_frame(d))
+    cap = F.concat(
+        F.col("lang"),
+        F.lit(": "),
+        F.substring(F.col("text"), 1, _PAIR_CAPTION_CHARS),
+    )
+    toks = F.split(F.trim(cap), r"\s+")
+    sh = F.array_distinct(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            # null-PROPAGATING concat: zip_with pads the shorter side
+            # with null, and concat_ws would silently turn that pad
+            # into a spurious trailing unigram (caught by the oracle)
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    shingles = d.select("doc_id", sh.alias("sh")).select(
+        "doc_id", F.expr("filter(sh, x -> x IS NOT NULL)").alias("sh")
+    )
+    j = (
+        pairs.join(
+            shingles.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            shingles.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(
+        inter / F.nullif(union.cast("double"), F.lit(0.0)), 6
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        F.coalesce(jac, F.lit(0.0)).alias("caption_jaccard"),
+        F.when(F.coalesce(jac, F.lit(0.0)) < _CONFLICT_JACCARD, 1)
+        .otherwise(0)
+        .alias("conflict"),
+    )
+
+
+QUERIES["q_multimodal_conflict"] = q_multimodal_conflict
+
+ORACLE["q_multimodal_conflict"] = (
+    "WITH p AS (SELECT doc_id, greatest((length(text) // "
+    f"{_PH_PIX}), 1) AS s, length(text) AS L, text FROM documents), "
+    f"h AS (SELECT doc_id, ({_ph_sql()}) AS phash FROM p), "
+    "bands AS (SELECT doc_id, phash, b AS band_idx, "
+    f"((phash >> (b * {_PH_BAND_BITS})) & {(1 << _PH_BAND_BITS) - 1}) "
+    "AS band_val FROM h, (SELECT unnest(range("
+    f"{_PH_BANDS}))::INT AS b)), "
+    "ok AS (SELECT band_idx, band_val FROM bands "
+    f"GROUP BY 1, 2 HAVING count(*) <= {_PH_MAX_BAND_DF}), "
+    "kept AS (SELECT bands.* FROM bands JOIN ok USING (band_idx, band_val)), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "bit_count(xor(a.phash, b.phash))::INT AS hamming "
+    "FROM kept a JOIN kept b ON a.band_idx = b.band_idx "
+    "AND a.band_val = b.band_val AND a.doc_id < b.doc_id "
+    f"WHERE bit_count(xor(a.phash, b.phash)) <= {_PH_MAX_HAMMING}), "
+    "caps AS (SELECT doc_id, list_distinct(list_transform("
+    "  range(1, greatest(len(toks) - 1, 0) + 1), "
+    "  i -> toks[i] || ' ' || toks[i+1])) AS sh FROM "
+    "  (SELECT doc_id, string_split_regex(trim(lang || ': ' || "
+    f"   substring(text, 1, {_PAIR_CAPTION_CHARS})), '\\s+') AS toks "
+    "   FROM documents)), "
+    "v AS (SELECT doc_a, doc_b, hamming, "
+    "  len(list_intersect(ca.sh, cb.sh)) AS n_i, "
+    "  len(ca.sh) AS n_a, len(cb.sh) AS n_b "
+    "  FROM pairs JOIN caps ca ON pairs.doc_a = ca.doc_id "
+    "  JOIN caps cb ON pairs.doc_b = cb.doc_id) "
+    "SELECT doc_a, doc_b, hamming, "
+    "coalesce(round(n_i * 1.0 / nullif((n_a + n_b - n_i), 0), 6), 0.0) "
+    "  AS caption_jaccard, "
+    "CASE WHEN coalesce(round(n_i * 1.0 / nullif((n_a + n_b - n_i), 0), 6), 0.0) "
+    f"  < {_CONFLICT_JACCARD} THEN 1 ELSE 0 END AS conflict "
+    "FROM v"
+)
