@@ -146,6 +146,10 @@ HEADLINE = [
     "q_multimodal_conflict",
     "q_attribution_position",
     "q_behavior_lifecycle",
+    "q_dedup_token_sorted",
+    "q_quality_rep_ngrams",
+    "q_pack_epoch_shuffle",
+    "q_text_kneser_ney",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

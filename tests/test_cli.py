@@ -93,7 +93,6 @@ def test_cert_prefix_all_oracle_backed():
     deliberate_rows_only = {
         "q_agg_topk_sketch",
         "q_ts_lttb",
-        "q_agg_approx_distinct",
     }
     prefix = list(ALL_QUERIES)[:50]
     missing = [

@@ -157,6 +157,7 @@ _SINGLE_PARTITION_OK = {
     "q_text_tfidf",
     "q_text_unigram_logprob",
     "q_text_bigram_lm",  # 1-row vocab-size agg, broadcast onto the model
+    "q_text_kneser_ney",  # 1-row bigram-type-count agg, broadcast (r14)
     "q_text_pmi",  # 1-row n_docs agg broadcast onto the pair frame (r14)
     "q_text_ccnet_bucket",  # inherits unigram_logprob's 1-row total agg
     "q_text_zipf",

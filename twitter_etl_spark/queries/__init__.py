@@ -125,6 +125,10 @@ _CERT_PREFIX = (
     "q_multimodal_conflict",
     "q_attribution_position",
     "q_behavior_lifecycle",
+    "q_dedup_token_sorted",
+    "q_quality_rep_ngrams",
+    "q_pack_epoch_shuffle",
+    "q_text_kneser_ney",
     # -- r14 rotation: the stalest re-certs oldest-first (the full
     #    r8 cohort of 39 + the stalest r9 names;
     #    tools/gen_cert_rotation.py). New r14 ops displace the
@@ -166,10 +170,6 @@ _CERT_PREFIX = (
     "q_ts_cusum",  # r8
     "q_ts_decay_sum",  # r8
     "q_ts_lttb",  # r8
-    "q_udtf_splitn",  # r8
-    "q_win_nth",  # r8
-    "q_agg_approx_distinct",  # r9
-    "q_agg_kmv_distinct",  # r9
 )
 
 _BY_MODULE: dict = {}

@@ -1215,3 +1215,36 @@ ORACLE["q_dedup_soft_weights"] = (
     "round(n_tokens / dup_count::DOUBLE, 6) AS eff_tokens "
     "FROM keyed JOIN sizes USING (norm_digest)"
 )
+
+
+def q_dedup_token_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort dedup — the fuzzy-matching "token sort ratio" key
+    at exact-match strength: documents whose lowercased token
+    MULTISETS are equal collapse to one survivor, catching
+    word-order shuffles (scraper re-renderings, shuffled boilerplate
+    lists) that exact and normalized dedup both miss while staying a
+    pure one-shuffle hash dedup (no pair scan). Key = md5 of the
+    sorted token list — shuffle rows carry a 32-byte digest, never
+    the document (the q_dedup_normalized contract)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    key = F.md5(F.array_join(F.array_sort(toks), " "))
+    return (
+        d.select("doc_id", key.alias("sort_digest"))
+        .groupBy("sort_digest")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+QUERIES["q_dedup_token_sorted"] = q_dedup_token_sorted
+
+ORACLE["q_dedup_token_sorted"] = (
+    "SELECT md5(list_aggregate(list_sort("
+    "string_split_regex(trim(lower(text)), '\\s+')), 'string_agg', ' ')) "
+    "  AS sort_digest, "
+    "min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS n_copies "
+    "FROM documents GROUP BY 1"
+)

@@ -593,3 +593,181 @@ ORACLE["q_quality_c4_rules"] = (
     "AS n_pass_all "
     "FROM flags GROUP BY source"
 )
+
+
+#: Gopher repetition bars (Rae et al. 2021, table A1): max char
+#: fraction in duplicated / top n-grams, keyed by n.
+_REP_DUP_BAR = {2: 0.20, 3: 0.18}
+_REP_TOP_BAR = {2: 0.20, 3: 0.18}
+
+
+def q_quality_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-n-gram repetition filters (Rae et al. 2021
+    "Gopher" table A1; also RefinedWeb/FineWeb's repetition family)
+    — the quality lens ``q_text_repetition``'s single top-token
+    share can't see: per document and n ∈ {2, 3}, the char fraction
+    in DUPLICATED n-grams (occurring ≥ 2×) and in the single TOP
+    n-gram, each normalized by the doc's total n-gram chars, with
+    pass flags at the published bars (dup ≤ 0.20/0.18, top ≤
+    0.20/0.18 for n = 2/3). Long form: one row per (doc, n); docs
+    with fewer than n tokens have no n-gram row (nothing to judge).
+
+    Integer-exact to one final round-6 division: char masses are
+    BIGINT Σ count·len sums. Plan: the n-gram construction is
+    zip_with over shifted slices (whole-stage codegen — the audited
+    shingle idiom, never element_at lambdas), then two hash aggs
+    ((doc, n, gram) counts → (doc, n) masses); hot grams collapse
+    map-side."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    toks = F.col("toks")
+    sz = F.size(toks)
+    g2 = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(sz - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g3 = F.zip_with(
+        g2,
+        F.slice(toks, 3, F.greatest(sz - 2, F.lit(0))),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    # bind g2/g3 as real columns so the null-pad filter can reference
+    # them by name
+    d = d.withColumn("g2", g2).withColumn("g3", g3)
+    grams = None
+    for n, cname in ((2, "g2"), (3, "g3")):
+        part = d.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(
+                F.expr(f"filter({cname}, x -> x IS NOT NULL)")
+            ).alias("gram"),
+        )
+        grams = part if grams is None else grams.unionByName(part)
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mass = F.col("c") * F.length("gram")
+    per = counts.groupBy("doc_id", "n").agg(
+        F.sum(mass).alias("total"),
+        F.sum(F.when(F.col("c") >= 2, mass).otherwise(0)).alias("dup"),
+        F.max(mass).alias("top"),
+    )
+    dup_bar = F.when(F.col("n") == 2, _REP_DUP_BAR[2]).otherwise(
+        _REP_DUP_BAR[3]
+    )
+    top_bar = F.when(F.col("n") == 2, _REP_TOP_BAR[2]).otherwise(
+        _REP_TOP_BAR[3]
+    )
+    dup_frac = F.round(F.col("dup") / F.col("total"), 6)
+    top_frac = F.round(F.col("top") / F.col("total"), 6)
+    return per.select(
+        "doc_id",
+        "n",
+        dup_frac.alias("dup_frac"),
+        top_frac.alias("top_frac"),
+        F.when(dup_frac <= dup_bar, 1).otherwise(0).alias("pass_dup"),
+        F.when(top_frac <= top_bar, 1).otherwise(0).alias("pass_top"),
+    )
+
+
+QUERIES["q_quality_rep_ngrams"] = q_quality_rep_ngrams
+
+
+def _rep_ngrams_sql() -> str:
+    g2 = (
+        "list_transform(range(1, greatest(len(toks) - 1, 0) + 1), "
+        "i -> toks[i] || ' ' || toks[i+1])"
+    )
+    g3 = (
+        "list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    )
+    return (
+        "WITH t AS (SELECT doc_id, " + _SQL_TOKENS + " AS toks FROM documents), "
+        f"grams AS (SELECT doc_id, 2 AS n, unnest({g2}) AS gram FROM t "
+        f"UNION ALL SELECT doc_id, 3, unnest({g3}) FROM t), "
+        "c AS (SELECT doc_id, n, gram, count(*)::BIGINT AS c "
+        "  FROM grams GROUP BY 1, 2, 3), "
+        "per AS (SELECT doc_id, n, sum(c * length(gram))::BIGINT AS total, "
+        "  sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)::BIGINT AS dup, "
+        "  max(c * length(gram))::BIGINT AS top FROM c GROUP BY 1, 2) "
+        "SELECT doc_id, n, "
+        "round(dup * 1.0 / total, 6) AS dup_frac, "
+        "round(top * 1.0 / total, 6) AS top_frac, "
+        "CASE WHEN round(dup * 1.0 / total, 6) <= "
+        f"  (CASE WHEN n = 2 THEN {_REP_DUP_BAR[2]} ELSE {_REP_DUP_BAR[3]} END) "
+        "  THEN 1 ELSE 0 END AS pass_dup, "
+        "CASE WHEN round(top * 1.0 / total, 6) <= "
+        f"  (CASE WHEN n = 2 THEN {_REP_TOP_BAR[2]} ELSE {_REP_TOP_BAR[3]} END) "
+        "  THEN 1 ELSE 0 END AS pass_top "
+        "FROM per"
+    )
+
+
+ORACLE["q_quality_rep_ngrams"] = _rep_ngrams_sql()
+
+
+_SHUFFLE_EPOCHS = 3
+_SHUFFLE_SHARDS = 8
+
+
+def q_pack_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle manifest — the data-ORDER half of
+    training reproducibility (the sibling of q_pack_sequences'
+    content packing): for each training epoch, every document gets a
+    shard and an in-shard position from the md5 of (epoch, doc_id),
+    so the 'random' order is a pure function of the data — same
+    order on every run, any cluster layout, resumable mid-epoch from
+    (epoch, shard, pos) with no RNG state to checkpoint, and each
+    epoch a fresh independent permutation.
+
+    Scale: the shuffle key is a per-row projection; ranking windows
+    partition per (epoch, shard) — ``_SHUFFLE_SHARDS`` independent
+    writers per epoch, the q_win_ntile_sharded posture, never a
+    global sort."""
+    d = table(spark, sf_dir, "documents")
+    epochs = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_SHUFFLE_EPOCHS))
+        ).alias("epoch"),
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = epochs.select(
+        "epoch",
+        "doc_id",
+        key.alias("k"),
+        (key % _SHUFFLE_SHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "epoch",
+        "shard",
+        "doc_id",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+QUERIES["q_pack_epoch_shuffle"] = q_pack_epoch_shuffle
+
+ORACLE["q_pack_epoch_shuffle"] = (
+    "WITH ep AS (SELECT doc_id, unnest(range(1, "
+    f"{_SHUFFLE_EPOCHS} + 1)) AS epoch FROM documents), "
+    "keyed AS (SELECT epoch, doc_id, "
+    "  (('0x' || substr(md5(epoch::VARCHAR || ':' || doc_id::VARCHAR), 1, 8))"
+    "::UBIGINT)::BIGINT AS k FROM ep) "
+    "SELECT epoch, "
+    f"(k % {_SHUFFLE_SHARDS})::BIGINT AS shard, doc_id, "
+    "row_number() OVER (PARTITION BY epoch, "
+    f"(k % {_SHUFFLE_SHARDS}) ORDER BY k, doc_id)::BIGINT AS pos "
+    "FROM keyed"
+)

@@ -645,3 +645,97 @@ ORACLE["q_mix_epochs_capped"] = (
     "sum(CASE WHEN fixed_tok IS NULL THEN p END) AS pact "
     f"FROM r{MIX_CAP_ROUNDS})"
 )
+
+
+#: Kneser-Ney absolute discount — 0.75 = 3·2^-2, exact in binary so
+#: the SQL literal and the Spark lit are bit-identical.
+_KN_D = 0.75
+
+
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal per document (Chen &
+    Goodman 1999, the smoothing real KenLM models default to —
+    public): p(cur|prev) = max(c(prev,cur)−D, 0)/c(prev) +
+    D·N1+(prev·)/c(prev) · N1+(·cur)/|bigram types|, with D = 0.75.
+    The continuation-probability backoff is what separates KN from
+    the add-k twin ``q_text_bigram_lm``: a word seen in MANY
+    contexts (a true function word) backs off high, a word frequent
+    in ONE collocation backs off low — the standard fluency score
+    one notch closer to production perplexity filters.
+
+    Determinism contract unchanged from the unigram/bigram twins:
+    per-bigram −ln p is fixed-point (round 6, ×1e6, BIGINT floor)
+    before the per-doc sum; every model quantity (c2, c1, the two
+    N1+ tables, the type count) is an exact BIGINT; D is an exact
+    binary float. Docs with < 2 tokens drop out (no bigrams).
+
+    Scale: the model is derived ENTIRELY from the bigram-type table
+    (one corpus hash agg): c1 and N1+(prev·) by one prev-keyed
+    re-agg, N1+(·cur) by one cur-keyed re-agg, |types| as a 1-row
+    broadcast — never a second corpus pass; scoring is one join of
+    doc bigrams against the model, hot bigrams collapsing map-side."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    cnt = F.greatest(F.size(toks) - 1, F.lit(0))
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, cnt),
+                F.slice(toks, 2, cnt),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.cur")
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    left = c2.groupBy("prev").agg(
+        F.sum("c2").alias("c1"),
+        F.count(F.lit(1)).alias("n1_fwd"),
+    )
+    right = c2.groupBy("cur").agg(F.count(F.lit(1)).alias("n1_ctx"))
+    types = c2.agg(F.count(F.lit(1)).alias("t"))
+    dd = F.lit(_KN_D)
+    p = (
+        F.greatest(F.col("c2") - dd, F.lit(0.0)) / F.col("c1")
+        + (dd * F.col("n1_fwd") / F.col("c1"))
+        * (F.col("n1_ctx") / F.col("t"))
+    )
+    fp = F.floor(F.round(-F.log(p), 6) * 1e6 + F.lit(0.5)).cast("bigint")
+    model = (
+        c2.join(left, "prev")
+        .join(right, "cur")
+        .crossJoin(F.broadcast(types))
+        .select("prev", "cur", fp.alias("fp"))
+    )
+    scored = big.join(model, ["prev", "cur"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("fp") / F.count(F.lit(1)) / 1e6, 4).alias(
+            "kn_surprisal"
+        ),
+    )
+
+
+QUERIES["q_text_kneser_ney"] = q_text_kneser_ney
+
+ORACLE["q_text_kneser_ney"] = (
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') "
+    "  AS toks FROM documents), "
+    "big AS (SELECT doc_id, unnest(list_transform(range(1, "
+    "  greatest(len(toks) - 1, 0) + 1), i -> {'prev': toks[i], "
+    "  'cur': toks[i+1]})) AS bg FROM t), "
+    "b AS (SELECT doc_id, bg.prev AS prev, bg.cur AS cur FROM big), "
+    "c2 AS (SELECT prev, cur, count(*)::BIGINT AS c2 FROM b GROUP BY 1, 2), "
+    "lft AS (SELECT prev, sum(c2)::BIGINT AS c1, count(*)::BIGINT AS n1_fwd "
+    "  FROM c2 GROUP BY prev), "
+    "rgt AS (SELECT cur, count(*)::BIGINT AS n1_ctx FROM c2 GROUP BY cur), "
+    "ty AS (SELECT count(*)::BIGINT AS t FROM c2), "
+    "model AS (SELECT c2.prev, c2.cur, "
+    f"  floor(round(-ln(greatest(c2.c2 - {_KN_D}, 0.0) / lft.c1 "
+    f"    + ({_KN_D} * lft.n1_fwd / lft.c1) * (rgt.n1_ctx * 1.0 / ty.t)), 6) "
+    "    * 1e6 + 0.5)::BIGINT AS fp "
+    "  FROM c2 JOIN lft USING (prev) JOIN rgt USING (cur) CROSS JOIN ty) "
+    "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+    "round(sum(fp)::BIGINT / count(*) / 1e6, 4) AS kn_surprisal "
+    "FROM b JOIN model USING (prev, cur) GROUP BY doc_id"
+)
