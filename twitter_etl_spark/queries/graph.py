@@ -287,22 +287,27 @@ def star_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager localCheckpoint EVERY round, not persist: each star phase
+    # references its input twice, so the LOGICAL plan (which persist
+    # caches data under but never truncates) quadruples per round —
+    # at sf0.1 the knn-cluster run OOM'd the driver just BUILDING the
+    # round-12 plan string. localCheckpoint cuts lineage to a flat
+    # LogicalRDD per round; the data materialization it forces is
+    # work the convergence counts do anyway (the k-core/PPR lesson,
+    # now applied inside the loop).
     E = (
         pairs.where(F.col("u") != F.col("v"))
         .select("u", "v")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     converged = False
     for _ in range(max_rounds):
-        new_E = _small_star(_large_star(E)).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        new_E = _small_star(_large_star(E)).localCheckpoint()
         changed = (
             new_E.join(E, ["u", "v"], "left_anti").limit(1).count()
             + E.join(new_E, ["u", "v"], "left_anti").limit(1).count()
         )
-        E.unpersist()
         E = new_E
         if changed == 0:
             converged = True
@@ -336,7 +341,6 @@ def star_components(
     # seconds). The labels frame is (node, cluster_id) — tiny
     # relative to anything upstream.
     out = out.localCheckpoint()
-    E.unpersist()
     nodes.unpersist()
     return out
 
