@@ -190,7 +190,10 @@ def test_align_score_replica_and_decile(spark):
         cap = f"{lang}: {text[:_PAIR_CAPTION_CHARS]}"
         hist = [0] * _ALIGN_DIM
         for ch in cap:
-            hist[ord(ch) % _ALIGN_DIM] += 1
+            # explicit printable-ASCII classes (the r14 regex form):
+            # chars outside 32..126 count nowhere
+            if 32 <= ord(ch) <= 126:
+                hist[ord(ch) % _ALIGN_DIM] += 1
         dot = sum(i * h for i, h in zip(img, hist))
         ni = math.sqrt(sum(i * i for i in img))
         nc = math.sqrt(sum(h * h for h in hist))

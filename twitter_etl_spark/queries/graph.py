@@ -304,9 +304,13 @@ def star_components(
     converged = False
     for _ in range(max_rounds):
         new_E = _small_star(_large_star(E)).localCheckpoint()
+        # ONE symmetric-difference probe job per round, not two: the
+        # two anti-joins union into a single limit(1) count
         changed = (
-            new_E.join(E, ["u", "v"], "left_anti").limit(1).count()
-            + E.join(new_E, ["u", "v"], "left_anti").limit(1).count()
+            new_E.join(E, ["u", "v"], "left_anti")
+            .unionByName(E.join(new_E, ["u", "v"], "left_anti"))
+            .limit(1)
+            .count()
         )
         E = new_E
         if changed == 0:

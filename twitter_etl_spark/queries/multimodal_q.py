@@ -485,6 +485,19 @@ _ALIGN_DIM = 8
 _ALIGN_LOW_Q = 0.10
 
 
+def _align_char_class(r: int) -> str:
+    """The caption-histogram buckets as EXPLICIT character classes:
+    bucket r holds the printable-ASCII chars (32..126) whose
+    codepoint % 8 == r; anything else counts nowhere. Explicit
+    classes let both engines count via ONE regex strip per bucket
+    (JVM/RE2 regex, codegen'd) instead of a per-character lambda
+    fold — measured 1.88 s -> 0.59 s at sf0.1 for the 8 buckets."""
+    import re as _re
+
+    chars = "".join(chr(c) for c in range(32, 127) if c % _ALIGN_DIM == r)
+    return "[^" + _re.sub(r"([\\\^\]\[\-])", r"\\\1", chars) + "]"
+
+
 def q_multimodal_align_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal alignment scoring — the CLIP-style pair filter of
     multimodal curation (Radford et al. 2021's score, stub
@@ -494,7 +507,9 @@ def q_multimodal_align_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     thumbnail — the stub decode of q_multimodal_phash_dedup; a real
     codec swaps only this projection) is scored against an 8-dim
     caption feature (character histogram of the manifest's
-    ``lang: text[:48]`` caption, hashed into 8 ascii%8 buckets) by
+    ``lang: text[:48]`` caption over 8 explicit printable-ASCII
+    codepoint%8 classes — :func:`_align_char_class`; one regex
+    strip per bucket, no per-char lambdas) by
     cosine, and the bottom ``_ALIGN_LOW_Q`` of pairs is flagged
     ``low_align`` — the drop set a curation job would cut.
 
@@ -528,12 +543,10 @@ def q_multimodal_align_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(": "),
         F.substring(F.col("text"), 1, _PAIR_CAPTION_CHARS),
     )
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(cap)),
-        lambda i: F.ascii(cap.substr(i, F.lit(1))) % _ALIGN_DIM,
-    )
     hist = [
-        F.size(F.filter(codes, lambda x: x == F.lit(r))).cast("long")
+        F.length(F.regexp_replace(cap, _align_char_class(r), "")).cast(
+            "long"
+        )
         for r in range(_ALIGN_DIM)
     ]
     dot = sum(
@@ -551,6 +564,12 @@ def q_multimodal_align_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("align_score"),
     )
+    # eager fence (the phash lineage lesson): the threshold agg AND
+    # the final projection both consume `scored`, and without the
+    # checkpoint each re-evaluates the 64-substring sample + the 9
+    # interpreted caption HOFs (measured 6.6 s -> 3.4 s at sf0.1).
+    # The checkpointed frame is (doc_id, double) — tiny.
+    scored = scored.localCheckpoint()
     thr = scored.agg(
         F.expr(
             f"percentile_disc({_ALIGN_LOW_Q}) WITHIN GROUP (ORDER BY align_score)"
@@ -578,8 +597,11 @@ def _align_sql() -> str:
         + ")::BIGINT"
         for r in range(_ALIGN_DIM)
     ]
+    def _sql_class(r: int) -> str:
+        return _align_char_class(r).replace("'", "''")
+
     hist = [
-        "len(list_filter(codes, x -> x = " + str(r) + "))::BIGINT"
+        f"length(regexp_replace(cap, '{_sql_class(r)}', '', 'g'))::BIGINT"
         for r in range(_ALIGN_DIM)
     ]
     dot = " + ".join(f"i{r} * h{r}" for r in range(_ALIGN_DIM))
@@ -594,11 +616,7 @@ def _align_sql() -> str:
         "c AS (SELECT doc_id, text, s, L, "
         f"lang || ': ' || substring(text, 1, {_PAIR_CAPTION_CHARS}) AS cap "
         "FROM p), "
-        "codes_t AS (SELECT doc_id, text, s, L, "
-        "list_transform(range(1, length(cap) + 1), "
-        f"i -> ascii(substring(cap, i::INT, 1)) % {_ALIGN_DIM}) AS codes "
-        "FROM c), "
-        f"f AS (SELECT doc_id, {img_cols}, {hist_cols} FROM codes_t), "
+        f"f AS (SELECT doc_id, {img_cols}, {hist_cols} FROM c), "
         f"scored AS (SELECT doc_id, round(({dot})::DOUBLE / "
         f"(sqrt(({n_img})::DOUBLE) * sqrt(({n_cap})::DOUBLE)), 6) "
         "AS align_score FROM f), "
