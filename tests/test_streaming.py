@@ -1737,6 +1737,84 @@ def test_stream_feeds_semdedup_rollup_matches_one_shot(spark):
     assert any(k == 0 for _, _, k in got)  # non-vacuous
 
 
+def test_stream_feeds_adaptive_semdedup_rollup_matches_one_shot(spark):
+    """The occupancy-ADAPTIVE twin of the stream→rollup handoff
+    above (r13 verdict #7): an availableNow foreachBatch loop
+    absorbs embedding micro-batches into
+    rollup.update_semdedup_adaptive_rollup, and the keep-list
+    regenerated from the persisted (vector, signature) state — with
+    the refinement ladder re-derived from CURRENT occupancies —
+    equals the one-shot q_dedup_semantic_adaptive over the union."""
+    from pyspark.sql import types as T
+
+    from twitter_etl_spark import rollup
+    from twitter_etl_spark.queries.similarity import (
+        q_dedup_semantic_adaptive,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    rollup_dir = os.path.join(base, "sda_rollup")
+    os.makedirs(landing)
+
+    vecs = table(spark, sf, "embeddings").collect()
+    thirds = [vecs[0::3], vecs[1::3], vecs[2::3]]
+    for n, chunk in enumerate(thirds):
+        with open(os.path.join(landing, f"b{n}.json"), "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "vec_id": int(r["vec_id"]),
+                            "embedding": [float(x) for x in r["embedding"]],
+                            "label": int(r["label"]),
+                        }
+                    )
+                    + "\n"
+                )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    versions = []
+
+    def _absorb(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        versions.append(
+            rollup.update_semdedup_adaptive_rollup(spark, rollup_dir, batch_df)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(versions) == 3  # one rollup publish per micro-batch
+
+    got = sorted(
+        (r["vec_id"], r["label"], r["kept"])
+        for r in rollup.semdedup_adaptive_keeplist(spark, rollup_dir).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["label"], r["kept"])
+        for r in q_dedup_semantic_adaptive(spark, sf).collect()
+    )
+    assert got == want
+    assert any(k == 0 for _, _, k in got)  # non-vacuous
+
+
 def test_stream_feeds_drift_rollup_matches_one_shot(spark):
     """Streaming drift monitoring: an availableNow foreachBatch loop
     absorbs each landed document micro-batch into
