@@ -150,6 +150,7 @@ HEADLINE = [
     "q_quality_rep_ngrams",
     "q_pack_epoch_shuffle",
     "q_text_kneser_ney",
+    "q_behavior_markov_stationary",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

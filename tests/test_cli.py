@@ -92,7 +92,6 @@ def test_cert_prefix_all_oracle_backed():
     # replica/bound pin — that is the real gate for these).
     deliberate_rows_only = {
         "q_agg_topk_sketch",
-        "q_ts_lttb",
     }
     prefix = list(ALL_QUERIES)[:50]
     missing = [

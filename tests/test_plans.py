@@ -143,6 +143,9 @@ _SINGLE_PARTITION_OK = {
     # 1-row week-bounds agg + churn lag over the O(#weeks) calendar
     # axis — the q_ts_gapfill class (r14)
     "q_behavior_lifecycle",
+    # 1-row state-count agg + rounds over the |event types|^2 matrix
+    # — everything after the one event-log window is broadcast-size
+    "q_behavior_markov_stationary",
     "q_dq_checks",
     "q_dq_profile",  # 1-row whole-table profile agg, explode-pivoted
     "q_funnel_conversion",

@@ -154,6 +154,52 @@ def test_knn_clusters_match_unionfind_replica(spark):
     assert all(r["vec_id"] == r["cluster_id"] for r in canons)
 
 
+def test_markov_stationary_matches_integer_replica(spark):
+    """q_behavior_markov_stationary vs a step-for-step Python
+    integer replica of the damped fixed-point recurrence (same
+    quantized p_ij, same DIV floors, same round count) on the
+    collected sf0.001 transition counts — and the result behaves
+    like a distribution: every pi > 0 and Σ pi ≈ 1 (integer floors
+    and dangling leak bound the gap)."""
+    from twitter_etl_spark.queries.behavior import (
+        _MK_DAMP,
+        _MK_PSCALE,
+        _MK_ROUNDS,
+        _MK_SCALE,
+        q_behavior_markov_stationary,
+        q_behavior_transitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    trans = q_behavior_transitions(spark, sf).collect()
+    out_deg: dict = {}
+    for r in trans:
+        out_deg[r["from_type"]] = out_deg.get(r["from_type"], 0) + r["n"]
+    edges = [
+        (r["from_type"], r["to_type"], (r["n"] * _MK_PSCALE) // out_deg[r["from_type"]])
+        for r in trans
+    ]
+    states = sorted({s for e in edges for s in e[:2]})
+    ns = len(states)
+    rank = {s: _MK_SCALE // ns for s in states}
+    for _ in range(_MK_ROUNDS):
+        inflow = {s: 0 for s in states}
+        for src, dst, p in edges:
+            inflow[dst] += (rank[src] * p) // _MK_PSCALE
+        rank = {
+            s: (15 * (_MK_SCALE // ns)) // 100 + (_MK_DAMP * inflow[s]) // 100
+            for s in states
+        }
+    want = {s: round(r / float(_MK_SCALE), 6) for s, r in rank.items()}
+    got = {
+        r["event_type"]: r["pi"]
+        for r in q_behavior_markov_stationary(spark, sf).collect()
+    }
+    assert got == want
+    assert all(v > 0 for v in got.values())
+    assert 0.9 <= sum(got.values()) <= 1.000001
+
+
 def test_align_score_replica_and_decile(spark):
     """q_multimodal_align_score vs a per-row Python replica of the
     stub features (byte-sample row sums x caption ascii%8 histogram)

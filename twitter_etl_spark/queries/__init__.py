@@ -129,6 +129,7 @@ _CERT_PREFIX = (
     "q_quality_rep_ngrams",
     "q_pack_epoch_shuffle",
     "q_text_kneser_ney",
+    "q_behavior_markov_stationary",
     # -- r14 rotation: the stalest re-certs oldest-first (the full
     #    r8 cohort of 39 + the stalest r9 names;
     #    tools/gen_cert_rotation.py). New r14 ops displace the
@@ -169,7 +170,6 @@ _CERT_PREFIX = (
     "q_ts_anomaly_window",  # r8
     "q_ts_cusum",  # r8
     "q_ts_decay_sum",  # r8
-    "q_ts_lttb",  # r8
 )
 
 _BY_MODULE: dict = {}

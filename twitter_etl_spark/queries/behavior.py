@@ -899,3 +899,133 @@ ORACLE["q_behavior_lifecycle"] = (
     "  AS n_churned "
     "FROM dense"
 )
+
+
+#: Markov stationary-mix fixed-point scales and round count.
+_MK_SCALE = 10**12
+_MK_PSCALE = 10**6
+_MK_ROUNDS = 6
+_MK_DAMP = 85  # percent
+
+
+def q_behavior_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state behavior mix — the stationary distribution of
+    the first-order event-type Markov chain (the long-run fraction
+    of time a user's journey spends in each state, the summary
+    number product teams quote from the q_behavior_transitions
+    matrix): 6 damped power-iteration rounds (d = 0.85, the
+    PageRank treatment of dangling/absorbing states) over the
+    transition-probability matrix.
+
+    Cross-engine exactness — the q_graph_pagerank integer
+    fixed-point contract, two scales deep: transition probabilities
+    are quantized ONCE to ``p_ij = (n_ij·10⁶) DIV n_i`` BIGINTs, and
+    each round computes ``rank' = base + 85%·Σ (rank·p_ij DIV 10⁶)``
+    in pure BIGINT (max product 10¹²·10⁶ < 2⁶³ — the overflow-proof
+    order; multiplying rank by raw n_ij first would overflow at
+    ~10⁷ events). Both engines run the identical recurrence, so the
+    final ×10⁻¹² round-6 is bit-stable.
+
+    Scale: ONE shuffle of the event log (the per-user lead window),
+    then everything lives on the |event types|² matrix — a
+    broadcast-size frame at any corpus size; the 1-row state-count
+    agg is the documented tiny-frame class."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    deg = trans.groupBy("src").agg(F.sum("n").alias("out"))
+    edges = trans.join(deg, "src").select(
+        "src",
+        "dst",
+        F.expr(f"(n * {_MK_PSCALE}) DIV out").alias("p"),
+    ).localCheckpoint()
+    states = (
+        edges.select(F.col("src").alias("state"))
+        .union(edges.select(F.col("dst").alias("state")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_states = states.agg(F.count(F.lit(1)).alias("ns"))
+    rank = states.crossJoin(F.broadcast(n_states)).select(
+        "state", F.expr(f"{_MK_SCALE} DIV ns").alias("r"), "ns"
+    )
+    for _ in range(_MK_ROUNDS):
+        flow = (
+            edges.join(rank, edges.src == rank.state)
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr(f"(r * p) DIV {_MK_PSCALE}")).alias("inflow")
+            )
+        )
+        rank = (
+            rank.select("state", "ns")
+            .join(flow, rank.state == flow.dst, "left")
+            .select(
+                "state",
+                (
+                    F.expr(f"(15 * ({_MK_SCALE} DIV ns)) DIV 100")
+                    + F.expr(
+                        f"({_MK_DAMP} * coalesce(inflow, 0)) DIV 100"
+                    )
+                ).alias("r"),
+                "ns",
+            )
+        )
+    return rank.select(
+        F.col("state").alias("event_type"),
+        F.round(F.col("r") / F.lit(float(_MK_SCALE)), 6).alias("pi"),
+    )
+
+
+QUERIES["q_behavior_markov_stationary"] = q_behavior_markov_stationary
+
+
+def _markov_sql() -> str:
+    rounds = []
+    prev = "r0"
+    for t in range(1, _MK_ROUNDS + 1):
+        rounds.append(
+            f"r{t} AS MATERIALIZED (SELECT s.state, "
+            f"(15 * ({_MK_SCALE} // ns.ns)) // 100 + "
+            f"({_MK_DAMP} * coalesce(f.inflow, 0)) // 100 AS r "
+            "FROM states s CROSS JOIN ns LEFT JOIN ("
+            "  SELECT e.dst, sum((p.r * e.p) // "
+            f"{_MK_PSCALE})::BIGINT AS inflow "
+            f"  FROM edges e JOIN {prev} p ON p.state = e.src "
+            "  GROUP BY e.dst) f ON f.dst = s.state)"
+        )
+        prev = f"r{t}"
+    return (
+        "WITH trans AS (SELECT event_type AS src, next_type AS dst, "
+        "count(*)::BIGINT AS n FROM ("
+        "  SELECT user_id, event_type, lead(event_type) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id) AS next_type "
+        "  FROM events) WHERE next_type IS NOT NULL GROUP BY 1, 2), "
+        "deg AS (SELECT src, sum(n)::BIGINT AS out FROM trans GROUP BY src), "
+        "edges AS MATERIALIZED (SELECT trans.src, trans.dst, "
+        f"(trans.n * {_MK_PSCALE}) // deg.out AS p "
+        "FROM trans JOIN deg USING (src)), "
+        "states AS (SELECT DISTINCT src AS state FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges), "
+        "ns AS (SELECT count(*)::BIGINT AS ns FROM states), "
+        f"r0 AS (SELECT state, {_MK_SCALE} // ns.ns AS r "
+        "FROM states CROSS JOIN ns), "
+        + ", ".join(rounds)
+        + f" SELECT state AS event_type, round(r / {float(_MK_SCALE)!r}, 6) "
+        f"AS pi FROM {prev}"
+    )
+
+
+ORACLE["q_behavior_markov_stationary"] = _markov_sql()
