@@ -86,12 +86,16 @@ def test_cert_prefix_all_oracle_backed():
     4 rows-only names whose last driver rows>0 check is r2/r3."""
     from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
 
-    # r14 prefix rotates the full r8-stale cohort + the 11 stalest
-    # r9 names, which include the rows-only names whose last driver
-    # rows>0 check is r8/r9 (each carries an independent pytest
+    # r15 prefix rotates the 3-name r8 tail + the stalest r9 names,
+    # which include the rows-only names whose last driver rows>0
+    # check is r8/r9 (each carries an independent pytest
     # replica/bound pin — that is the real gate for these).
     deliberate_rows_only = {
-        "q_agg_topk_sketch",
+        "q_ts_lttb",
+        "q_agg_approx_distinct",
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_sim_ann_lsh",
     }
     prefix = list(ALL_QUERIES)[:50]
     missing = [

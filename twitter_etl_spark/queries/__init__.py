@@ -107,69 +107,70 @@ _MODULES = (
 #   3. Rows-only names in the prefix must be allowlisted in
 #      test_cert_prefix_all_oracle_backed::deliberate_rows_only.
 #
-# r13 prefix was the 13 r13-new ops + the 37 stalest re-certs. r14
-# prefix (this tuple): the r14-new ops + the stalest re-certs oldest
-# green driver round first — the full 39-name r8 cohort plus the
-# stalest r9 names (tools/gen_cert_rotation.py, hash-aware gate).
-# Each new r14 op displaced the youngest r9 filler from the tail,
-# never the stale cohort.
-# Names NOT in the prefix keep their module-order position after it.
+# Provenance (regenerate the wording from tools/gen_cert_rotation.py
+# output, don't hand-narrate — ADVICE r14): the r14 prefix was the 14
+# r14-new ops + 36 r8 names; the three r8 boundary ties it displaced
+# (q_ts_lttb, q_udtf_splitn, q_win_nth) head this r15 queue, followed
+# by the r9 cohort. Names NOT in the prefix keep their module-order
+# position after it.
 _CERT_PREFIX = (
-    # -- r14-new ops (certs in their birth round, per policy #1)
-    "q_sim_knn_clusters",
-    "q_merge_cdc",
-    "q_multimodal_align_score",
-    "q_ts_periodogram",
-    "q_dq_fd_check",
-    "q_stream_late_batch",
-    "q_multimodal_conflict",
-    "q_attribution_position",
-    "q_behavior_lifecycle",
-    "q_dedup_token_sorted",
-    "q_quality_rep_ngrams",
-    "q_pack_epoch_shuffle",
-    "q_text_kneser_ney",
-    "q_behavior_markov_stationary",
-    # -- r14 rotation: the stalest re-certs oldest-first (the full
-    #    r8 cohort of 39 + the stalest r9 names;
-    #    tools/gen_cert_rotation.py). New r14 ops displace the
-    #    youngest r9 fillers from the tail as they land.
-    "q_agg_moments",  # r8
-    "q_agg_percentile_disc",  # r8
-    "q_agg_topk_sketch",  # r8
-    "q_behavior_dau_wau_mau",  # r8
-    "q_behavior_entropy",  # r8
-    "q_behavior_rfm",  # r8
-    "q_behavior_streaks",  # r8
-    "q_dedup_bloom",  # r8
-    "q_dedup_containment",  # r8
-    "q_dedup_exact_substring",  # r8
-    "q_dedup_incremental",  # r8
-    "q_dedup_minhash_est",  # r8
-    "q_dedup_url_canonical",  # r8
-    "q_dq_profile",  # r8
-    "q_fn_sqludf",  # r8
-    "q_fn_url",  # r8
-    "q_fn_variant",  # r8
-    "q_fn_xml",  # r8
-    "q_funnel_strict",  # r8
-    "q_geo_grid_join",  # r8
-    "q_geo_knn",  # r8
-    "q_graph_jaccard",  # r8
-    "q_join_bloom",  # r8
-    "q_join_lateral",  # r8
-    "q_multimodal_shard_manifest",  # r8
-    "q_sample_weighted",  # r8
-    "q_sim_lsh_rhp",  # r8
-    "q_sql_pipe",  # r8
-    "q_sql_recursive_bom",  # r8
-    "q_stat_ks_binned",  # r8
-    "q_text_bigram_lm",  # r8
-    "q_text_bpe_pairs",  # r8
-    "q_text_ccnet_bucket",  # r8
-    "q_ts_anomaly_window",  # r8
-    "q_ts_cusum",  # r8
-    "q_ts_decay_sum",  # r8
+    # -- r15 rotation: no new ops registered yet at rotation time;
+    #    the 50 slots are the stalest re-certs oldest green driver
+    #    round first (tools/gen_cert_rotation.py 0): the 3-name r8
+    #    tail (q_ts_lttb, q_udtf_splitn, q_win_nth — displaced as
+    #    boundary ties in r14) + the 47 stalest r9 names. As r15-new
+    #    ops land they take head slots and displace the youngest
+    #    fillers (tail of this list), never the stale cohort.
+    "q_ts_lttb",  # r8
+    "q_udtf_splitn",  # r8
+    "q_win_nth",  # r8
+    "q_agg_approx_distinct",  # r9
+    "q_agg_kmv_distinct",  # r9
+    "q_dedup_minhash",  # r9
+    "q_dedup_normalized",  # r9
+    "q_dedup_simhash",  # r9
+    "q_except",  # r9
+    "q_fn_array",  # r9
+    "q_fn_case",  # r9
+    "q_fn_cast",  # r9
+    "q_fn_date",  # r9
+    "q_fn_json",  # r9
+    "q_fn_map",  # r9
+    "q_fn_math",  # r9
+    "q_fn_string2",  # r9
+    "q_graph_adamic_adar",  # r9
+    "q_intersect",  # r9
+    "q_join_cross",  # r9
+    "q_join_right",  # r9
+    "q_limit_topk",  # r9
+    "q_multimodal_framesample",  # r9
+    "q_multimodal_meta",  # r9
+    "q_sample_hash",  # r9
+    "q_sim_ann_lsh",  # r9
+    "q_sim_cosine_topk",  # r9
+    "q_sim_embedding_neardup",  # r9
+    "q_sim_lsh_rhp_strict",  # r9
+    "q_sort_multi",  # r9
+    "q_stat_chi2_binned",  # r9
+    "q_str_lower",  # r9
+    "q_str_squish",  # r9
+    "q_str_stopwords",  # r9
+    "q_str_strip_mentions",  # r9
+    "q_str_strip_urls",  # r9
+    "q_stream_sliding_batch",  # r9
+    "q_stream_tumbling_batch",  # r9
+    "q_text_fingerprint",  # r9
+    "q_text_hashtags",  # r9
+    "q_text_langid",  # r9
+    "q_text_lengthhist",  # r9
+    "q_text_lexicon_join",  # r9
+    "q_text_ngrams",  # r9
+    "q_text_quality",  # r9
+    "q_text_repetition",  # r9
+    "q_text_scrub",  # r9
+    "q_text_tokencount",  # r9
+    "q_text_tokenize",  # r9
+    "q_text_wordcount",  # r9
 )
 
 _BY_MODULE: dict = {}

@@ -639,7 +639,7 @@ def q_multimodal_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal CONSISTENCY audit — the second consumer of the
     pairing surface: documents whose payloads are perceptual
     near-duplicates (``q_multimodal_phash_dedup``'s banded dHash
-    pairs, Hamming ≤ 12) but whose captions DIVERGE (word-3-gram
+    pairs, Hamming ≤ 12) but whose captions DIVERGE (word-2-gram
     Jaccard < ``_CONFLICT_JACCARD`` between the two ``lang:
     text[:48]`` captions). Same image + different caption is the
     classic multimodal label-noise signature (mislabeled near-dup,

@@ -492,6 +492,31 @@ def probe_minhash_rollup(
 _SEMDEDUP_STATE_COLS = ("vec_id", "label", "v", "norm")
 
 
+def _keep_min_by_digest(state: DataFrame, key: str = "vec_id") -> DataFrame:
+    """Deterministic survivor per key (r14 advice): ``dropDuplicates``
+    keeps an ARBITRARY row, so a key re-absorbed with a CHANGED
+    embedding would make the published state depend on task
+    scheduling — the exact nondeterministic-survivor trap the sample
+    rollup fixed in r14. Keep the row whose md5 over the payload
+    columns is smallest: a pure function of the row's values, so the
+    published state is batch-order-independent even if a vec_id's
+    embedding ever changes between absorptions (when values are
+    immutable per key — the normal contract — this is row-identical
+    to dropDuplicates). Cost shape is unchanged: one hash shuffle on
+    the key, same as dropDuplicates."""
+    from pyspark.sql import Window
+
+    payload = [c for c in state.columns if c != key]
+    wd = Window.partitionBy(key).orderBy(
+        F.md5(F.to_json(F.struct(*payload))).asc()
+    )
+    return (
+        state.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _semdedup_vec_rows(new_embeddings: DataFrame) -> DataFrame:
     from .queries.similarity import _vec_state
 
@@ -508,9 +533,9 @@ def update_semdedup_rollup(
     fresh = _semdedup_vec_rows(new_embeddings)
     if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
         prev = read_version(spark, rollup_dir).select(*_SEMDEDUP_STATE_COLS)
-        state = prev.unionByName(
-            fresh.select(*_SEMDEDUP_STATE_COLS)
-        ).dropDuplicates(["vec_id"])
+        state = _keep_min_by_digest(
+            prev.unionByName(fresh.select(*_SEMDEDUP_STATE_COLS))
+        )
     else:
         state = fresh
     return publish_version(state.select(*_SEMDEDUP_STATE_COLS), rollup_dir)
@@ -609,13 +634,16 @@ def update_semdedup_adaptive_rollup(
 ) -> int:
     """Absorb one (vec_id, embedding, label) batch into the adaptive
     semantic-dedup state; returns the published version. Merge =
-    union + dropDuplicates(vec_id) — every state column is a pure
+    union + deterministic min-digest survivor per vec_id
+    (``_keep_min_by_digest``) — every state column is a pure
     function of the embedding row, so re-absorption is idempotent
-    (no HWM needed, the deterministic-key class)."""
+    (no HWM needed, the deterministic-key class), and the survivor
+    stays batch-order-independent even if a vec_id were ever
+    re-absorbed with a changed embedding."""
     fresh = _sema_vec_rows(new_embeddings)
     if os.path.exists(os.path.join(rollup_dir, "_LATEST")):
         prev = read_version(spark, rollup_dir).select(*_SEMA_STATE_COLS)
-        state = prev.unionByName(fresh).dropDuplicates(["vec_id"])
+        state = _keep_min_by_digest(prev.unionByName(fresh))
     else:
         state = fresh
     return publish_version(state.select(*_SEMA_STATE_COLS), rollup_dir)
