@@ -151,6 +151,9 @@ HEADLINE = [
     "q_pack_epoch_shuffle",
     "q_text_kneser_ney",
     "q_behavior_markov_stationary",
+    # r15 additions
+    "q_llm_curation_semantic",
+    "q_quality_nb_score",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

@@ -76,6 +76,9 @@ def test_no_cartesian_anywhere_unexpected(spark):
 _SINGLE_PARTITION_OK = {
     "q_agg_global",
     "q_agg_histogram",
+    # 1-row funnel agg (seven BIGINT counters) over the post-dedup
+    # digest frame, unpivoted by stack — the q_agg_global class (r15)
+    "q_llm_curation_semantic",
     # 1-row Welch-t agg: map-side integer partials merge to one row
     # (6 BIGINTs of state), the q_agg_global class
     "q_stat_welch_t",
@@ -166,6 +169,7 @@ _SINGLE_PARTITION_OK = {
     "q_text_zipf",
     "q_retrieval_rrf",  # rank windows ride the two LIMIT-20 arm frames
     "q_text_dsir",  # 1-row totals agg broadcast onto the 1024-bucket table
+    "q_quality_nb_score",  # same shape: 1-row class-totals agg on 1024 buckets
     "q_tpch_q2",
     "q_tpch_q6",
     "q_tpch_q9",

@@ -7,6 +7,61 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def test_llm_curation_semantic_funnel_consistent(spark):
+    """q_llm_curation_semantic: the funnel must be monotone
+    (input >= exact >= semantic >= quality = train+val+test), the
+    semantic stage must actually drop documents (non-vacuous on the
+    fixture — dup embeddings exist), and curate(semantic_keep=…)
+    must produce exactly the documents the query's quality stage
+    counts (the module composition ≡ the certified query)."""
+    from twitter_etl_spark.curation import curate
+    from twitter_etl_spark.queries.corpus import q_llm_curation_semantic
+    from twitter_etl_spark.queries.similarity import q_dedup_semantic_adaptive
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    funnel = {
+        r["stage"]: r["n_docs"]
+        for r in q_llm_curation_semantic(spark, sf).collect()
+    }
+    assert (
+        funnel["input"]
+        >= funnel["exact_dedup"]
+        >= funnel["semantic_dedup"]
+        >= funnel["quality"]
+    )
+    assert funnel["semantic_dedup"] < funnel["exact_dedup"]  # non-vacuous
+    assert funnel["quality"] == (
+        funnel["split_train"] + funnel["split_val"] + funnel["split_test"]
+    )
+    keep = q_dedup_semantic_adaptive(spark, sf).select("vec_id", "kept")
+    curated = curate(table(spark, sf, "documents"), semantic_keep=keep)
+    got = {
+        r["split"]: r["n"]
+        for r in curated.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {
+        "train": funnel["split_train"],
+        "val": funnel["split_val"],
+        "test": funnel["split_test"],
+    }
+
+
+def test_nb_score_separates_rule_classes(spark):
+    """q_quality_nb_score is trained ON the Gopher rule labels, so at
+    minimum it must reproduce their signal: both classes present on
+    the fixture, and the mean score of rule-passing docs strictly
+    above the mean score of rule-failing docs (the continuum ranks
+    the way the binary rules point)."""
+    from twitter_etl_spark.queries.webcorpus import q_quality_nb_score
+
+    rows = q_quality_nb_score(spark, "/root/testdata/sf0.001").collect()
+    pos = [r["nb_score"] for r in rows if r["label"] == 1]
+    neg = [r["nb_score"] for r in rows if r["label"] == 0]
+    assert pos and neg  # non-vacuous: both classes exist
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
 def test_hll_distinct_within_tolerance(spark):
     """r14 verdict #4: q_agg_hll_distinct's docstring claims a pytest
     accuracy pin — make it true. The DataSketches HLL estimate must

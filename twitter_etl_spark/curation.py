@@ -33,13 +33,24 @@ from .cleaning import clean_chain
 MIN_TOKENS = 3
 
 
-def curate(docs: DataFrame) -> DataFrame:
+def curate(docs: DataFrame, semantic_keep: DataFrame | None = None) -> DataFrame:
     """documents -> curated rows (doc_id, text, norm_digest, split).
 
     Keep-first exact dedup on the normalized digest via
     ``min_by(struct)`` (hash agg, map-side combine — the flagship's
     skew-robust shape), then the quality gate and the digest-keyed
-    split assignment."""
+    split assignment.
+
+    ``semantic_keep`` (r14 verdict #2) optionally inserts the
+    near-dup/semantic stage every real pretraining pipeline runs
+    between exact dedup and the quality gate: a (vec_id, kept) frame
+    — ``q_dedup_semantic_adaptive``'s keep flags, or
+    ``rollup.semdedup_adaptive_keeplist`` read from persisted state —
+    left-joined on the exact-dedup KEEPER's doc_id (vec_id ↔ doc_id);
+    a keeper judged a semantic duplicate (kept = 0) drops before the
+    quality gate. Docs with no embedding row pass through (kept
+    defaults to 1). One extra equi-join on a compact key; nothing
+    else about the plan changes."""
     from .queries.sampling import hash_bucket
 
     norm = clean_chain(F.col("text"))
@@ -56,6 +67,15 @@ def curate(docs: DataFrame) -> DataFrame:
             F.col("w.__norm").alias("__norm"),
         )
     )
+    if semantic_keep is not None:
+        sk = semantic_keep.select(
+            F.col("vec_id").alias("__sk_id"), F.col("kept").alias("__sk_kept")
+        )
+        keeper = (
+            keeper.join(sk, keeper.doc_id == sk.__sk_id, "left")
+            .filter(F.coalesce("__sk_kept", F.lit(1)) == 1)
+            .drop("__sk_id", "__sk_kept")
+        )
     quality_ok = F.size(F.split(F.trim("__norm"), r"\s+")) >= MIN_TOKENS
     bucket = hash_bucket(F.col("norm_digest"))
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -65,13 +85,19 @@ def curate(docs: DataFrame) -> DataFrame:
     )
 
 
-def curate_and_shard(docs: DataFrame, out_dir: str, n_shards: int = 8) -> dict:
+def curate_and_shard(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    semantic_keep: DataFrame | None = None,
+) -> dict:
     """Run the full pipeline and export per-split shard directories.
     Returns per-split row counts (one write action per split, ONE
-    count job for all splits — not one count per split)."""
+    count job for all splits — not one count per split).
+    ``semantic_keep`` threads through to :func:`curate`."""
     from .sinks import export_training_shards
 
-    curated = curate(docs).cache()
+    curated = curate(docs, semantic_keep=semantic_keep).cache()
     for split in ("train", "val", "test"):
         part = curated.filter(F.col("split") == split)
         export_training_shards(part, f"{out_dir}/{split}", "norm_digest", n_shards)

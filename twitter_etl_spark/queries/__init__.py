@@ -114,13 +114,15 @@ _MODULES = (
 # by the r9 cohort. Names NOT in the prefix keep their module-order
 # position after it.
 _CERT_PREFIX = (
-    # -- r15 rotation: no new ops registered yet at rotation time;
-    #    the 50 slots are the stalest re-certs oldest green driver
-    #    round first (tools/gen_cert_rotation.py 0): the 3-name r8
-    #    tail (q_ts_lttb, q_udtf_splitn, q_win_nth — displaced as
-    #    boundary ties in r14) + the 47 stalest r9 names. As r15-new
-    #    ops land they take head slots and displace the youngest
-    #    fillers (tail of this list), never the stale cohort.
+    # -- r15-new ops (certs in their birth round, per policy #1)
+    "q_llm_curation_semantic",
+    "q_quality_nb_score",
+    # -- r15 rotation: the remaining slots are the stalest re-certs
+    #    oldest green driver round first (tools/gen_cert_rotation.py):
+    #    the 3-name r8 tail (q_ts_lttb, q_udtf_splitn, q_win_nth —
+    #    displaced as boundary ties in r14) + the stalest r9 names.
+    #    Each r15-new op displaces the youngest filler (tail of this
+    #    list), never the stale cohort.
     "q_ts_lttb",  # r8
     "q_udtf_splitn",  # r8
     "q_win_nth",  # r8
@@ -169,8 +171,6 @@ _CERT_PREFIX = (
     "q_text_repetition",  # r9
     "q_text_scrub",  # r9
     "q_text_tokencount",  # r9
-    "q_text_tokenize",  # r9
-    "q_text_wordcount",  # r9
 )
 
 _BY_MODULE: dict = {}

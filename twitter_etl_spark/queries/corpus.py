@@ -1076,3 +1076,113 @@ ORACLE = {
         "'') AS scrubbed_text, len(s)::INT AS n_stopwords FROM t, stop"
     ),
 }
+
+
+def q_llm_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation WITH the semantic-dedup stage composed in
+    (r14 verdict #2 — the first cross-family composition, documents ×
+    embeddings): normalize → keep-first exact dedup →
+    **semantic dedup** (``q_dedup_semantic_adaptive``'s keep flags
+    joined on the keeper's doc_id ↔ vec_id; judged duplicates drop) →
+    quality gate → leakage-safe split, with per-stage drop accounting
+    as the output: one (stage, n_docs) row per funnel stage, so the
+    audit a real pretraining job logs IS the certified query.
+
+    Plan shape (the 100 TB question): the exact-dedup hash agg
+    carries the group size, so the input count needs NO second scan
+    of documents; the semantic stage is the certified adaptive
+    pipeline (occupancy-bounded pair scan) plus ONE equi-join on an
+    8-byte key; the funnel is a single global agg over flag columns
+    unpivoted by ``stack`` — seven 1-row counters, not seven jobs.
+    """
+    from ..cleaning import clean_chain
+    from ..curation import MIN_TOKENS
+    from .sampling import hash_bucket
+    from .similarity import q_dedup_semantic_adaptive
+
+    d = table(spark, sf_dir, "documents")
+    norm = clean_chain(F.col("text"))
+    g = (
+        d.select("doc_id", F.md5(norm).alias("dg"), norm.alias("nm"))
+        .groupBy("dg")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("nm").alias("nm"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    sem = q_dedup_semantic_adaptive(spark, sf_dir).select(
+        F.col("vec_id").alias("__sk_id"), F.col("kept").alias("__sk_kept")
+    )
+    bucket = hash_bucket(F.col("dg"))
+    s = (
+        g.join(sem, g.doc_id == F.col("__sk_id"), "left")
+        .withColumn("sem_kept", F.coalesce("__sk_kept", F.lit(1)).cast("bigint"))
+        .withColumn(
+            "q_ok",
+            F.col("sem_kept")
+            * (F.size(F.split(F.trim("nm"), r"\s+")) >= MIN_TOKENS).cast("bigint"),
+        )
+        .withColumn(
+            "split",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+        )
+    )
+    one = s.agg(
+        F.sum("cnt").alias("n_input"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("sem_kept").alias("n_sem"),
+        F.sum("q_ok").alias("n_q"),
+        *[
+            F.sum(((F.col("split") == sp) & (F.col("q_ok") == 1)).cast("bigint")).alias(
+                f"n_{sp}"
+            )
+            for sp in ("train", "val", "test")
+        ],
+    )
+    return one.selectExpr(
+        "stack(7, "
+        "'input', n_input, 'exact_dedup', n_exact, 'semantic_dedup', n_sem, "
+        "'quality', n_q, 'split_train', n_train, 'split_val', n_val, "
+        "'split_test', n_test) AS (stage, n_docs)"
+    )
+
+
+QUERIES["q_llm_curation_semantic"] = q_llm_curation_semantic
+
+
+def _llm_curation_semantic_sql() -> str:
+    from ..cleaning import sql_clean_chain
+    from .sampling import _sql_bucket
+    from .similarity import ORACLE as _SIM_ORACLE
+
+    clean = sql_clean_chain("text")
+    bucket = _sql_bucket("dg")
+    return (
+        "WITH sem AS (" + _SIM_ORACLE["q_dedup_semantic_adaptive"] + "), "
+        f"d AS (SELECT doc_id, md5({clean}) AS dg, {clean} AS nm FROM documents), "
+        "g AS (SELECT dg, min(doc_id) AS doc_id, min(nm) AS nm, "
+        "      count(*)::BIGINT AS cnt FROM d GROUP BY dg), "
+        "s AS (SELECT g.*, coalesce(sem.kept, 1)::BIGINT AS sem_kept, "
+        "  coalesce(sem.kept, 1)::BIGINT * (CASE WHEN "
+        "  len(string_split_regex(trim(g.nm), '\\s+')) >= 3 THEN 1 ELSE 0 END) AS q_ok, "
+        f"  CASE WHEN {bucket} < 80 THEN 'train' WHEN {bucket} < 90 THEN 'val' "
+        "  ELSE 'test' END AS split "
+        "  FROM g LEFT JOIN sem ON sem.vec_id = g.doc_id), "
+        "a AS (SELECT sum(cnt)::BIGINT AS n_input, count(*)::BIGINT AS n_exact, "
+        "  sum(sem_kept)::BIGINT AS n_sem, sum(q_ok)::BIGINT AS n_q, "
+        "  sum(CASE WHEN split = 'train' AND q_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS n_train, "
+        "  sum(CASE WHEN split = 'val' AND q_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS n_val, "
+        "  sum(CASE WHEN split = 'test' AND q_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS n_test "
+        "  FROM s) "
+        "SELECT 'input' AS stage, n_input AS n_docs FROM a "
+        "UNION ALL SELECT 'exact_dedup', n_exact FROM a "
+        "UNION ALL SELECT 'semantic_dedup', n_sem FROM a "
+        "UNION ALL SELECT 'quality', n_q FROM a "
+        "UNION ALL SELECT 'split_train', n_train FROM a "
+        "UNION ALL SELECT 'split_val', n_val FROM a "
+        "UNION ALL SELECT 'split_test', n_test FROM a"
+    )
+
+
+ORACLE["q_llm_curation_semantic"] = _llm_curation_semantic_sql()

@@ -739,3 +739,138 @@ ORACLE["q_text_kneser_ney"] = (
     "round(sum(fp)::BIGINT / count(*) / 1e6, 4) AS kn_surprisal "
     "FROM b JOIN model USING (prev, cur) GROUP BY doc_id"
 )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier (r14 verdict #3). The GPT-3/LLaMA
+# pipelines train a cheap linear classifier (fastText / logistic
+# over hashed n-grams) on a bootstrap labeling and score the whole
+# crawl with it (Brown et al. 2020 §A.2; Touvron et al. 2023 §2 —
+# public). The public bootstrap: LABEL by the already-certified
+# rule family (the Gopher pass flag), TRAIN a hashed-bigram
+# Naive-Bayes log-odds model on those labels in one aggregation
+# pass, then SCORE every document on the continuum the binary rules
+# collapse — the standard "train on rules, rank by model" lever for
+# steering a 100 TB crawl.
+# ---------------------------------------------------------------------------
+
+
+def q_quality_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Naive-Bayes quality log-odds.
+
+    Labels: the four Gopher rules of ``q_quality_gopher``
+    (llmprep.py) conjoined per document — integer flags, no floats.
+    Features: word bigrams with multiplicity, hashed into
+    ``DSIR_BUCKETS`` buckets (the q_text_dsir feature space). Model:
+    add-0.5 smoothed per-bucket class counts — the positive and
+    negative models come out of ONE hash agg (the label rides the
+    feature frame, so pos_c = sum(y) and neg_c = count − pos_c need
+    no second pass); per-bucket weight = log p(b|pass) − log
+    p(b|fail), fixed-pointed (round 6, ×1e6, BIGINT) before the
+    per-doc sum so the reduction is exact integer math. Output:
+    (doc_id, n_ngrams, label, nb_score) — nb_score is the mean
+    per-ngram log-odds, integer-exact to the one final division;
+    docs with < 2 tokens have no features and drop out.
+
+    Plan: one projection builds (doc_id, y, b) — cached via the
+    one-slot ``cacheutil`` because the model agg and the scoring agg
+    both consume it (the r14 double-consumer lesson); one 1024-row
+    hash agg + a 1-row totals broadcast train the model; the weight
+    table broadcasts onto the features; one doc_id hash agg scores.
+    Two shuffles total regardless of corpus size."""
+    from ..cacheutil import cache_latest
+    from .sampling import hash_bucket
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    sum_len = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9 ]", "")
+    )
+    n_stop = F.size(
+        F.filter(
+            toks,
+            lambda x: x.isin("the", "a", "of", "and", "is", "in", "to"),
+        )
+    )
+    y = (
+        (n_words >= 10)
+        & (n_words <= 1000)
+        & (sum_len >= 3 * n_words)
+        & (sum_len <= 10 * n_words)
+        & (10 * n_sym <= n_chars)
+        & (n_stop >= 2)
+    ).cast("bigint")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", y.alias("y"), toks.alias("t")
+    )
+    count = F.greatest(F.size("t") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("t", 1, count),
+        F.slice("t", 2, count),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ngb = cache_latest(
+        "nb_features",
+        d.select("doc_id", "y", F.explode(bigrams).alias("ng")).select(
+            "doc_id", "y", hash_bucket(F.col("ng"), DSIR_BUCKETS).alias("b")
+        ),
+    )
+    counts = ngb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("all_c"), F.sum("y").alias("pos_c")
+    )
+    totals = counts.agg(
+        F.sum("pos_c").alias("pos_n"),
+        F.sum(F.col("all_c") - F.col("pos_c")).alias("neg_n"),
+    )
+    half_b = DSIR_BUCKETS * 0.5
+    w = F.log(
+        (F.col("pos_c") + 0.5) / (F.col("pos_n") + F.lit(half_b))
+    ) - F.log(
+        (F.col("all_c") - F.col("pos_c") + 0.5) / (F.col("neg_n") + F.lit(half_b))
+    )
+    wfp = F.floor(F.round(w, 6) * 1e6 + F.lit(0.5)).cast("bigint")
+    wtab = counts.crossJoin(F.broadcast(totals)).select("b", wfp.alias("wfp"))
+    scored = ngb.join(F.broadcast(wtab), "b")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.max("y").alias("label"),
+        F.round(F.sum("wfp") / F.count(F.lit(1)) / 1e6, 4).alias("nb_score"),
+    )
+
+
+QUERIES["q_quality_nb_score"] = q_quality_nb_score
+
+_NB_GOPHER_Y = (
+    "((len(toks) BETWEEN 10 AND 1000) AND "
+    "(length(regexp_replace(trim(text), '\\s+', '', 'g')) "
+    "BETWEEN 3 * len(toks) AND 10 * len(toks)) AND "
+    "(10 * (length(text) - length(regexp_replace(text, "
+    "'[^A-Za-z0-9 ]', '', 'g'))) <= length(text)) AND "
+    "(len(list_filter(toks, x -> x IN "
+    "('the', 'a', 'of', 'and', 'is', 'in', 'to'))) >= 2))::BIGINT"
+)
+
+ORACLE["q_quality_nb_score"] = (
+    "WITH t0 AS (SELECT doc_id, text, "
+    "string_split_regex(trim(text), '\\s+') AS toks FROM documents), "
+    "t AS (SELECT doc_id, toks, " + _NB_GOPHER_Y + " AS y FROM t0), "
+    "ng AS (SELECT doc_id, y, unnest(list_transform("
+    "  range(1, greatest(len(toks) - 1, 0) + 1), "
+    "  i -> toks[i] || ' ' || toks[i+1])) AS ng FROM t), "
+    "ngb AS (SELECT doc_id, y, "
+    f"(('0x' || substr(md5(ng), 1, 8))::UBIGINT % {DSIR_BUCKETS}) AS b "
+    "FROM ng), "
+    "counts AS (SELECT b, count(*)::BIGINT AS all_c, "
+    "sum(y)::BIGINT AS pos_c FROM ngb GROUP BY b), "
+    "tot AS (SELECT sum(pos_c) AS pos_n, "
+    "sum(all_c - pos_c) AS neg_n FROM counts), "
+    "w AS (SELECT b, floor(round("
+    f"  ln((pos_c + 0.5) / (pos_n + {DSIR_BUCKETS * 0.5})) - "
+    f"  ln((all_c - pos_c + 0.5) / (neg_n + {DSIR_BUCKETS * 0.5})), 6) * 1e6 "
+    "  + 0.5)::BIGINT AS wfp FROM counts CROSS JOIN tot) "
+    "SELECT doc_id, count(*)::BIGINT AS n_ngrams, max(y)::BIGINT AS label, "
+    "round(sum(wfp) / count(*) / 1e6, 4) AS nb_score "
+    "FROM ngb JOIN w USING (b) GROUP BY doc_id"
+)
