@@ -163,6 +163,9 @@ SIDECAR = [
     "q_sim_ann_pq_trained",
     "q_text_bpe_merge",
     "q_text_bpe_encode",
+    # r15 additions
+    "q_text_unigram_tok",
+    "q_text_unigram_encode",
 ]
 
 #: per-query repetitions; the reported time is the minimum and the

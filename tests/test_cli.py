@@ -96,6 +96,11 @@ def test_cert_prefix_all_oracle_backed():
         "q_dedup_minhash",
         "q_dedup_simhash",
         "q_sim_ann_lsh",
+        # r15-new tokenizer twins: data-dependent EM loop, replica-
+        # pinned exactly (test_round15_ops.py), the q_text_bpe_merge
+        # precedent
+        "q_text_unigram_tok",
+        "q_text_unigram_encode",
     }
     prefix = list(ALL_QUERIES)[:50]
     missing = [

@@ -124,3 +124,93 @@ def test_semdedup_rollup_survivor_is_batch_order_independent(spark, tmp_path):
         # whichever batch happened to be absorbed last
         v1 = [v for vid, _, v in got_ab if vid == 1]
         assert len(v1) == 1
+
+
+def _unigram_replica(spark, sf):
+    """Step-for-step Python replica of the unigram-LM prune-EM
+    trainer over the collected (word, count) vocabulary — the
+    q_text_bpe_merge pin pattern. Integer scores end-to-end, so the
+    comparison is exact equality."""
+    import re
+
+    from twitter_etl_spark.queries.text import (
+        UNIGRAM_EM_ROUNDS,
+        UNIGRAM_KEEP,
+        UNIGRAM_SEED_K,
+        UNIGRAM_SEED_MAX_LEN,
+        _unigram_lp,
+        _unigram_viterbi,
+    )
+    from twitter_etl_spark.tables import table
+
+    docs = table(spark, sf, "documents").select("doc_id", "text").collect()
+    wc: dict[str, int] = {}
+    doc_words: dict[int, list[str]] = {}
+    for r in docs:
+        words = [w for w in re.split(r"\s+", r["text"].strip()) if w != ""]
+        doc_words[r["doc_id"]] = words
+        for w in words:
+            wc[w] = wc.get(w, 0) + 1
+    seed: dict[str, int] = {}
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for L in range(1, min(UNIGRAM_SEED_MAX_LEN, len(w) - i) + 1):
+                p = w[i : i + L]
+                seed[p] = seed.get(p, 0) + n
+    top = dict(
+        sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))[:UNIGRAM_SEED_K]
+    )
+    chars = {p: n for p, n in seed.items() if len(p) == 1}
+    counts = {**top, **chars}
+    char_keys = sorted(chars)
+    for _ in range(UNIGRAM_EM_ROUNDS):
+        lp = _unigram_lp(counts)
+        new: dict[str, int] = {}
+        for w, n in wc.items():
+            for p in _unigram_viterbi(w, lp):
+                new[p] = new.get(p, 0) + n
+        counts = dict(
+            sorted(new.items(), key=lambda kv: (-kv[1], kv[0]))[:UNIGRAM_KEEP]
+        )
+        for c in char_keys:
+            counts.setdefault(c, 1)
+    final_lp = _unigram_lp(counts)
+    vocab_rows = [
+        (p, n, final_lp[p])
+        for p, n in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+    encode = {
+        doc_id: (
+            len(words),
+            sum(len(_unigram_viterbi(w, final_lp)) for w in words),
+        )
+        for doc_id, words in doc_words.items()
+        if words
+    }
+    return vocab_rows, encode
+
+
+def test_unigram_tok_matches_python_replica(spark):
+    """q_text_unigram_tok / q_text_unigram_encode (rows-only) must
+    match the step-for-step Python replica EXACTLY: same final vocab
+    (pieces, counts, fixed-point logprobs) and same per-doc piece
+    counts — and the learned vocab must be non-trivial (multi-char
+    pieces survive the prune)."""
+    from twitter_etl_spark.queries.text import (
+        q_text_unigram_encode,
+        q_text_unigram_tok,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want_vocab, want_encode = _unigram_replica(spark, sf)
+    got_vocab = [
+        (r["piece"], r["n"], r["lp_fp"])
+        for r in q_text_unigram_tok(spark, sf).collect()
+    ]
+    assert got_vocab == want_vocab
+    assert any(len(p) > 1 for p, _, _ in got_vocab)  # non-vacuous
+    got_encode = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in q_text_unigram_encode(spark, sf).collect()
+    }
+    assert got_encode == want_encode

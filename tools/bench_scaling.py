@@ -67,7 +67,35 @@ def main() -> int:
         "an existing --out file (late-added ops get exponents "
         "without re-running the whole suite)",
     )
+    ap.add_argument(
+        "--cohort",
+        type=int,
+        default=0,
+        help="rotating exponent cohort (r14 verdict #5): measure the "
+        "N stalest-measured registry names — never-measured first "
+        "(alphabetical), then oldest measured_round — and merge. "
+        "Mirrors the cert-prefix rotation so every registry name "
+        "gets decade exponents within a few rounds.",
+    )
     args = ap.parse_args()
+    if args.cohort:
+        existing: dict = {}
+        if os.path.exists(args.out):
+            with open(args.out) as fh:
+                existing = {r["query"]: r for r in json.load(fh)["rows"]}
+        never = sorted(n for n in ALL_QUERIES if n not in existing)
+        stale = sorted(
+            (n for n in ALL_QUERIES if n in existing),
+            key=lambda n: (existing[n].get("measured_round", 0), n),
+        )
+        args.names = (never + stale)[: args.cohort]
+        print(
+            f"# cohort: {len(args.names)} names "
+            f"({min(len(never), args.cohort)} never-measured; "
+            f"{max(len(never) - args.cohort, 0)} never-measured remain "
+            "for the next round's cohort)",
+            file=sys.stderr,
+        )
     scales = SCALES[:2] + [("sf1", args.sf1, 1.0)]
     for _, d, _ in scales:
         if not os.path.isdir(d):
@@ -85,6 +113,15 @@ def main() -> int:
         per_scale[label], spreads[label] = t, s
         print(f"# {label}: total {round(sum(t.values()), 1)}s", file=sys.stderr)
 
+    import glob
+
+    cur_round = 1 + max(
+        (
+            int(f.rsplit("_r", 1)[1].split(".")[0])
+            for f in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+        ),
+        default=0,
+    )
     rows = []
     for n in qnames:
         t001, t01, t1 = (per_scale[s][n] for s in ("sf0.01", "sf0.1", "sf1"))
@@ -99,6 +136,7 @@ def main() -> int:
                 "slope_001_01": round(s_lo, 3),
                 "slope_01_1": round(s_hi, 3),
                 "flagged": bool(s_hi > FLAG_SLOPE),
+                "measured_round": cur_round,
             }
         )
 

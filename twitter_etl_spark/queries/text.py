@@ -12,6 +12,7 @@ a deterministic tag in-query (same expression on both engines).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -675,3 +676,211 @@ ORACLE["q_text_pmi"] = (
     "JOIN dfa da ON pairs.t1 = da.tok JOIN dfa db ON pairs.t2 = db.tok "
     f"ORDER BY pmi DESC, t1 ASC, t2 ASC LIMIT {_PMI_TOPK}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, arXiv:1804.10959 — the
+# SentencePiece unigram model; reference scope: main.R has no
+# tokenizer, [EXT] LLM-prep surface). The second tokenizer family
+# beside BPE (r14 verdict #7): BPE grows a vocabulary bottom-up by
+# merges; unigram-LM starts from an over-complete substring seed and
+# PRUNES it by EM under a unigram language model. Same production
+# dataflow contract as the BPE trainer: all heavy work runs over the
+# cached (distinct word, count) VOCABULARY — corpus-sublinear by
+# Heaps' law — and each EM round syncs one bounded table through the
+# driver (the documented q_sim_kmeans loop-barrier class).
+# ---------------------------------------------------------------------------
+
+UNIGRAM_SEED_MAX_LEN = 4  # seed pieces: all substrings up to this length
+UNIGRAM_SEED_K = 120  # seed size (plus all single chars, always kept)
+UNIGRAM_KEEP = 80  # post-round prune: survivors by (count desc, piece)
+UNIGRAM_EM_ROUNDS = 2
+_UNIGRAM_UNK_LP = -20_000_000  # fixed-point logprob for unseen chars
+
+
+def _unigram_lp(counts: dict[str, int]) -> dict[str, int]:
+    """piece -> fixed-point (round 6, ×1e6, int) unigram logprob.
+    Pure driver-side math over a bounded dict; the test replica
+    calls the SAME function, so float behavior cancels exactly."""
+    import math
+
+    total = sum(counts.values())
+    return {
+        p: int(math.floor(round(math.log(c / total), 6) * 1e6 + 0.5))
+        for p, c in counts.items()
+    }
+
+
+def _unigram_viterbi(word: str, lp: dict[str, int]) -> list[str]:
+    """Best segmentation of ``word`` under fixed-point piece
+    logprobs: classic DP, scores compared as exact ints. Tie-break
+    is total: strictly-greater wins, so the FIRST maximal split
+    found (smallest j, i.e. the longest last piece) is kept. Unseen
+    single chars fall back to ``_UNIGRAM_UNK_LP`` so every word
+    segments."""
+    n = len(word)
+    neg = None
+    best: list[int | None] = [neg] * (n + 1)
+    best[0] = 0
+    back = [0] * (n + 1)
+    maxlen = max((len(p) for p in lp), default=1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - maxlen), i):
+            if best[j] is None:
+                continue
+            piece = word[j:i]
+            s = lp.get(piece)
+            if s is None:
+                if len(piece) != 1:
+                    continue
+                s = _UNIGRAM_UNK_LP
+            cand = best[j] + s
+            if best[i] is None or cand > best[i]:
+                best[i], back[i] = cand, j
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def _unigram_seed(spark: SparkSession, sf_dir: str):
+    """(cached distinct-word frame, seed piece->count dict). The
+    seed statistic is corpus-weighted substring frequency — one
+    explode over the VOCABULARY (never the corpus) + one hash agg on
+    the piece key; the top-k cut compiles to TakeOrderedAndProject
+    under the (n desc, piece) total order. Single chars are always
+    kept (segmentability guarantee)."""
+    from ..cacheutil import cache_latest
+
+    d = table(spark, sf_dir, "documents")
+    wc = cache_latest(
+        "unigram_vocab",
+        d.select(F.explode(_tokens()).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_w")),
+    )
+    subs = F.expr(
+        "flatten(transform(sequence(1, char_length(word)), i -> "
+        f"transform(sequence(1, least({UNIGRAM_SEED_MAX_LEN}, "
+        "char_length(word) - i + 1)), l -> substring(word, i, l))))"
+    )
+    pc = (
+        wc.select("n_w", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n_w").alias("n"))
+    )
+    chars = {
+        r["piece"]: int(r["n"])
+        for r in pc.where(F.length("piece") == 1).collect()
+    }
+    top = {
+        r["piece"]: int(r["n"])
+        for r in pc.orderBy(F.desc("n"), "piece")
+        .limit(UNIGRAM_SEED_K)
+        .collect()
+    }
+    return wc, {**top, **chars}
+
+
+def _unigram_estep(wc, lp: dict[str, int]) -> dict[str, int]:
+    """One EM expectation pass: segment every DISTINCT word under
+    the current model (Arrow-vectorized pandas UDF — the DP is
+    per-word Python, but it runs once per vocab entry, never per
+    corpus token) and count piece occurrences weighted by word
+    frequency. Returns the bounded piece->count dict (keys ⊆ current
+    vocab ∪ fallback chars)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..session import ship_package_to_executors
+
+    ship_package_to_executors(wc.sparkSession)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def seg(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _unigram_viterbi(w, lp))
+
+    out = (
+        wc.select("n_w", F.explode(seg("word")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n_w").alias("n"))
+        .collect()
+    )
+    return {r["piece"]: int(r["n"]) for r in out}
+
+
+def _unigram_train(spark: SparkSession, sf_dir: str):
+    """The prune-EM loop: seed -> (E-step, prune) x ROUNDS. Prune
+    keeps the top ``UNIGRAM_KEEP`` pieces by (count desc, piece) and
+    ALWAYS every single char (count floored at 1 so its logprob
+    exists). Returns (final piece->count dict, cached word frame,
+    final lp dict)."""
+    wc, counts = _unigram_seed(spark, sf_dir)
+    chars = sorted(p for p in counts if len(p) == 1)
+    for _ in range(UNIGRAM_EM_ROUNDS):
+        counts = _unigram_estep(wc, _unigram_lp(counts))
+        keep = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :UNIGRAM_KEEP
+        ]
+        counts = dict(keep)
+        for c in chars:
+            counts.setdefault(c, 1)
+    return counts, wc, _unigram_lp(counts)
+
+
+def q_text_unigram_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (module note above): the final
+    learned vocabulary after ``UNIGRAM_EM_ROUNDS`` prune-EM rounds —
+    one row per surviving piece: (piece, n, lp_fp), counts from the
+    last E-step, logprobs fixed-point ints.
+
+    Rows-only for the same reason as ``q_text_bpe_merge``: the loop
+    is data-dependent (each round's model feeds the next round's
+    Viterbi), which static SQL can't parameterize; exactness is
+    pinned by the step-for-step Python replica in
+    tests/test_round15_ops.py instead (integer scores end-to-end, so
+    the pin is exact equality, not tolerance)."""
+    counts, _, lp = _unigram_train(spark, sf_dir)
+    rows = [
+        (p, n, lp[p])
+        for p, n in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+    return spark.createDataFrame(rows, "piece string, n bigint, lp_fp bigint")
+
+
+def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM ENCODE — the serving twin (the q_text_bpe_encode
+    pattern): segment the cached DISTINCT-word vocabulary once under
+    the final trained model, then one equi-join of corpus (doc_id,
+    word) tokens against the tiny (word -> n_pieces) map and a
+    per-doc hash agg. Output per document: whitespace word count and
+    post-tokenizer piece count. Document text never re-shuffles; at
+    100 TB the vocab map is corpus-sublinear and AQE broadcasts it
+    while it fits. Rows-only with the per-doc replica pin."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..session import ship_package_to_executors
+
+    ship_package_to_executors(spark)
+    _, wc, lp = _unigram_train(spark, sf_dir)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def seg(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _unigram_viterbi(w, lp))
+
+    vocab_np = wc.select("word", F.size(seg("word")).alias("n_p"))
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("word")).where(
+        F.col("word") != ""
+    )
+    return toks.join(vocab_np, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_p").alias("n_pieces"),
+    )
+
+
+QUERIES["q_text_unigram_tok"] = q_text_unigram_tok  # rows-only
+QUERIES["q_text_unigram_encode"] = q_text_unigram_encode  # rows-only
