@@ -362,11 +362,22 @@ def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b", wfp.alias("wfp")
     )
     scored = ngb.join(F.broadcast(wtab), "b")
-    return scored.groupBy("doc_id").agg(
+    agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_ngrams"),
-        F.round(F.sum("wfp") / F.count(F.lit(1)) / 1e6, 4).alias(
-            "dsir_logweight"
-        ),
+        F.sum("wfp").alias("s"),
+    )
+    # exact final division (r15): mean per-ngram weight in 1e-4 fixed
+    # point via integer half-away-from-zero rounding — the float
+    # spelling round(s/n/1e6, 4) flipped a half-ulp boundary across
+    # engines in q_quality_nb_score's sf1 drill; same family, same fix
+    mean_e4 = F.expr(
+        "CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END AS BIGINT) * "
+        "((2 * abs(s) + n_ngrams * 100) DIV (2 * n_ngrams * 100))"
+    )
+    return agg.select(
+        "doc_id",
+        "n_ngrams",
+        (mean_e4 / F.lit(10000.0)).alias("dsir_logweight"),
     )
 
 
@@ -389,9 +400,12 @@ ORACLE["q_text_dsir"] = (
     f"  ln((tgt_c + 0.5) / (tgt_n + {DSIR_BUCKETS * 0.5})) - "
     f"  ln((raw_c + 0.5) / (raw_n + {DSIR_BUCKETS * 0.5})), 6) * 1e6 "
     "  + 0.5)::BIGINT AS wfp FROM counts CROSS JOIN tot) "
-    "SELECT doc_id, count(*)::BIGINT AS n_ngrams, "
-    "round(sum(wfp) / count(*) / 1e6, 4) AS dsir_logweight "
-    "FROM ngb JOIN w USING (b) GROUP BY doc_id"
+    ", a AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams, "
+    "sum(wfp)::BIGINT AS s FROM ngb JOIN w USING (b) GROUP BY doc_id) "
+    "SELECT doc_id, n_ngrams, "
+    "(CASE WHEN s < 0 THEN -1 ELSE 1 END) * "
+    "((2 * abs(s) + n_ngrams * 100) // (2 * n_ngrams * 100)) / 10000.0 "
+    "AS dsir_logweight FROM a"
 )
 
 
@@ -833,10 +847,24 @@ def q_quality_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     wfp = F.floor(F.round(w, 6) * 1e6 + F.lit(0.5)).cast("bigint")
     wtab = counts.crossJoin(F.broadcast(totals)).select("b", wfp.alias("wfp"))
     scored = ngb.join(F.broadcast(wtab), "b")
-    return scored.groupBy("doc_id").agg(
+    agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_ngrams"),
         F.max("y").alias("label"),
-        F.round(F.sum("wfp") / F.count(F.lit(1)) / 1e6, 4).alias("nb_score"),
+        F.sum("wfp").alias("s"),
+    )
+    # the one final division, kept EXACT: mean per-ngram log-odds in
+    # 1e-4 fixed point via integer half-away-from-zero rounding
+    # (sf1 drill caught round(sum/n/1e6, 4) flipping a half-ulp
+    # boundary differently across engines — the r13 float-div trap)
+    mean_e4 = F.expr(
+        "CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END AS BIGINT) * "
+        "((2 * abs(s) + n_ngrams * 100) DIV (2 * n_ngrams * 100))"
+    )
+    return agg.select(
+        "doc_id",
+        "n_ngrams",
+        "label",
+        (mean_e4 / F.lit(10000.0)).alias("nb_score"),
     )
 
 
@@ -870,7 +898,11 @@ ORACLE["q_quality_nb_score"] = (
     f"  ln((pos_c + 0.5) / (pos_n + {DSIR_BUCKETS * 0.5})) - "
     f"  ln((all_c - pos_c + 0.5) / (neg_n + {DSIR_BUCKETS * 0.5})), 6) * 1e6 "
     "  + 0.5)::BIGINT AS wfp FROM counts CROSS JOIN tot) "
-    "SELECT doc_id, count(*)::BIGINT AS n_ngrams, max(y)::BIGINT AS label, "
-    "round(sum(wfp) / count(*) / 1e6, 4) AS nb_score "
-    "FROM ngb JOIN w USING (b) GROUP BY doc_id"
+    ", a AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams, "
+    "max(y)::BIGINT AS label, sum(wfp)::BIGINT AS s "
+    "FROM ngb JOIN w USING (b) GROUP BY doc_id) "
+    "SELECT doc_id, n_ngrams, label, "
+    "(CASE WHEN s < 0 THEN -1 ELSE 1 END) * "
+    "((2 * abs(s) + n_ngrams * 100) // (2 * n_ngrams * 100)) / 10000.0 "
+    "AS nb_score FROM a"
 )
