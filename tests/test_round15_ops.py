@@ -214,3 +214,53 @@ def test_unigram_tok_matches_python_replica(spark):
         for r in q_text_unigram_encode(spark, sf).collect()
     }
     assert got_encode == want_encode
+
+
+def test_curation_rollup_equals_oneshot(spark, tmp_path):
+    """Ingest-time curation: absorbing the sf0.001 corpus in two
+    doc_id-ordered batches (docs + embeddings) and regenerating the
+    curated set from the persisted state must be ROW-IDENTICAL to
+    the one-shot curate(union, semantic_keep=adaptive flags) — the
+    chunks ≡ one-shot contract every rollup in the module carries.
+    Re-absorbing a batch must not change the state (at-least-once
+    safety without an HWM)."""
+    from twitter_etl_spark.curation import curate
+    from twitter_etl_spark.queries.similarity import q_dedup_semantic_adaptive
+    from twitter_etl_spark.rollup import (
+        curation_keeplist,
+        update_curation_rollup,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    embs = table(spark, sf, "embeddings")
+    mid = 250  # doc_id/vec_id range is 0..499: two ordered halves
+    d = str(tmp_path / "cur")
+    update_curation_rollup(
+        spark, d, docs.filter(F.col("doc_id") < mid),
+        embs.filter(F.col("vec_id") < mid),
+    )
+    update_curation_rollup(
+        spark, d, docs.filter(F.col("doc_id") >= mid),
+        embs.filter(F.col("vec_id") >= mid),
+    )
+    got = sorted(
+        (r["doc_id"], r["norm_digest"], r["split"])
+        for r in curation_keeplist(spark, d).collect()
+    )
+    keep = q_dedup_semantic_adaptive(spark, sf).select("vec_id", "kept")
+    want = sorted(
+        (r["doc_id"], r["norm_digest"], r["split"])
+        for r in curate(docs, semantic_keep=keep)
+        .select("doc_id", "norm_digest", "split")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    n_before = len(got)
+    update_curation_rollup(
+        spark, d, docs.filter(F.col("doc_id") < mid),
+        embs.filter(F.col("vec_id") < mid),
+    )
+    assert len(curation_keeplist(spark, d).collect()) == n_before

@@ -1309,3 +1309,114 @@ def read_sample_rollup(
     """The maintained k-row uniform sample (doc_id, lang,
     sample_key)."""
     return read_version(spark, rollup_dir, version).select(*_SAMPLE_STATE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation rollup (r15): ingest-time curation. The batch
+# composition q_llm_curation_semantic (queries/corpus.py) answers
+# "curate this corpus"; a 100 TB ingest needs "curate each arriving
+# partition WITHOUT re-reading history" — exact dedup against the
+# persisted digest set, semantic dedup against the persisted
+# embedding state, quality + split computed once at absorb time.
+# Storage is the same publish_version pointer-flip as every rollup.
+# ---------------------------------------------------------------------------
+
+_CURATION_STATE_COLS = ("norm_digest", "doc_id", "q_ok")
+
+
+def update_curation_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    new_docs: DataFrame,
+    new_embeddings: DataFrame | None = None,
+) -> int:
+    """Absorb one document batch into the persisted curation state;
+    returns the published version of the doc state.
+
+    Per batch: normalize -> keep-first exact dedup WITHIN the batch
+    (min doc_id per digest, the curate() rule) -> anti-join against
+    the already-absorbed digest set (one shuffle on the 32-byte key;
+    history text is never re-read) -> store (norm_digest, keeper
+    doc_id, quality flag). The quality flag is computed ONCE here —
+    a pure function of the normalized text, so it travels with the
+    state row. ``new_embeddings`` (if given) rides into the adaptive
+    semantic rollup under ``<rollup_dir>/sem`` so the semantic
+    judgment regenerates from state at read time.
+
+    Contract (test-pinned): with batches whose doc_ids arrive in
+    nondecreasing ranges — the append-only ingest shape — the
+    absorbed keeper per digest IS the global min-doc_id keeper, so
+    :func:`curation_keeplist` is row-identical to the one-shot
+    ``curation.curate(union, semantic_keep=...)``. Re-absorbing a
+    batch is a no-op (anti-join by digest), so delivery is
+    at-least-once-safe without an HWM."""
+    from .cleaning import clean_chain
+    from .curation import MIN_TOKENS
+
+    docs_dir = os.path.join(rollup_dir, "docs")
+    norm = clean_chain(F.col("text"))
+    d = new_docs.select(
+        "doc_id", F.md5(norm).alias("norm_digest"), norm.alias("__nm")
+    )
+    keeper = (
+        d.groupBy("norm_digest")
+        .agg(F.min_by(F.struct("doc_id", "__nm"), F.col("doc_id")).alias("w"))
+        .select(
+            "norm_digest",
+            F.col("w.doc_id").alias("doc_id"),
+            (
+                F.size(F.split(F.trim(F.col("w.__nm")), r"\s+")) >= MIN_TOKENS
+            )
+            .cast("bigint")
+            .alias("q_ok"),
+        )
+    )
+    if os.path.exists(os.path.join(docs_dir, "_LATEST")):
+        prev = read_version(spark, docs_dir).select(*_CURATION_STATE_COLS)
+        fresh = keeper.join(
+            prev.select("norm_digest"), "norm_digest", "left_anti"
+        )
+        state = prev.unionByName(fresh)
+    else:
+        state = keeper
+    v = publish_version(state.select(*_CURATION_STATE_COLS), docs_dir)
+    if new_embeddings is not None:
+        update_semdedup_adaptive_rollup(
+            spark, os.path.join(rollup_dir, "sem"), new_embeddings
+        )
+    return v
+
+
+def curation_keeplist(
+    spark: SparkSession, rollup_dir: str, version: int | None = None
+) -> DataFrame:
+    """Curated rows (doc_id, norm_digest, split) regenerated from
+    the persisted state ALONE: exact-dedup keepers, minus keepers
+    judged semantic duplicates (the adaptive keeplist over the
+    absorbed embedding state, joined doc_id ↔ vec_id), minus quality
+    failures, split by digest hash so duplicates co-travel. Under
+    the monotone-doc_id absorption contract this is row-identical to
+    ``curation.curate(union_of_batches, semantic_keep=
+    q_dedup_semantic_adaptive_flags)`` (test-pinned). One digest-set
+    scan + one 8-byte-key join; document text is never touched."""
+    from .queries.sampling import hash_bucket
+
+    docs_dir = os.path.join(rollup_dir, "docs")
+    st = read_version(spark, docs_dir, version).select(*_CURATION_STATE_COLS)
+    sem_dir = os.path.join(rollup_dir, "sem")
+    if os.path.exists(os.path.join(sem_dir, "_LATEST")):
+        sk = semdedup_adaptive_keeplist(spark, sem_dir).select(
+            F.col("vec_id").alias("__sk_id"), F.col("kept").alias("__sk_kept")
+        )
+        st = (
+            st.join(sk, st.doc_id == sk.__sk_id, "left")
+            .filter(F.coalesce("__sk_kept", F.lit(1)) == 1)
+            .drop("__sk_id", "__sk_kept")
+        )
+    bucket = hash_bucket(F.col("norm_digest"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return st.filter(F.col("q_ok") == 1).select(
+        "doc_id", "norm_digest", split.alias("split")
+    )
