@@ -154,6 +154,8 @@ HEADLINE = [
     # r15 additions
     "q_llm_curation_semantic",
     "q_quality_nb_score",
+    "q_behavior_survival",
+    "q_multimodal_dedup_cluster",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

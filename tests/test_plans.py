@@ -79,6 +79,9 @@ _SINGLE_PARTITION_OK = {
     # 1-row funnel agg (seven BIGINT counters) over the post-dedup
     # digest frame, unpivoted by stack — the q_agg_global class (r15)
     "q_llm_curation_semantic",
+    # at-risk/cumulative KM windows ride the O(#lifetime-days) axis
+    # + two 1-row bounds frames — the calendar-axis class (r15)
+    "q_behavior_survival",
     # 1-row Welch-t agg: map-side integer partials merge to one row
     # (6 BIGINTs of state), the q_agg_global class
     "q_stat_welch_t",

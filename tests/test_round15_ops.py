@@ -264,3 +264,64 @@ def test_curation_rollup_equals_oneshot(spark, tmp_path):
         embs.filter(F.col("vec_id") < mid),
     )
     assert len(curation_keeplist(spark, d).collect()) == n_before
+
+
+def test_behavior_survival_km_invariants(spark):
+    """q_behavior_survival: the KM estimator's structural invariants
+    on the fixture — at-risk counts strictly decrease over death
+    times, log-survival is nonincreasing (it's a sum of nonpositive
+    terms), censoring is non-vacuous (the 48-hour horizon truncates
+    some users' follow-up), and every row's at-risk >= deaths."""
+    from twitter_etl_spark.queries.behavior import q_behavior_survival
+
+    rows = sorted(
+        q_behavior_survival(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["t_hours"],
+    )
+    assert rows
+    # censoring is non-vacuous: after the last death, survivors
+    # remain (they were censored at the horizon, not dead)
+    last = max(rows, key=lambda r: r["t_hours"])
+    assert last["n_at_risk"] > last["n_deaths"]
+    assert sum(r["n_deaths"] for r in rows) < rows[0]["n_at_risk"]
+    prev_risk, prev_ls = None, 0.0
+    for r in rows:
+        assert r["n_at_risk"] >= r["n_deaths"] > 0
+        if prev_risk is not None:
+            assert r["n_at_risk"] < prev_risk
+        if r["log_surv"] is not None:
+            assert r["log_surv"] <= prev_ls + 1e-12
+            prev_ls = r["log_surv"]
+        prev_risk = r["n_at_risk"]
+
+
+def test_multimodal_dedup_cluster_consistent_with_pairs(spark):
+    """q_multimodal_dedup_cluster: every clustered doc appears in
+    the phash pair set, each cluster has exactly one keeper (its
+    min doc_id), and both endpoints of every pair land in the same
+    cluster."""
+    from twitter_etl_spark.queries.multimodal_q import (
+        q_multimodal_dedup_cluster,
+        q_multimodal_phash_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in q_multimodal_phash_dedup(spark, sf).collect()
+    ]
+    assert pairs  # non-vacuous on the fixture
+    cl = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in q_multimodal_dedup_cluster(spark, sf).collect()
+    }
+    nodes = {d for p in pairs for d in p}
+    assert set(cl) == nodes
+    by_cluster: dict[int, list[int]] = {}
+    for doc, (cid, keep) in cl.items():
+        by_cluster.setdefault(cid, []).append(doc)
+        assert keep == (1 if doc == cid else 0)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+    for a, b in pairs:
+        assert cl[a][0] == cl[b][0]

@@ -119,6 +119,8 @@ _CERT_PREFIX = (
     "q_quality_nb_score",
     "q_text_unigram_tok",
     "q_text_unigram_encode",
+    "q_behavior_survival",
+    "q_multimodal_dedup_cluster",
     # -- r15 rotation: the remaining slots are the stalest re-certs
     #    oldest green driver round first (tools/gen_cert_rotation.py):
     #    the 3-name r8 tail (q_ts_lttb, q_udtf_splitn, q_win_nth —
@@ -169,8 +171,6 @@ _CERT_PREFIX = (
     "q_text_lengthhist",  # r9
     "q_text_lexicon_join",  # r9
     "q_text_ngrams",  # r9
-    "q_text_quality",  # r9
-    "q_text_repetition",  # r9
 )
 
 _BY_MODULE: dict = {}

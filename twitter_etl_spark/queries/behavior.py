@@ -1029,3 +1029,125 @@ def _markov_sql() -> str:
 
 
 ORACLE["q_behavior_markov_stationary"] = _markov_sql()
+
+
+def q_behavior_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion survival (Kaplan & Meier
+    1958 — the right-censored estimator product teams fit when not
+    every subject has converted by the end of follow-up): the event
+    is a user's FIRST purchase, the clock starts at their first
+    event, follow-up is administratively truncated at a fixed
+    48-hour horizon — users whose first purchase lands at or past
+    the horizon are CENSORED there (they leave the risk set without
+    converting; naive conversion tables silently call them
+    non-converters). At each death time t (hours): S(t) *=
+    (n_at_risk − n_deaths) / n_at_risk. Output, one row per death
+    time: (t_hours, n_at_risk, n_deaths, n_censored, log_surv).
+
+    Determinism contract: elapsed hours are exact integer
+    microsecond arithmetic (unix_micros DIV 3.6e9 — never the
+    boundary-crossing date_diff semantics, which disagree between
+    engines); per-step −ln terms are fixed-point (round 6, ×1e6,
+    BIGINT) BEFORE the cumulative sum (the q_text_unigram_logprob
+    convention); log_surv is the exact integer sum ÷ 1e6 — one
+    final division, so both engines hash identical doubles. The
+    S(t) = 0 step (risk set exhausted, only possible at the last
+    death time) emits NULL.
+
+    Scale: ONE user_id hash agg builds both clocks (min ts and
+    conditional min purchase ts in the same pass); the per-hour agg
+    and the at-risk/cumulative windows ride the O(horizon-hours)
+    axis (the q_ts_gapfill calendar-axis contract), never the event
+    log; the 1-row totals frame broadcasts."""
+    horizon = 48
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("tp"),
+    )
+    dh = F.expr("(tp - t0) DIV 3600000000")
+    lif = u.select(
+        F.when(F.col("tp").isNull() | (dh >= horizon), F.lit(horizon))
+        .otherwise(dh)
+        .alias("t"),
+        (F.col("tp").isNotNull() & (dh < horizon))
+        .cast("bigint")
+        .alias("death"),
+    )
+    pt = lif.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        F.sum("death").alias("n_deaths"),
+    )
+    tot = lif.agg(F.count(F.lit(1)).alias("n_users"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = pt.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n_removed",
+        "n_deaths",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_removed").over(wprev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    term_fp = (
+        F.when(F.col("n_deaths") == 0, F.lit(0))
+        .when(F.col("n_at_risk") == F.col("n_deaths"), F.lit(None))
+        .otherwise(
+            F.floor(
+                F.round(
+                    F.log(
+                        (F.col("n_at_risk") - F.col("n_deaths"))
+                        / F.col("n_at_risk")
+                    ),
+                    6,
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+    )
+    wcum = Window.orderBy("t")
+    s = r.withColumn("term_fp", term_fp).withColumn(
+        "log_surv",
+        F.when(
+            F.col("n_at_risk") == F.col("n_deaths"), F.lit(None)
+        ).otherwise(F.sum("term_fp").over(wcum) / F.lit(1e6)),
+    )
+    return s.filter(F.col("n_deaths") > 0).select(
+        F.col("t").alias("t_hours"),
+        "n_at_risk",
+        "n_deaths",
+        (F.col("n_removed") - F.col("n_deaths")).alias("n_censored"),
+        "log_surv",
+    )
+
+
+QUERIES["q_behavior_survival"] = q_behavior_survival
+
+ORACLE["q_behavior_survival"] = (
+    "WITH u AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS t0, "
+    "  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)::BIGINT "
+    "  AS tp FROM events GROUP BY user_id), "
+    "lif AS (SELECT CASE WHEN tp IS NULL OR (tp - t0) // 3600000000 >= 48 "
+    "  THEN 48 ELSE (tp - t0) // 3600000000 END AS t, "
+    "  (tp IS NOT NULL AND (tp - t0) // 3600000000 < 48)::BIGINT AS death "
+    "  FROM u), "
+    "pt AS (SELECT t, count(*)::BIGINT AS n_removed, "
+    "  sum(death)::BIGINT AS n_deaths FROM lif GROUP BY t), "
+    "tot AS (SELECT count(*)::BIGINT AS n_users FROM lif), "
+    "r AS (SELECT t, n_removed, n_deaths, "
+    "  n_users - coalesce(sum(n_removed) OVER (ORDER BY t "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk "
+    "  FROM pt CROSS JOIN tot), "
+    "s AS (SELECT *, CASE WHEN n_deaths = 0 THEN 0 "
+    "  WHEN n_at_risk = n_deaths THEN NULL "
+    "  ELSE floor(round(ln((n_at_risk - n_deaths)::DOUBLE / n_at_risk), 6) "
+    "  * 1e6 + 0.5)::BIGINT END AS term_fp FROM r) "
+    "SELECT t::BIGINT AS t_hours, n_at_risk::BIGINT AS n_at_risk, n_deaths, "
+    "(n_removed - n_deaths)::BIGINT AS n_censored, "
+    "CASE WHEN n_at_risk = n_deaths THEN NULL ELSE "
+    "(sum(term_fp) OVER (ORDER BY t))::BIGINT / 1e6 END AS log_surv "
+    "FROM s WHERE n_deaths > 0"
+)

@@ -740,3 +740,53 @@ ORACLE["q_multimodal_conflict"] = (
     f"  < {_CONFLICT_JACCARD} THEN 1 ELSE 0 END AS conflict "
     "FROM v"
 )
+
+
+def q_multimodal_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate-CLUSTER resolution — the third consumer of
+    the perceptual-hash pair surface (after the incremental rollup
+    and the conflict audit): connected components over the banded
+    dHash near-dup pairs (``q_multimodal_phash_dedup``'s bounded
+    candidate set), keeper = minimum doc_id per component — the
+    keep-one-per-visual-duplicate-family stage an image curation
+    job runs, lifted from the lexical twin ``q_dedup_cluster``.
+    Output, one row per clustered payload: (doc_id, cluster_id,
+    is_keeper).
+
+    Scale: the pair stage is the certified banded/df-capped scan
+    (never all-pairs); components come from the shared
+    ``graph.star_components`` core — O(log n) large/small-star
+    rounds, per-round localCheckpoint (the r14 plan-blowup lesson),
+    one convergence probe per round. Oracle: the phash pair SQL
+    wrapped in the recursive label-spread CTE (the q_dedup_cluster
+    pattern)."""
+    from .graph import star_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = phash_pairs(phash_frame(d)).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    cc = star_components(pairs, caller="q_multimodal_dedup_cluster")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).cast("bigint").alias("is_keeper"),
+    )
+
+
+QUERIES["q_multimodal_dedup_cluster"] = q_multimodal_dedup_cluster
+
+ORACLE["q_multimodal_dedup_cluster"] = (
+    "WITH RECURSIVE pairs AS ("
+    + ORACLE["q_multimodal_phash_dedup"]
+    + "), "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+    "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+    "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+    "reach(node, lab) AS ("
+    "  SELECT node, node FROM nodes "
+    "  UNION "
+    "  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node) "
+    "SELECT node AS doc_id, min(lab) AS cluster_id, "
+    "(node = min(lab))::BIGINT AS is_keeper FROM reach GROUP BY node"
+)
