@@ -325,3 +325,91 @@ def test_multimodal_dedup_cluster_consistent_with_pairs(spark):
         assert cid == min(members)
     for a, b in pairs:
         assert cl[a][0] == cl[b][0]
+
+
+def test_stream_feeds_curation_rollup_matches_one_shot(spark):
+    """The stream ≡ batch contract extended to the r15 curation
+    rollup: an availableNow foreachBatch loop lands document
+    micro-batches (contiguous doc_id ranges — the append-only ingest
+    shape the rollup's keeper contract names) with their paired
+    embeddings, absorbing each into rollup.update_curation_rollup;
+    the curated set regenerated from the persisted state equals the
+    one-shot curate(union, semantic_keep=adaptive flags)."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from twitter_etl_spark import rollup
+    from twitter_etl_spark.curation import curate
+    from twitter_etl_spark.queries.similarity import q_dedup_semantic_adaptive
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "landing")
+    rollup_dir = os.path.join(base, "cur_rollup")
+    os.makedirs(landing)
+
+    docs = sorted(
+        table(spark, sf, "documents").collect(), key=lambda r: r["doc_id"]
+    )
+    k = len(docs) // 3
+    ranges = [docs[:k], docs[k : 2 * k], docs[2 * k :]]
+    for n, chunk in enumerate(ranges):
+        with open(os.path.join(landing, f"b{n}.json"), "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {"doc_id": int(r["doc_id"]), "text": r["text"]}
+                    )
+                    + "\n"
+                )
+
+    embs = table(spark, sf, "embeddings")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    versions = []
+
+    def _absorb(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        ids = [r["doc_id"] for r in batch_df.select("doc_id").collect()]
+        lo, hi = min(ids), max(ids)
+        batch_embs = embs.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") <= hi)
+        )
+        versions.append(
+            rollup.update_curation_rollup(spark, rollup_dir, batch_df, batch_embs)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(_absorb)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(versions) == 3  # one publish per micro-batch
+
+    got = sorted(
+        (r["doc_id"], r["norm_digest"], r["split"])
+        for r in rollup.curation_keeplist(spark, rollup_dir).collect()
+    )
+    keep = q_dedup_semantic_adaptive(spark, sf).select("vec_id", "kept")
+    want = sorted(
+        (r["doc_id"], r["norm_digest"], r["split"])
+        for r in curate(table(spark, sf, "documents"), semantic_keep=keep)
+        .select("doc_id", "norm_digest", "split")
+        .collect()
+    )
+    assert got == want
+    assert got  # non-vacuous
