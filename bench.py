@@ -156,6 +156,9 @@ HEADLINE = [
     "q_quality_nb_score",
     "q_behavior_survival",
     "q_multimodal_dedup_cluster",
+    "q_behavior_cohort_ltv",
+    "q_drift_jsd",
+    "q_pack_length_bucket",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

@@ -82,6 +82,9 @@ _SINGLE_PARTITION_OK = {
     # at-risk/cumulative KM windows ride the O(#lifetime-days) axis
     # + two 1-row bounds frames — the calendar-axis class (r15)
     "q_behavior_survival",
+    # 1-row corpus-total agg broadcast onto the vocab grid — the
+    # q_text_dsir class (r15)
+    "q_drift_jsd",
     # 1-row Welch-t agg: map-side integer partials merge to one row
     # (6 BIGINTs of state), the q_agg_global class
     "q_stat_welch_t",

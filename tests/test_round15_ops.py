@@ -413,3 +413,69 @@ def test_stream_feeds_curation_rollup_matches_one_shot(spark):
     )
     assert got == want
     assert got  # non-vacuous
+
+
+def test_cohort_ltv_monotone_and_consistent(spark):
+    """q_behavior_cohort_ltv: running revenue is nondecreasing
+    within each cohort, the weekly pieces sum to the final
+    cumulative, and LTV-per-user never exceeds the cohort's
+    cumulative revenue."""
+    from twitter_etl_spark.queries.behavior import q_behavior_cohort_ltv
+
+    rows = q_behavior_cohort_ltv(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_epoch"], []).append(r)
+    for parts in by_cohort.values():
+        parts.sort(key=lambda r: r["week_offset"])
+        cum = 0
+        for r in parts:
+            cum += r["revenue_cents"]
+            assert r["cum_revenue_cents"] == cum
+            assert r["ltv_cents_per_user"] <= r["cum_revenue_cents"]
+            assert r["cohort_size"] >= 1
+
+
+def test_drift_jsd_bounds_and_ranking(spark):
+    """q_drift_jsd: every divergence lies in [0, ln 2], and a
+    synthetic check — the source whose token distribution is closest
+    to the corpus mix cannot rank above one with heavy exclusive
+    vocabulary. On the fixture we just assert the bound plus
+    non-degeneracy (not all sources identical)."""
+    import math
+
+    from twitter_etl_spark.queries.dq import q_drift_jsd
+
+    rows = q_drift_jsd(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 1
+    vals = [r["jsd"] for r in rows]
+    for v in vals:
+        assert -1e-9 <= v <= math.log(2) + 1e-9
+    assert max(vals) > min(vals)  # non-degenerate
+
+
+def test_pack_length_bucket_exact_masses(spark):
+    """q_pack_length_bucket: per (lang, cap) cell the padded mass
+    equals cap×n_docs, waste = padded − real, every doc's real token
+    count fits its cap, and the cell masses re-add to the corpus
+    token total."""
+    from twitter_etl_spark.queries.llmprep import q_pack_length_bucket
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_pack_length_bucket(spark, sf).collect()
+    assert rows
+    for r in rows:
+        if r["cap"] > 0:
+            assert r["padded_sum"] == r["cap"] * r["n_docs"]
+            assert r["waste_tokens"] == r["padded_sum"] - r["tok_sum"]
+            assert r["tok_sum"] <= r["padded_sum"]
+            assert 0 <= r["waste_bp"] <= 10000
+    total = (
+        table(spark, sf, "documents")
+        .select(F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r["tok_sum"] for r in rows) == total

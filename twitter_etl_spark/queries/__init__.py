@@ -121,6 +121,9 @@ _CERT_PREFIX = (
     "q_text_unigram_encode",
     "q_behavior_survival",
     "q_multimodal_dedup_cluster",
+    "q_behavior_cohort_ltv",
+    "q_drift_jsd",
+    "q_pack_length_bucket",
     # -- r15 rotation: the remaining slots are the stalest re-certs
     #    oldest green driver round first (tools/gen_cert_rotation.py):
     #    the 3-name r8 tail (q_ts_lttb, q_udtf_splitn, q_win_nth —
@@ -168,9 +171,6 @@ _CERT_PREFIX = (
     "q_text_fingerprint",  # r9
     "q_text_hashtags",  # r9
     "q_text_langid",  # r9
-    "q_text_lengthhist",  # r9
-    "q_text_lexicon_join",  # r9
-    "q_text_ngrams",  # r9
 )
 
 _BY_MODULE: dict = {}

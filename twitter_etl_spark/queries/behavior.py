@@ -1151,3 +1151,90 @@ ORACLE["q_behavior_survival"] = (
     "(sum(term_fp) OVER (ORDER BY t))::BIGINT / 1e6 END AS log_surv "
     "FROM s WHERE n_deaths > 0"
 )
+
+
+def q_behavior_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the revenue twin of
+    ``q_cohort_retention``: users grouped by first-event week; for
+    each (cohort, week_offset) the purchase revenue that week, the
+    cohort's RUNNING revenue, and the running LTV per cohort member
+    (the curve a growth model fits payback periods on).
+
+    Money is exact: ``value`` quantizes ONCE to integer cents
+    (floor(v*100 + 0.5) — identical double math in both engines),
+    every sum and the cumulative window are pure BIGINT, and the
+    per-user LTV divides two integers with DIV (the r13 float-div
+    lesson). Scale: one user_id window assigns cohorts, one hash agg
+    per (cohort, offset) cell, cohort sizes by one tiny re-agg; the
+    cumulative window partitions BY COHORT over the O(#weeks) offset
+    axis — parallel across cohorts, never a global sort."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("week", "ts").alias("week"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = e.withColumn("cohort_week", F.min("week").over(w))
+    sizes = cohorted.groupBy("cohort_week").agg(
+        F.count_distinct("user_id").alias("cohort_size")
+    )
+    rev = (
+        cohorted.filter(F.col("event_type") == "purchase")
+        .groupBy("cohort_week", "week")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .withColumn(
+            "week_offset",
+            F.expr("datediff(week, cohort_week) DIV 7"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = rev.join(F.broadcast(sizes), "cohort_week").withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(wcum)
+    )
+    return out.select(
+        F.unix_timestamp("cohort_week").alias("cohort_epoch"),
+        "week_offset",
+        "n_purchases",
+        "revenue_cents",
+        "cum_revenue_cents",
+        "cohort_size",
+        F.expr("cum_revenue_cents DIV cohort_size").alias(
+            "ltv_cents_per_user"
+        ),
+    )
+
+
+QUERIES["q_behavior_cohort_ltv"] = q_behavior_cohort_ltv
+
+ORACLE["q_behavior_cohort_ltv"] = (
+    "WITH e AS (SELECT user_id, event_type, "
+    "  date_trunc('week', ts) AS week, "
+    "  floor(value * 100 + 0.5)::BIGINT AS cents FROM events), "
+    "c AS (SELECT *, min(week) OVER (PARTITION BY user_id) AS cohort_week "
+    "  FROM e), "
+    "sz AS (SELECT cohort_week, count(DISTINCT user_id)::BIGINT AS cohort_size "
+    "  FROM c GROUP BY cohort_week), "
+    "rev AS (SELECT cohort_week, week, count(*)::BIGINT AS n_purchases, "
+    "  sum(cents)::BIGINT AS revenue_cents, "
+    "  date_diff('day', cohort_week::DATE, week::DATE) // 7 AS week_offset "
+    "  FROM c WHERE event_type = 'purchase' GROUP BY cohort_week, week), "
+    "o AS (SELECT rev.*, sz.cohort_size, "
+    "  sum(revenue_cents) OVER (PARTITION BY rev.cohort_week "
+    "  ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "  CURRENT ROW)::BIGINT AS cum_revenue_cents "
+    "  FROM rev JOIN sz USING (cohort_week)) "
+    "SELECT epoch(cohort_week)::BIGINT AS cohort_epoch, "
+    "week_offset::BIGINT AS week_offset, n_purchases, revenue_cents, "
+    "cum_revenue_cents, cohort_size, "
+    "(cum_revenue_cents // cohort_size)::BIGINT AS ltv_cents_per_user FROM o"
+)

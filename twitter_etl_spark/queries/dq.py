@@ -709,3 +709,91 @@ ORACLE["q_dq_fd_check"] = (
     "CASE WHEN count(*) = 1 THEN 1 ELSE 0 END AS fd_holds "
     "FROM pair GROUP BY lhs"
 )
+
+
+def q_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift as Jensen-Shannon
+    divergence (Lin 1991 — symmetric, bounded by ln 2, the standard
+    "did this feed's vocabulary shift" monitor a crawl mixture
+    runs): for each source, JSD between ITS unigram distribution P
+    and the whole-corpus distribution Q — outlier feeds rank first.
+    Output: (source, n_tokens, jsd).
+
+    Determinism contract: p = c_st/n_s and q = c_t/n are exact
+    BIGINT ratios evaluated identically in both engines; each
+    token's JSD contribution 0.5·p·ln(2p/(p+q)) + 0.5·q·ln(2q/(p+q))
+    is fixed-pointed (round 9, ×1e9, BIGINT — terms are O(1e-4), so
+    round 9 keeps 5 significant digits) BEFORE the per-source sum;
+    jsd is the exact integer sum ÷ 1e9. p = 0 contributes only the
+    q half (2q/(0+q) = 2 — finite); q > 0 for every corpus token.
+
+    Scale: ONE (source, token) hash agg builds the conditional
+    counts, the corpus model is a token-keyed re-agg of that table
+    (never a second corpus pass — the q_text_kneser_ney shape), the
+    per-source and corpus totals are |sources|-row / 1-row broadcast
+    frames, and the term sum shuffles |vocab|×|sources| fixed-point
+    ints on the source key."""
+    d = table(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    ct = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    n = ct.agg(F.sum("c_t").alias("n"))
+    # every (source, token-in-corpus) cell, including p = 0 cells:
+    # the q-half of the divergence integrates over Q's full support
+    grid = ns.crossJoin(ct.crossJoin(F.broadcast(n)))
+    full = grid.join(st, ["source", "tok"], "left").select(
+        "source",
+        "n_s",
+        (F.coalesce("c_st", F.lit(0)) / F.col("n_s")).alias("p"),
+        (F.col("c_t") / F.col("n")).alias("q"),
+    )
+    term = (
+        F.when(
+            F.col("p") > 0,
+            0.5 * F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q"))),
+        ).otherwise(F.lit(0.0))
+        + 0.5 * F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
+    )
+    term_fp = F.floor(F.round(term, 9) * 1e9 + F.lit(0.5)).cast("bigint")
+    return (
+        full.select("source", "n_s", term_fp.alias("t_fp"))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            (F.sum("t_fp") / F.lit(1e9)).alias("jsd"),
+        )
+    )
+
+
+QUERIES["q_drift_jsd"] = q_drift_jsd
+
+ORACLE["q_drift_jsd"] = (
+    "WITH t AS (SELECT source, unnest(string_split_regex(trim(text), "
+    "'\\s+')) AS tok FROM documents), "
+    "st AS (SELECT source, tok, count(*)::BIGINT AS c_st FROM t "
+    "  WHERE tok <> '' GROUP BY source, tok), "
+    "ct AS (SELECT tok, sum(c_st)::BIGINT AS c_t FROM st GROUP BY tok), "
+    "ns AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY source), "
+    "n AS (SELECT sum(c_t)::BIGINT AS n FROM ct), "
+    "grid AS (SELECT ns.source, ns.n_s, ct.tok, ct.c_t, n.n "
+    "  FROM ns CROSS JOIN ct CROSS JOIN n), "
+    "pq AS (SELECT grid.source, grid.n_s, "
+    "  coalesce(st.c_st, 0)::DOUBLE / grid.n_s AS p, "
+    "  grid.c_t::DOUBLE / grid.n AS q "
+    "  FROM grid LEFT JOIN st ON st.source = grid.source "
+    "  AND st.tok = grid.tok), "
+    "terms AS (SELECT source, n_s, floor(round("
+    "  (CASE WHEN p > 0 THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END) "
+    "  + 0.5 * q * ln(2 * q / (p + q)), 9) * 1e9 + 0.5)::BIGINT AS t_fp "
+    "  FROM pq) "
+    "SELECT source, max(n_s)::BIGINT AS n_tokens, "
+    "sum(t_fp)::BIGINT / 1e9 AS jsd FROM terms GROUP BY source"
+)

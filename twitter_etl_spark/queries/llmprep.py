@@ -771,3 +771,85 @@ ORACLE["q_pack_epoch_shuffle"] = (
     f"(k % {_SHUFFLE_SHARDS}) ORDER BY k, doc_id)::BIGINT AS pos "
     "FROM keyed"
 )
+
+
+#: padding-bucket ladder: power-of-two caps a batcher pads to.
+_LB_CAPS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def q_pack_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the padding-efficiency stat
+    every fixed-shape training batcher reports: documents bucket to
+    the smallest power-of-two token cap that fits (the ladder a
+    bucketing data loader pads to), and each (lang, bucket) cell
+    reports document count, real token mass, padded token mass
+    (cap × count) and the WASTE fraction in basis points — the
+    number that tells you whether to add a bucket boundary.
+
+    All integers: the cap ladder is an explicit CASE over BIGINT
+    token counts (no log2 floats to disagree across engines), waste
+    is exact (cap·n − Σtok), and the basis-point ratio is the one
+    final integer division (half-away rounding in pure BIGINT, the
+    r15 nb_score convention). One hash agg on the (lang, cap) key;
+    docs past the top cap land in cap = -1 ("doesn't fit, truncate
+    or split" — reported, not hidden)."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    cap = F.when(n_tok <= _LB_CAPS[0], F.lit(_LB_CAPS[0]))
+    for c in _LB_CAPS[1:]:
+        cap = cap.when(n_tok <= c, F.lit(c))
+    cap = cap.otherwise(F.lit(-1)).cast("bigint")
+    cells = (
+        d.select("lang", cap.alias("cap"), n_tok.alias("n_tok"))
+        .groupBy("lang", "cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tok_sum"),
+        )
+    )
+    padded = F.when(F.col("cap") > 0, F.col("cap") * F.col("n_docs")).otherwise(
+        F.col("tok_sum")
+    )
+    waste = padded - F.col("tok_sum")
+    waste_bp = F.expr(
+        "CASE WHEN cap > 0 THEN "
+        "(2 * 10000 * (cap * n_docs - tok_sum) + cap * n_docs) "
+        "DIV (2 * cap * n_docs) ELSE 0 END"
+    )
+    return cells.select(
+        "lang",
+        "cap",
+        "n_docs",
+        "tok_sum",
+        padded.alias("padded_sum"),
+        waste.alias("waste_tokens"),
+        waste_bp.alias("waste_bp"),
+    )
+
+
+QUERIES["q_pack_length_bucket"] = q_pack_length_bucket
+
+
+def _length_bucket_sql() -> str:
+    ladder = f"CASE WHEN n_tok <= {_LB_CAPS[0]} THEN {_LB_CAPS[0]} " + " ".join(
+        f"WHEN n_tok <= {c} THEN {c}" for c in _LB_CAPS[1:]
+    ) + " ELSE -1 END"
+    return (
+        "WITH t AS (SELECT lang, len(" + _SQL_TOKENS + ")::BIGINT AS n_tok "
+        "FROM documents), "
+        f"b AS (SELECT lang, ({ladder})::BIGINT AS cap, n_tok FROM t), "
+        "cells AS (SELECT lang, cap, count(*)::BIGINT AS n_docs, "
+        "sum(n_tok)::BIGINT AS tok_sum FROM b GROUP BY lang, cap) "
+        "SELECT lang, cap, n_docs, tok_sum, "
+        "(CASE WHEN cap > 0 THEN cap * n_docs ELSE tok_sum END)::BIGINT "
+        "AS padded_sum, "
+        "(CASE WHEN cap > 0 THEN cap * n_docs - tok_sum ELSE 0 END)::BIGINT "
+        "AS waste_tokens, "
+        "(CASE WHEN cap > 0 THEN "
+        "(2 * 10000 * (cap * n_docs - tok_sum) + cap * n_docs) "
+        "// (2 * cap * n_docs) ELSE 0 END)::BIGINT AS waste_bp "
+        "FROM cells"
+    )
+
+
+ORACLE["q_pack_length_bucket"] = _length_bucket_sql()
