@@ -159,6 +159,8 @@ HEADLINE = [
     "q_behavior_cohort_ltv",
     "q_drift_jsd",
     "q_pack_length_bucket",
+    "q_sim_ivf_recall",
+    "q_dedup_minhash_recall",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

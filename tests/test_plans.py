@@ -85,6 +85,8 @@ _SINGLE_PARTITION_OK = {
     # 1-row corpus-total agg broadcast onto the vocab grid — the
     # q_text_dsir class (r15)
     "q_drift_jsd",
+    # 1-row recall summary over the df-capped pair sets (r15)
+    "q_dedup_minhash_recall",
     # 1-row Welch-t agg: map-side integer partials merge to one row
     # (6 BIGINTs of state), the q_agg_global class
     "q_stat_welch_t",

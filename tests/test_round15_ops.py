@@ -479,3 +479,28 @@ def test_pack_length_bucket_exact_masses(spark):
         .collect()[0][0]
     )
     assert sum(r["tok_sum"] for r in rows) == total
+
+
+def test_recall_audits_sane(spark):
+    """The two r15 recall-audit ops: recall_bp in [0, 10000], hit
+    counts bounded by exact counts, and non-vacuous exact sets. The
+    IVF audit must also cover every query vector (5 on the
+    fixture)."""
+    from twitter_etl_spark.queries.corpus import (
+        q_dedup_minhash_recall,
+        q_sim_ivf_recall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ivf = q_sim_ivf_recall(spark, sf).collect()
+    assert len(ivf) == 5
+    for r in ivf:
+        assert 0 < r["n_exact"] <= 10
+        assert 0 <= r["n_hits"] <= r["n_exact"]
+        assert 0 <= r["recall_bp"] <= 10000
+    mh = q_dedup_minhash_recall(spark, sf).collect()
+    assert len(mh) == 1
+    r = mh[0]
+    assert r["n_exact"] > 0
+    assert 0 <= r["n_found"] <= r["n_exact"]
+    assert 0 <= r["recall_bp"] <= 10000

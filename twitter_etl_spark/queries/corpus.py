@@ -1186,3 +1186,109 @@ def _llm_curation_semantic_sql() -> str:
 
 
 ORACLE["q_llm_curation_semantic"] = _llm_curation_semantic_sql()
+
+
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit — "measure, don't guess" as a first-class
+    certified query: per query vector, recall@10 of the IVF 2-probe
+    result (``q_sim_ann_ivf``) against the exact cosine top-10
+    (``q_sim_cosine_topk``), in integer basis points. The number an
+    ANN deployment monitors when it tunes nprobe/nlist; composing
+    the two certified queries means the audit itself is
+    oracle-checked, not eyeballed.
+
+    Plan: both inputs are the certified sub-plans (broadcast-query
+    exact scan; partition-pruned IVF probe); the audit adds one
+    equi-join on (query_id, cand_id) — O(queries × k) rows — and a
+    per-query hash agg. recall_bp = half-away integer division
+    (the r15 nb_score convention), so the output is all-BIGINT."""
+    from .similarity import q_sim_cosine_topk
+
+    exact = q_sim_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    ann = (
+        q_sim_ann_ivf(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    j = exact.join(ann, ["query_id", "cand_id"], "left")
+    per = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+    )
+    return per.select(
+        "query_id",
+        "n_exact",
+        "n_hits",
+        F.expr("(2 * 10000 * n_hits + n_exact) DIV (2 * n_exact)").alias(
+            "recall_bp"
+        ),
+    )
+
+
+QUERIES["q_sim_ivf_recall"] = q_sim_ivf_recall
+
+
+def _ivf_recall_sql() -> str:
+    from .similarity import ORACLE as _SIM_ORACLE
+
+    return (
+        "WITH ex AS (" + _SIM_ORACLE["q_sim_cosine_topk"] + "), "
+        "ann AS (" + ORACLE["q_sim_ann_ivf"] + "), "
+        "j AS (SELECT ex.query_id, ex.cand_id, "
+        "  CASE WHEN ann.cand_id IS NULL THEN 0 ELSE 1 END AS hit "
+        "  FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id "
+        "  AND ex.cand_id = ann.cand_id) "
+        "SELECT query_id, count(*)::BIGINT AS n_exact, "
+        "sum(hit)::BIGINT AS n_hits, "
+        "((2 * 10000 * sum(hit) + count(*)) // (2 * count(*)))::BIGINT "
+        "AS recall_bp FROM j GROUP BY query_id"
+    )
+
+
+ORACLE["q_sim_ivf_recall"] = _ivf_recall_sql()
+
+
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup recall audit — the dedup-family twin of
+    ``q_sim_ivf_recall``: how much of the EXACT n-gram-Jaccard pair
+    set (``q_dedup_ngram_jaccard``, threshold 0.3) the banded
+    MinHash candidate generator (``q_dedup_minhash_banded``)
+    recovers. Banded LSH trades recall for never-all-pairs; this op
+    makes the trade a measured, oracle-certified number instead of a
+    docstring claim — the knob-tuning readout for (bands, rows,
+    df-cap). Output: one row (n_exact, n_found, recall_bp).
+
+    Plan: both inputs are the certified sub-plans; the audit is one
+    equi-join on the (doc_a, doc_b) pair key + a 1-row agg (bounded:
+    pair sets are df-capped). Integer basis points via half-away
+    DIV."""
+    exact = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    banded = (
+        q_dedup_minhash_banded(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    j = exact.join(banded, ["doc_a", "doc_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_found"),
+    ).selectExpr(
+        "n_exact",
+        "n_found",
+        "(2 * 10000 * n_found + n_exact) DIV (2 * n_exact) AS recall_bp",
+    )
+
+
+QUERIES["q_dedup_minhash_recall"] = q_dedup_minhash_recall
+
+ORACLE["q_dedup_minhash_recall"] = (
+    "WITH ex AS (" + _DEDUP_ORACLE["q_dedup_ngram_jaccard"] + "), "
+    "bd AS (" + ORACLE["q_dedup_minhash_banded"] + "), "
+    "j AS (SELECT ex.doc_a, ex.doc_b, "
+    "  CASE WHEN bd.doc_a IS NULL THEN 0 ELSE 1 END AS hit "
+    "  FROM ex LEFT JOIN bd ON ex.doc_a = bd.doc_a "
+    "  AND ex.doc_b = bd.doc_b) "
+    "SELECT count(*)::BIGINT AS n_exact, sum(hit)::BIGINT AS n_found, "
+    "((2 * 10000 * sum(hit) + count(*)) // (2 * count(*)))::BIGINT "
+    "AS recall_bp FROM j"
+)
