@@ -161,6 +161,7 @@ HEADLINE = [
     "q_pack_length_bucket",
     "q_sim_ivf_recall",
     "q_dedup_minhash_recall",
+    "q_er_cluster",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

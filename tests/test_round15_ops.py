@@ -504,3 +504,34 @@ def test_recall_audits_sane(spark):
     assert r["n_exact"] > 0
     assert 0 <= r["n_found"] <= r["n_exact"]
     assert 0 <= r["recall_bp"] <= 10000
+
+
+def test_er_cluster_consistent_with_pairs(spark):
+    """q_er_cluster: every matched custkey appears in the fuzzy pair
+    set, exactly one canonical per cluster (its min custkey),
+    n_members matches the cluster's row count, and both endpoints of
+    every pair share a cluster."""
+    from twitter_etl_spark.queries.dq import (
+        q_er_cluster,
+        q_er_fuzzy_blocked,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [
+        (r["custkey_a"], r["custkey_b"])
+        for r in q_er_fuzzy_blocked(spark, sf).collect()
+    ]
+    assert pairs
+    rows = q_er_cluster(spark, sf).collect()
+    cl = {r["custkey"]: r for r in rows}
+    assert set(cl) == {k for p in pairs for k in p}
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["custkey"])
+        assert r["is_canonical"] == (1 if r["custkey"] == r["cluster_id"] else 0)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        for m in members:
+            assert cl[m]["n_members"] == len(members)
+    for a, b in pairs:
+        assert cl[a]["cluster_id"] == cl[b]["cluster_id"]

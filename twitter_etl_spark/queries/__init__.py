@@ -126,6 +126,7 @@ _CERT_PREFIX = (
     "q_pack_length_bucket",
     "q_sim_ivf_recall",
     "q_dedup_minhash_recall",
+    "q_er_cluster",
     # -- r15 rotation: the remaining slots are the stalest re-certs
     #    oldest green driver round first (tools/gen_cert_rotation.py):
     #    the 3-name r8 tail (q_ts_lttb, q_udtf_splitn, q_win_nth —
@@ -170,7 +171,6 @@ _CERT_PREFIX = (
     "q_str_strip_urls",  # r9
     "q_stream_sliding_batch",  # r9
     "q_stream_tumbling_batch",  # r9
-    "q_text_fingerprint",  # r9
 )
 
 _BY_MODULE: dict = {}

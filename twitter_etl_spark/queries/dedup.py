@@ -352,17 +352,32 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 bands x 2^16 band values = at most 262k rows (~5 MB), so the
     # hint is safe at any SF (SCALE.md cap table)
     bands = bands.join(F.broadcast(keep), ["band", "band_val"])
+    # salted pair join (the similarity._pairs_from_state trick,
+    # applied here after the r15 exponent cohort caught the unsalted
+    # form serializing at sf1: the in-bucket pair stage's shuffle
+    # INPUT is tiny, so AQE coalesced the quadratic expansion into
+    # ONE task; a-side replicates x8, b-side hashes to one salt,
+    # explicit-N repartition keeps AQE's hands off)
+    _salt = 8
+    n_part = fp.sparkSession.sparkContext.defaultParallelism
     a = bands.select(
         "band", "band_val",
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),
-    )
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_salt - 1))))
     b = bands.select(
-        "band", "band_val",
+        F.col("band").alias("band_b"), F.col("band_val").alias("band_val_b"),
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"),
-    )
+    ).withColumn("salt_b", F.pmod(F.xxhash64("doc_b"), F.lit(_salt)).cast("int"))
+    a = a.repartition(n_part, "band", "band_val", "salt")
+    b = b.repartition(n_part, "band_b", "band_val_b", "salt_b")
     cand = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        a.join(
+            b,
+            (a.band == b.band_b)
+            & (a.band_val == b.band_val_b)
+            & (a.salt == b.salt_b)
+            & (a.doc_a < b.doc_b),
+        )
         .select("doc_a", "doc_b", "fp_a", "fp_b")
         .distinct()  # a pair may collide in several bands
     )

@@ -95,18 +95,43 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_er_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy match: same-nation customer pairs whose names
-    are within Levenshtein distance 2."""
+    are within Levenshtein distance 2. The in-block comparison is
+    deliberately quadratic (``q_er_sorted_neighborhood`` is the
+    linear-cost alternative) — but since r15 it is SALTED (the
+    similarity._pairs_from_state trick: a-side replicated ×8, b-side
+    hashed to one salt, explicit-N repartition), because the r15
+    exponent cohort caught the unsalted form serializing at sf1: 25
+    nation keys of tiny shuffle INPUT, so AQE coalesced the ~900M-
+    comparison expansion into one task."""
+    _salt = 8
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    b = (
-        c.withColumnRenamed("c_custkey", "custkey_b")
-        .withColumnRenamed("c_name", "name_b")
+    n_part = spark.sparkContext.defaultParallelism
+    a = c.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_salt - 1)))
     )
+    b = (
+        c.select(
+            F.col("c_custkey").alias("custkey_b"),
+            F.col("c_name").alias("name_b"),
+            F.col("c_nationkey").alias("nationkey_b"),
+        )
+        .withColumn(
+            "salt_b",
+            F.pmod(F.xxhash64("custkey_b"), F.lit(_salt)).cast("int"),
+        )
+    )
+    a = a.repartition(n_part, "c_nationkey", "salt")
+    b = b.repartition(n_part, "nationkey_b", "salt_b")
     lev = F.levenshtein(F.col("c_name"), F.col("name_b"))
     return (
-        c.join(b, "c_nationkey")
-        .where(F.col("c_custkey") < F.col("custkey_b"))
+        a.join(
+            b,
+            (a.c_nationkey == b.nationkey_b)
+            & (a.salt == b.salt_b)
+            & (a.c_custkey < b.custkey_b),
+        )
         .where(lev <= 2)
         .select(
             F.col("c_custkey").alias("custkey_a"),
@@ -796,4 +821,64 @@ ORACLE["q_drift_jsd"] = (
     "  FROM pq) "
     "SELECT source, max(n_s)::BIGINT AS n_tokens, "
     "sum(t_fp)::BIGINT / 1e9 AS jsd FROM terms GROUP BY source"
+)
+
+
+def q_er_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution CLUSTER + canonical-record election — the
+    consumer ``q_er_fuzzy_blocked`` was missing (match pairs are not
+    an MDM deliverable; golden records are): connected components
+    over the blocked fuzzy-match pairs, canonical = minimum custkey
+    per component (the deterministic survivorship rule; real MDM
+    swaps in recency/completeness scoring at this exact spot).
+    Output, one row per matched record: (custkey, cluster_id,
+    is_canonical, n_members). Completes the cluster-consumer family:
+    lexical (q_dedup_cluster), semantic (q_sim_knn_clusters), image
+    (q_multimodal_dedup_cluster), and now entities.
+
+    Scale: the pair stage is the certified nation-blocked match;
+    components via the shared ``graph.star_components`` core
+    (O(log n) star rounds, per-round localCheckpoint, one
+    convergence probe per round); sizes are one hash agg on the
+    cluster key. Oracle: recursive label-spread CTE over the
+    fuzzy-pair SQL."""
+    from .graph import star_components
+
+    pairs = q_er_fuzzy_blocked(spark, sf_dir).select(
+        F.col("custkey_a").alias("u"), F.col("custkey_b").alias("v")
+    )
+    cc = star_components(pairs, caller="q_er_cluster")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return cc.join(sizes, "cluster_id").select(
+        F.col("node").alias("custkey"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).cast("bigint").alias(
+            "is_canonical"
+        ),
+        "n_members",
+    )
+
+
+QUERIES["q_er_cluster"] = q_er_cluster
+
+ORACLE["q_er_cluster"] = (
+    "WITH RECURSIVE pairs AS ("
+    "SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b "
+    "FROM customer a JOIN customer b "
+    "ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey "
+    "WHERE levenshtein(a.c_name, b.c_name) <= 2), "
+    "edges AS (SELECT custkey_a AS src, custkey_b AS dst FROM pairs "
+    "          UNION ALL SELECT custkey_b, custkey_a FROM pairs), "
+    "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+    "reach(node, lab) AS ("
+    "  SELECT node, node FROM nodes "
+    "  UNION "
+    "  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node), "
+    "cc AS (SELECT node AS custkey, min(lab) AS cluster_id "
+    "  FROM reach GROUP BY node) "
+    "SELECT custkey, cluster_id, "
+    "(custkey = cluster_id)::BIGINT AS is_canonical, "
+    "(count(*) OVER (PARTITION BY cluster_id))::BIGINT AS n_members FROM cc"
 )
