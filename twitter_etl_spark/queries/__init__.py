@@ -108,69 +108,75 @@ _MODULES = (
 #      test_cert_prefix_all_oracle_backed::deliberate_rows_only.
 #
 # Provenance (regenerate the wording from tools/gen_cert_rotation.py
-# output, don't hand-narrate — ADVICE r14): the r14 prefix was the 14
-# r14-new ops + 36 r8 names; the three r8 boundary ties it displaced
-# (q_ts_lttb, q_udtf_splitn, q_win_nth) head this r15 queue, followed
-# by the r9 cohort. Names NOT in the prefix keep their module-order
-# position after it.
+# output, don't hand-narrate — ADVICE r14): the r15 prefix was the 12
+# r15-new ops + 38 stale (r8 tail + r9 cohort head). This r16 prefix
+# is the tool's 44-name queue (the 15-name r9 tail it displaced as
+# boundary ties + the r10 cohort head) plus reserved slots for the
+# r16-new ops and the q_drift_jsd respell re-cert. Names NOT in the
+# prefix keep their module-order position after it.
 _CERT_PREFIX = (
-    # -- r15-new ops (certs in their birth round, per policy #1)
-    "q_llm_curation_semantic",
-    "q_quality_nb_score",
-    "q_text_unigram_tok",
-    "q_text_unigram_encode",
-    "q_behavior_survival",
-    "q_multimodal_dedup_cluster",
-    "q_behavior_cohort_ltv",
+    # -- r16-new ops (certs in their birth round, per policy #1)
+    # (slots filled as ops land this round)
+    # -- r16 re-cert slot: q_drift_jsd was respelled this round
+    #    (observed-cells + closed-form p=0 correction, both engines
+    #    changed together -> re-certify despite r15 freshness)
     "q_drift_jsd",
-    "q_pack_length_bucket",
-    "q_sim_ivf_recall",
-    "q_dedup_minhash_recall",
-    "q_er_cluster",
-    # -- r15 rotation: the remaining slots are the stalest re-certs
-    #    oldest green driver round first (tools/gen_cert_rotation.py):
-    #    the 3-name r8 tail (q_ts_lttb, q_udtf_splitn, q_win_nth —
-    #    displaced as boundary ties in r14) + the stalest r9 names.
-    #    Each r15-new op displaces the youngest filler (tail of this
-    #    list), never the stale cohort.
-    "q_ts_lttb",  # r8
-    "q_udtf_splitn",  # r8
-    "q_win_nth",  # r8
-    "q_agg_approx_distinct",  # r9
-    "q_agg_kmv_distinct",  # r9
-    "q_dedup_minhash",  # r9
-    "q_dedup_normalized",  # r9
-    "q_dedup_simhash",  # r9
-    "q_except",  # r9
-    "q_fn_array",  # r9
-    "q_fn_case",  # r9
-    "q_fn_cast",  # r9
-    "q_fn_date",  # r9
-    "q_fn_json",  # r9
-    "q_fn_map",  # r9
-    "q_fn_math",  # r9
-    "q_fn_string2",  # r9
-    "q_graph_adamic_adar",  # r9
-    "q_intersect",  # r9
-    "q_join_cross",  # r9
-    "q_join_right",  # r9
-    "q_limit_topk",  # r9
-    "q_multimodal_framesample",  # r9
-    "q_multimodal_meta",  # r9
-    "q_sample_hash",  # r9
-    "q_sim_ann_lsh",  # r9
-    "q_sim_cosine_topk",  # r9
-    "q_sim_embedding_neardup",  # r9
-    "q_sim_lsh_rhp_strict",  # r9
-    "q_sort_multi",  # r9
-    "q_stat_chi2_binned",  # r9
-    "q_str_lower",  # r9
-    "q_str_squish",  # r9
-    "q_str_stopwords",  # r9
-    "q_str_strip_mentions",  # r9
-    "q_str_strip_urls",  # r9
-    "q_stream_sliding_batch",  # r9
-    "q_stream_tumbling_batch",  # r9
+    # -- r16 rotation: the remaining slots are the stalest re-certs
+    #    oldest green driver round first (tools/gen_cert_rotation.py
+    #    with 6 reserved slots): the 15-name r9 tail + the r10 cohort
+    #    head. Each r16-new op displaces the youngest filler (tail of
+    #    this list), never the stale cohort.
+    "q_text_fingerprint",  # r9
+    "q_text_hashtags",  # r9
+    "q_text_langid",  # r9
+    "q_text_lengthhist",  # r9
+    "q_text_lexicon_join",  # r9
+    "q_text_ngrams",  # r9
+    "q_text_quality",  # r9
+    "q_text_repetition",  # r9
+    "q_text_scrub",  # r9
+    "q_text_tokencount",  # r9
+    "q_text_tokenize",  # r9
+    "q_text_wordcount",  # r9
+    "q_ts_seasonal_decompose",  # r9
+    "q_union_all",  # r9
+    "q_union_distinct",  # r9
+    "q_agg_bitmap_distinct",  # r10
+    "q_agg_mergeable",  # r10
+    "q_agg_theta_matrix",  # r10
+    "q_agg_theta_setops",  # r10
+    "q_attribution_batch",  # r10
+    "q_behavior_transitions",  # r10
+    "q_cohort_retention",  # r10
+    "q_dedup_cluster",  # r10
+    "q_dedup_cluster_stats",  # r10
+    "q_dedup_minhash_incremental",  # r10
+    "q_dedup_simhash_md5",  # r10
+    "q_dedup_substring_cut",  # r10
+    "q_dq_benford",  # r10
+    "q_dq_checks",  # r10
+    "q_dq_kanonymity",  # r10
+    "q_er_fuzzy_blocked",  # r10
+    "q_er_sorted_neighborhood",  # r10
+    "q_fn_regression",  # r10
+    "q_fn_unpivot",  # r10
+    "q_funnel_conversion",  # r10
+    "q_geo_cell_density",  # r10
+    "q_graph_degree",  # r10
+    "q_graph_pagerank",  # r10
+    "q_graph_triangles",  # r10
+    "q_join_asof_tolerance",  # r10
+    "q_join_nullsafe",  # r10
+    "q_llm_curation",  # r10
+    "q_merge_upsert",  # r10
+    "q_multimodal_decode",  # r10
+    # -- youngest fillers (next-stalest r10; displaced one-for-one,
+    #    tail first, as r16-new ops land)
+    "q_outliers_robust",  # r10
+    "q_pack_sequences",  # r10
+    "q_quality_gopher",  # r10
+    "q_sample_leakage_safe",  # r10
+    "q_sample_split",  # r10
 )
 
 _BY_MODULE: dict = {}
