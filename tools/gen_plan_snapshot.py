@@ -76,9 +76,18 @@ def main() -> int:
     from twitter_etl_spark import cacheutil
 
     spark = get_spark("plan-snapshot")
+    # incremental mode: names on argv update just those entries in
+    # the committed snapshot (full regen takes ~5 min; per-op regen
+    # after each registration keeps the gate green mid-round)
+    only = set(sys.argv[1:])
     snap: dict[str, dict[str, int]] = {}
+    if only:
+        with open(OUT) as f:
+            snap = json.load(f)
     for name in sorted(ALL_QUERIES):
         if name in SKIP:
+            continue
+        if only and name not in only:
             continue
         # cold-form fingerprints: a warm cache slot swaps a query's
         # subtree for InMemoryRelation and changes the counts with

@@ -746,18 +746,28 @@ def q_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism contract: p = c_st/n_s and q = c_t/n are exact
     BIGINT ratios evaluated identically in both engines; each
-    token's JSD contribution 0.5·p·ln(2p/(p+q)) + 0.5·q·ln(2q/(p+q))
-    is fixed-pointed (round 9, ×1e9, BIGINT — terms are O(1e-4), so
-    round 9 keeps 5 significant digits) BEFORE the per-source sum;
-    jsd is the exact integer sum ÷ 1e9. p = 0 contributes only the
-    q half (2q/(0+q) = 2 — finite); q > 0 for every corpus token.
+    OBSERVED token's JSD contribution 0.5·p·ln(2p/(p+q)) +
+    0.5·q·ln(2q/(p+q)) is fixed-pointed (round 9, ×1e9, BIGINT —
+    terms are O(1e-4), so round 9 keeps 5 significant digits)
+    BEFORE the per-source sum. The p = 0 cells have the CLOSED FORM
+    0.5·q·ln 2 (2q/(0+q) = 2), so their whole contribution collapses
+    to one per-source correction 0.5·ln 2·(n − s_q)/n where s_q =
+    Σ c_t over the source's observed tokens (exact BIGINT) — fixed-
+    pointed once per source with the same round-9 spelling; jsd is
+    the exact integer sum (terms + correction) ÷ 1e9. (r15 verdict:
+    the previous spelling materialized the full |sources|×|vocab|
+    grid just to add those q-half terms.)
 
     Scale: ONE (source, token) hash agg builds the conditional
-    counts, the corpus model is a token-keyed re-agg of that table
-    (never a second corpus pass — the q_text_kneser_ney shape), the
-    per-source and corpus totals are |sources|-row / 1-row broadcast
-    frames, and the term sum shuffles |vocab|×|sources| fixed-point
-    ints on the source key."""
+    counts; the corpus model rides the SAME table as a token-
+    partitioned window sum (never a second corpus pass and no
+    vocab-keyed join output — the frame stays |observed cells|);
+    the per-source totals (|sources| rows) and the corpus total
+    (1 row) are broadcast; the term sum shuffles only observed
+    (source, token) fixed-point ints on the source key. The p = 0
+    closed form removes the |sources|× inflation entirely — the
+    dominant shuffle is now the observed-cell count at any corpus
+    size."""
     d = table(spark, sf_dir, "documents")
     st = (
         d.select(
@@ -768,33 +778,50 @@ def q_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("c_st"))
     )
-    ct = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
-    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
-    n = ct.agg(F.sum("c_t").alias("n"))
-    # every (source, token-in-corpus) cell, including p = 0 cells:
-    # the q-half of the divergence integrates over Q's full support
-    grid = ns.crossJoin(ct.crossJoin(F.broadcast(n)))
-    full = grid.join(st, ["source", "tok"], "left").select(
-        "source",
-        "n_s",
-        (F.coalesce("c_st", F.lit(0)) / F.col("n_s")).alias("p"),
-        (F.col("c_t") / F.col("n")).alias("q"),
+    from pyspark.sql import Window
+
+    # corpus token counts as a window over the SAME frame: one
+    # shuffle on tok, no separate |vocab| frame to join back
+    stc = st.withColumn(
+        "c_t", F.sum("c_st").over(Window.partitionBy("tok"))
     )
-    term = (
-        F.when(
-            F.col("p") > 0,
-            0.5 * F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q"))),
-        ).otherwise(F.lit(0.0))
-        + 0.5 * F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    n = ns.agg(F.sum("n_s").alias("n"))
+    obs = stc.join(F.broadcast(ns), "source").crossJoin(F.broadcast(n))
+    p = F.col("c_st") / F.col("n_s")
+    q = F.col("c_t") / F.col("n")
+    term = 0.5 * p * F.log(2 * p / (p + q)) + 0.5 * q * F.log(
+        2 * q / (p + q)
     )
     term_fp = F.floor(F.round(term, 9) * 1e9 + F.lit(0.5)).cast("bigint")
-    return (
-        full.select("source", "n_s", term_fp.alias("t_fp"))
+    per = (
+        obs.select(
+            "source",
+            "n_s",
+            term_fp.alias("t_fp"),
+            "c_t",
+        )
         .groupBy("source")
         .agg(
             F.max("n_s").alias("n_tokens"),
-            (F.sum("t_fp") / F.lit(1e9)).alias("jsd"),
+            F.sum("t_fp").alias("s_t"),
+            F.sum("c_t").alias("s_q"),
         )
+    )
+    corr_fp = F.floor(
+        F.round(
+            F.lit(0.5)
+            * ((F.col("n") - F.col("s_q")) / F.col("n"))
+            * F.log(F.lit(2.0)),
+            9,
+        )
+        * 1e9
+        + F.lit(0.5)
+    ).cast("bigint")
+    return per.crossJoin(F.broadcast(n)).select(
+        "source",
+        "n_tokens",
+        ((F.col("s_t") + corr_fp) / F.lit(1e9)).alias("jsd"),
     )
 
 
@@ -805,22 +832,25 @@ ORACLE["q_drift_jsd"] = (
     "'\\s+')) AS tok FROM documents), "
     "st AS (SELECT source, tok, count(*)::BIGINT AS c_st FROM t "
     "  WHERE tok <> '' GROUP BY source, tok), "
-    "ct AS (SELECT tok, sum(c_st)::BIGINT AS c_t FROM st GROUP BY tok), "
+    "stc AS (SELECT source, tok, c_st, "
+    "  sum(c_st) OVER (PARTITION BY tok)::BIGINT AS c_t FROM st), "
     "ns AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY source), "
-    "n AS (SELECT sum(c_t)::BIGINT AS n FROM ct), "
-    "grid AS (SELECT ns.source, ns.n_s, ct.tok, ct.c_t, n.n "
-    "  FROM ns CROSS JOIN ct CROSS JOIN n), "
-    "pq AS (SELECT grid.source, grid.n_s, "
-    "  coalesce(st.c_st, 0)::DOUBLE / grid.n_s AS p, "
-    "  grid.c_t::DOUBLE / grid.n AS q "
-    "  FROM grid LEFT JOIN st ON st.source = grid.source "
-    "  AND st.tok = grid.tok), "
-    "terms AS (SELECT source, n_s, floor(round("
-    "  (CASE WHEN p > 0 THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END) "
+    "n AS (SELECT sum(n_s)::BIGINT AS n FROM ns), "
+    "pq AS (SELECT stc.source, ns.n_s, stc.c_t, "
+    "  stc.c_st::DOUBLE / ns.n_s AS p, "
+    "  stc.c_t::DOUBLE / n.n AS q "
+    "  FROM stc JOIN ns ON ns.source = stc.source CROSS JOIN n), "
+    "terms AS (SELECT source, n_s, c_t, floor(round("
+    "  0.5 * p * ln(2 * p / (p + q)) "
     "  + 0.5 * q * ln(2 * q / (p + q)), 9) * 1e9 + 0.5)::BIGINT AS t_fp "
-    "  FROM pq) "
-    "SELECT source, max(n_s)::BIGINT AS n_tokens, "
-    "sum(t_fp)::BIGINT / 1e9 AS jsd FROM terms GROUP BY source"
+    "  FROM pq), "
+    "per AS (SELECT source, max(n_s)::BIGINT AS n_tokens, "
+    "  sum(t_fp)::BIGINT AS s_t, sum(c_t)::BIGINT AS s_q "
+    "  FROM terms GROUP BY source) "
+    "SELECT source, n_tokens, "
+    "(s_t + floor(round(0.5 * ((n.n - s_q)::DOUBLE / n.n) * ln(2.0), 9) "
+    "* 1e9 + 0.5)::BIGINT) / 1e9 AS jsd "
+    "FROM per CROSS JOIN n"
 )
 
 
