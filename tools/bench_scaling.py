@@ -148,16 +148,26 @@ def main() -> int:
         by_name.update({r["query"]: r for r in rows})
         out["rows"] = list(by_name.values())
         out["flagged"] = [r["query"] for r in out["rows"] if r["flagged"]]
+        out["n_runs"] = N_RUNS
+        out["flag_slope"] = FLAG_SLOPE
     else:
         out = {
             "n_runs": N_RUNS,
             "flag_slope": FLAG_SLOPE,
-            "totals": {
-                s: round(sum(t.values()), 3) for s, t in per_scale.items()
-            },
             "rows": rows,
             "flagged": [r["query"] for r in rows if r["flagged"]],
         }
+    # totals are ALWAYS recomputed from the merged rows so the file
+    # stays self-consistent after cohort merges (r15 advice: carrying
+    # the old full-run totals over described a run that no longer
+    # matches the rows); rows carry measured_round, so the sums mix
+    # rounds by construction — named accordingly.
+    out["totals"] = {
+        "note": "sum of per-row times across rows (mixed measured_round)",
+        "sf0.01": round(sum(r["t_sf001"] for r in out["rows"]), 3),
+        "sf0.1": round(sum(r["t_sf01"] for r in out["rows"]), 3),
+        "sf1": round(sum(r["t_sf1"] for r in out["rows"]), 3),
+    }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
 

@@ -503,10 +503,13 @@ def _keep_min_by_digest(state: DataFrame, key: str = "vec_id") -> DataFrame:
     embedding ever changes between absorptions (when values are
     immutable per key — the normal contract — this is row-identical
     to dropDuplicates). Cost shape is unchanged: one hash shuffle on
-    the key, same as dropDuplicates."""
+    the key, same as dropDuplicates. The payload list is SORTED so
+    the digest is schema-order independent — a caller passing the
+    same values with reordered columns elects the same survivor
+    (r15 advice)."""
     from pyspark.sql import Window
 
-    payload = [c for c in state.columns if c != key]
+    payload = sorted(c for c in state.columns if c != key)
     wd = Window.partitionBy(key).orderBy(
         F.md5(F.to_json(F.struct(*payload))).asc()
     )
@@ -1343,13 +1346,16 @@ def update_curation_rollup(
     semantic rollup under ``<rollup_dir>/sem`` so the semantic
     judgment regenerates from state at read time.
 
-    Contract (test-pinned): with batches whose doc_ids arrive in
-    nondecreasing ranges — the append-only ingest shape — the
-    absorbed keeper per digest IS the global min-doc_id keeper, so
-    :func:`curation_keeplist` is row-identical to the one-shot
-    ``curation.curate(union, semantic_keep=...)``. Re-absorbing a
-    batch is a no-op (anti-join by digest), so delivery is
-    at-least-once-safe without an HWM."""
+    Contract (test-pinned): the absorbed keeper per digest is the
+    global min-doc_id keeper over ALL absorbed batches in ANY
+    arrival order — the merge re-elects min_by(doc_id) per digest
+    across prev ∪ fresh (same single hash shuffle on the digest key
+    as the old left_anti spelling, which silently kept the
+    first-absorbed keeper under out-of-order batches — r15 advice),
+    so :func:`curation_keeplist` is row-identical to the one-shot
+    ``curation.curate(union, semantic_keep=...)`` regardless of
+    batch order. Re-absorbing a batch is idempotent by the same
+    rule, so delivery is at-least-once-safe without an HWM."""
     from .cleaning import clean_chain
     from .curation import MIN_TOKENS
 
@@ -1373,10 +1379,20 @@ def update_curation_rollup(
     )
     if os.path.exists(os.path.join(docs_dir, "_LATEST")):
         prev = read_version(spark, docs_dir).select(*_CURATION_STATE_COLS)
-        fresh = keeper.join(
-            prev.select("norm_digest"), "norm_digest", "left_anti"
+        state = (
+            prev.unionByName(keeper)
+            .groupBy("norm_digest")
+            .agg(
+                F.min_by(
+                    F.struct("doc_id", "q_ok"), F.col("doc_id")
+                ).alias("w")
+            )
+            .select(
+                "norm_digest",
+                F.col("w.doc_id").alias("doc_id"),
+                F.col("w.q_ok").alias("q_ok"),
+            )
         )
-        state = prev.unionByName(fresh)
     else:
         state = keeper
     v = publish_version(state.select(*_CURATION_STATE_COLS), docs_dir)
@@ -1394,8 +1410,8 @@ def curation_keeplist(
     the persisted state ALONE: exact-dedup keepers, minus keepers
     judged semantic duplicates (the adaptive keeplist over the
     absorbed embedding state, joined doc_id ↔ vec_id), minus quality
-    failures, split by digest hash so duplicates co-travel. Under
-    the monotone-doc_id absorption contract this is row-identical to
+    failures, split by digest hash so duplicates co-travel. For any
+    batch arrival order this is row-identical to
     ``curation.curate(union_of_batches, semantic_keep=
     q_dedup_semantic_adaptive_flags)`` (test-pinned). One digest-set
     scan + one 8-byte-key join; document text is never touched."""
