@@ -162,6 +162,9 @@ HEADLINE = [
     "q_sim_ivf_recall",
     "q_dedup_minhash_recall",
     "q_er_cluster",
+    # r16 additions
+    "q_llm_curation_neardup",
+    "q_sim_pq_recall",
 ]
 
 # rows-only ops tracked for wall-time but kept OUT of `value` (no

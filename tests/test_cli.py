@@ -87,14 +87,12 @@ def test_cert_prefix_all_oracle_backed():
     from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
 
     # r16 prefix rotates the 15-name r9 tail + the r10 cohort head —
-    # all oracle-backed. The only rows-only names expected in the
-    # prefix this round are r16-new ops whose contract is a pytest
-    # replica/probe-equality pin (added here as they land).
-    deliberate_rows_only = {
-        # r16-new: incremental IVF maintenance — the contract is the
-        # probe-equality pin (absorb ≡ rebuild on the union), not SQL
-        "q_sim_ivf_update",
-    }
+    # all oracle-backed, and every r16-new op so far is
+    # oracle-backed too (the incremental-IVF maintenance surface is
+    # a pin-only rollup function, not a registry query — the
+    # absorb_ivfpq_batch precedent), so the set is empty. Populate
+    # it only when a rows-only name enters the prefix.
+    deliberate_rows_only: set = set()
     prefix = list(ALL_QUERIES)[:50]
     missing = [
         n for n in prefix if n not in ALL_ORACLES and n not in deliberate_rows_only

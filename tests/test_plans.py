@@ -79,6 +79,8 @@ _SINGLE_PARTITION_OK = {
     # 1-row funnel agg (seven BIGINT counters) over the post-dedup
     # digest frame, unpivoted by stack — the q_agg_global class (r15)
     "q_llm_curation_semantic",
+    # same funnel shape + the near-dup stage's star components (r16)
+    "q_llm_curation_neardup",
     # at-risk/cumulative KM windows ride the O(#lifetime-days) axis
     # + two 1-row bounds frames — the calendar-axis class (r15)
     "q_behavior_survival",

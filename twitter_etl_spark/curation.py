@@ -33,7 +33,11 @@ from .cleaning import clean_chain
 MIN_TOKENS = 3
 
 
-def curate(docs: DataFrame, semantic_keep: DataFrame | None = None) -> DataFrame:
+def curate(
+    docs: DataFrame,
+    semantic_keep: DataFrame | None = None,
+    neardup_keep: DataFrame | None = None,
+) -> DataFrame:
     """documents -> curated rows (doc_id, text, norm_digest, split).
 
     Keep-first exact dedup on the normalized digest via
@@ -50,7 +54,19 @@ def curate(docs: DataFrame, semantic_keep: DataFrame | None = None) -> DataFrame
     a keeper judged a semantic duplicate (kept = 0) drops before the
     quality gate. Docs with no embedding row pass through (kept
     defaults to 1). One extra equi-join on a compact key; nothing
-    else about the plan changes."""
+    else about the plan changes.
+
+    ``neardup_keep`` (r15 verdict #2) likewise inserts the LEXICAL
+    near-dup stage between exact dedup and the semantic stage: a
+    (doc_id, kept) frame — ``queries.corpus.neardup_keep_flags``'s
+    banded-MinHash cluster judgment, or the ingest-time rollup's
+    regenerated keeplist — joined on the keeper's doc_id; keepers
+    judged lexical near-duplicates (kept = 0) drop first. Absent
+    doc_ids pass through. Stage order exact -> near-dup -> semantic
+    -> quality matches ``q_llm_curation_neardup``'s certified
+    funnel; because each stage's flag is computed globally, the
+    filters commute and the composition equals the funnel's keep
+    set exactly."""
     from .queries.sampling import hash_bucket
 
     norm = clean_chain(F.col("text"))
@@ -67,6 +83,15 @@ def curate(docs: DataFrame, semantic_keep: DataFrame | None = None) -> DataFrame
             F.col("w.__norm").alias("__norm"),
         )
     )
+    if neardup_keep is not None:
+        nk = neardup_keep.select(
+            F.col("doc_id").alias("__nk_id"), F.col("kept").alias("__nk_kept")
+        )
+        keeper = (
+            keeper.join(nk, keeper.doc_id == nk.__nk_id, "left")
+            .filter(F.coalesce("__nk_kept", F.lit(1)) == 1)
+            .drop("__nk_id", "__nk_kept")
+        )
     if semantic_keep is not None:
         sk = semantic_keep.select(
             F.col("vec_id").alias("__sk_id"), F.col("kept").alias("__sk_kept")
@@ -90,14 +115,18 @@ def curate_and_shard(
     out_dir: str,
     n_shards: int = 8,
     semantic_keep: DataFrame | None = None,
+    neardup_keep: DataFrame | None = None,
 ) -> dict:
     """Run the full pipeline and export per-split shard directories.
     Returns per-split row counts (one write action per split, ONE
     count job for all splits — not one count per split).
-    ``semantic_keep`` threads through to :func:`curate`."""
+    ``semantic_keep``/``neardup_keep`` thread through to
+    :func:`curate`."""
     from .sinks import export_training_shards
 
-    curated = curate(docs, semantic_keep=semantic_keep).cache()
+    curated = curate(
+        docs, semantic_keep=semantic_keep, neardup_keep=neardup_keep
+    ).cache()
     for split in ("train", "val", "test"):
         part = curated.filter(F.col("split") == split)
         export_training_shards(part, f"{out_dir}/{split}", "norm_digest", n_shards)

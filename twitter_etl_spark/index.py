@@ -48,6 +48,7 @@ def build_ivf_index(
     index_dir: str,
     k: int = 8,
     iters: int = 3,
+    centroids: list | None = None,
 ) -> list:
     """Train + assign + write. Returns the trained centroid list.
 
@@ -55,13 +56,17 @@ def build_ivf_index(
     of (vec_id, embedding) — the embedding payload ships exactly
     once. Cell skew (a dominant cluster) shows up as a big partition
     directory, not a failed task: files within a partition still
-    split across scan tasks on read."""
+    split across scan tasks on read.
+
+    Pass ``centroids`` to skip training and build under a FIXED
+    pre-trained quantizer (the rebuild-vs-absorb equivalence pin
+    compares layouts under the same centroids — the
+    :func:`build_ivfpq_index` convention)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _as_double(F.col("embedding")).alias("v")
     )
-    centroids = train_kmeans(
-        e.select("vec_id", "v"), k, iters
-    )
+    if centroids is None:
+        centroids = train_kmeans(e.select("vec_id", "v"), k, iters)
     assigned = _kmeans_assign(e, centroids).select(
         "vec_id", "embedding", F.col("cluster").alias("cell")
     )
@@ -432,6 +437,61 @@ def absorb_ivfpq_batch(
         "vec_id", "embedding", _as_double(F.col("embedding")).alias("v")
     )
     st = _pq_state(e, centroids)
+    n_added = st.count()
+    st.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, _DATA_DIR)
+    )
+    sizes = (
+        spark.read.parquet(os.path.join(index_dir, _DATA_DIR))
+        .groupBy("cell")
+        .count()
+    )
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("count").alias("max_cell"),
+        F.avg("count").alias("mean_cell"),
+    ).first()
+    imbalance = float(row["max_cell"]) / float(row["mean_cell"])
+    return {
+        "n_added": n_added,
+        "n_cells": int(row["n_cells"]),
+        "max_cell": int(row["max_cell"]),
+        "mean_cell": round(float(row["mean_cell"]), 2),
+        "imbalance": round(imbalance, 3),
+        "retrain": imbalance > RETRAIN_IMBALANCE,
+    }
+
+
+def absorb_ivf_batch(
+    spark: SparkSession, index_dir: str, new_embeddings: DataFrame
+) -> dict:
+    """Absorb a NEW embedding batch into a built plain-IVF index
+    without a rebuild (r15 verdict #7 — the raw-vector twin of
+    :func:`absorb_ivfpq_batch`, completing the incremental-
+    maintenance story for BOTH serving layouts): assign each batch
+    vector to its nearest TRAINED cell (centroids load from the
+    few-KB JSON — no training job) and APPEND (vec_id, embedding,
+    cell) to the cell-partitioned parquet. One shuffle-free job over
+    the batch; history bytes are never read or rewritten.
+
+    Returns the same centroid-drift report as the IVF-PQ absorb:
+    per-cell size stats over the post-absorb index and ``retrain``
+    (imbalance > :data:`RETRAIN_IMBALANCE`) — the maintenance-window
+    rebuild signal. The stats scan reads only the partition column.
+
+    Probe-after-absorb is pytest-pinned row-identical to a full
+    rebuild over the union under the same centroids
+    (tests/test_retrieval.py — the absorb_ivfpq_batch convention).
+
+    Caller contract: batch vec_ids are new (append-only layout)."""
+    with open(os.path.join(index_dir, _CENTROIDS_FILE)) as f:
+        centroids = [(int(c), v) for c, v in json.load(f).items()]
+    e = new_embeddings.select(
+        "vec_id", "embedding", _as_double(F.col("embedding")).alias("v")
+    )
+    st = _kmeans_assign(e, centroids).select(
+        "vec_id", "embedding", F.col("cluster").alias("cell")
+    )
     n_added = st.count()
     st.write.mode("append").partitionBy("cell").parquet(
         os.path.join(index_dir, _DATA_DIR)

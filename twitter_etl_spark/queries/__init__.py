@@ -116,7 +116,8 @@ _MODULES = (
 # prefix keep their module-order position after it.
 _CERT_PREFIX = (
     # -- r16-new ops (certs in their birth round, per policy #1)
-    # (slots filled as ops land this round)
+    "q_llm_curation_neardup",
+    "q_sim_pq_recall",
     # -- r16 re-cert slot: q_drift_jsd was respelled this round
     #    (observed-cells + closed-form p=0 correction, both engines
     #    changed together -> re-certify despite r15 freshness)
@@ -175,8 +176,6 @@ _CERT_PREFIX = (
     "q_outliers_robust",  # r10
     "q_pack_sequences",  # r10
     "q_quality_gopher",  # r10
-    "q_sample_leakage_safe",  # r10
-    "q_sample_split",  # r10
 )
 
 _BY_MODULE: dict = {}

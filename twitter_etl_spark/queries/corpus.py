@@ -296,6 +296,19 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
     )
     sh = d.select("doc_id", _shingles().alias("s")).filter(F.size("s") > 0)
+    return minhash_banded_pairs(sh)
+
+
+def minhash_banded_pairs(sh: DataFrame) -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, jaccard >= 0.3) over an
+    arbitrary (doc_id, s: array<string>) shingle frame — the banded
+    candidate generation + exact-Jaccard verify of
+    :func:`q_dedup_minhash_banded`, factored out so compositions
+    (the r16 curation near-dup stage runs it over the exact-dedup
+    keepers' NORMALIZED text) reuse the same certified machinery.
+    Plan shape unchanged: one shuffle on (band, sig), df-capped
+    buckets, upper-triangle in-bucket pair arrays, shingle-set
+    join-back for the exact verify."""
     sigs = minhash_band_sigs(sh)
     # in-bucket pair generation (one shuffle; the df/bucket cap drops
     # degenerate buckets before the quadratic step, as in
@@ -1292,3 +1305,307 @@ ORACLE["q_dedup_minhash_recall"] = (
     "((2 * 10000 * sum(hit) + count(*)) // (2 * count(*)))::BIGINT "
     "AS recall_bp FROM j"
 )
+
+
+def _keeper_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup keepers (dg, doc_id, nm, cnt) — stage 1+2 of the
+    curation funnel, shared by the composed funnels. One hash-agg
+    shuffle on the 32-byte digest; cnt carries the group size so the
+    input count needs no second documents scan."""
+    from ..cleaning import clean_chain
+
+    d = table(spark, sf_dir, "documents")
+    norm = clean_chain(F.col("text"))
+    return (
+        d.select("doc_id", F.md5(norm).alias("dg"), norm.alias("nm"))
+        .groupBy("dg")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("nm").alias("nm"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def _neardup_clusters(g: DataFrame) -> DataFrame:
+    """(node, cluster_id) near-dup components over a keeper frame's
+    NORMALIZED text: 3-gram shingles -> banded-MinHash candidates +
+    exact-Jaccard verify (:func:`minhash_banded_pairs`) ->
+    ``graph.star_components`` (O(log n) large/small-star rounds,
+    per-round localCheckpoint). Only docs participating in at least
+    one verified pair appear; the cluster canonical is the component
+    min doc_id."""
+    from .dedup import _shingles
+    from .graph import star_components
+
+    sh = g.select(
+        "doc_id", F.split(F.trim("nm"), r"\s+").alias("toks")
+    ).select("doc_id", _shingles().alias("s")).filter(F.size("s") > 0)
+    pairs = minhash_banded_pairs(sh).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    return star_components(pairs, caller="q_llm_curation_neardup")
+
+
+def neardup_keep_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, kept) lexical near-dup judgment over the exact-dedup
+    keepers — the frame ``curation.curate(neardup_keep=...)``
+    consumes (the lexical twin of the semantic keep flags). kept = 0
+    iff the keeper sits in a verified near-dup cluster and is not
+    its canonical (min doc_id) member."""
+    g = _keeper_frame(spark, sf_dir)
+    cc = _neardup_clusters(g)
+    return g.join(cc, g.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.when(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("node")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("kept"),
+    )
+
+
+def q_llm_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation with BOTH dedup stages composed in — the
+    full pretraining funnel (r15 verdict #2): normalize -> keep-first
+    exact dedup -> **lexical near-dup dedup** (banded MinHash over
+    the keepers' normalized text, verified Jaccard >= 0.3, cluster
+    keeper = component min doc_id via ``graph.star_components``) ->
+    **semantic dedup** (``q_dedup_semantic_adaptive`` keep flags,
+    vec_id <-> doc_id) -> quality gate -> leakage-safe split.
+    Output: one (stage, n_docs) row per funnel stage — the 8-row
+    drop-accounting audit a real pretraining job logs.
+
+    Plan shape (the 100 TB question): stage 2 is one hash agg on the
+    digest; the near-dup stage is the certified sub-quadratic banded
+    machinery (bucket join + df caps, never all-pairs) plus O(log n)
+    star rounds over the VERIFIED pair set only; the semantic stage
+    is the certified occupancy-bounded adaptive pipeline plus one
+    8-byte equi-join; the funnel is one global agg unpivoted by
+    ``stack`` — eight 1-row counters, not eight jobs. The keeper
+    frame is localCheckpointed once: it feeds both the shingle
+    pipeline and the funnel join (the r14 double-consumer lesson),
+    and the checkpoint fences the iterative CC consumer's lineage.
+
+    sf1 posture (the q_geo_dbscan precedent): hash-certified vs the
+    DuckDB oracle at sf0.001/0.01/0.1; at the sf1 decade the
+    ORACLE's recursive label-spread CTE is O(|component|² · degree)
+    reachability pairs and the replica corpus MERGES near-dup
+    components across replicas (3-gram shingles survive the 16-token
+    markers at Jaccard ≈ 0.65), making the fixpoint prohibitive
+    (killed after 60 min; the Spark side finishes in minutes). The
+    sf1 contract is therefore Spark-side: star-component labels
+    equal an independent union-find over the same verified pair set
+    and the funnel counts recompute from those labels exactly
+    (tests/test_round16_ops.py pins the equivalence; SCALE.md r16
+    records the sf1 run).
+    """
+    from ..curation import MIN_TOKENS
+    from .sampling import hash_bucket
+    from .similarity import q_dedup_semantic_adaptive
+
+    g = _keeper_frame(spark, sf_dir).localCheckpoint()
+    cc = _neardup_clusters(g)
+    sem = q_dedup_semantic_adaptive(spark, sf_dir).select(
+        F.col("vec_id").alias("__sk_id"), F.col("kept").alias("__sk_kept")
+    )
+    bucket = hash_bucket(F.col("dg"))
+    s = (
+        g.join(cc, g.doc_id == cc.node, "left")
+        .withColumn(
+            "nd_kept",
+            F.when(
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col("node")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .join(sem, F.col("doc_id") == F.col("__sk_id"), "left")
+        .withColumn(
+            "sem_kept",
+            F.col("nd_kept")
+            * F.coalesce("__sk_kept", F.lit(1)).cast("bigint"),
+        )
+        .withColumn(
+            "q_ok",
+            F.col("sem_kept")
+            * (
+                F.size(F.split(F.trim("nm"), r"\s+")) >= MIN_TOKENS
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "split",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test"),
+        )
+    )
+    one = s.agg(
+        F.sum("cnt").alias("n_input"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("nd_kept").alias("n_nd"),
+        F.sum("sem_kept").alias("n_sem"),
+        F.sum("q_ok").alias("n_q"),
+        *[
+            F.sum(
+                ((F.col("split") == sp) & (F.col("q_ok") == 1)).cast("bigint")
+            ).alias(f"n_{sp}")
+            for sp in ("train", "val", "test")
+        ],
+    )
+    return one.selectExpr(
+        "stack(8, "
+        "'input', n_input, 'exact_dedup', n_exact, 'neardup_dedup', n_nd, "
+        "'semantic_dedup', n_sem, 'quality', n_q, 'split_train', n_train, "
+        "'split_val', n_val, 'split_test', n_test) AS (stage, n_docs)"
+    )
+
+
+QUERIES["q_llm_curation_neardup"] = q_llm_curation_neardup
+
+
+def _llm_curation_neardup_sql() -> str:
+    from ..cleaning import sql_clean_chain
+    from .sampling import _sql_bucket
+    from .similarity import ORACLE as _SIM_ORACLE
+
+    clean = sql_clean_chain("text")
+    bucket = _sql_bucket("dg")
+    return (
+        "WITH RECURSIVE sem AS ("
+        + _SIM_ORACLE["q_dedup_semantic_adaptive"]
+        + "), "
+        f"d AS (SELECT doc_id, md5({clean}) AS dg, {clean} AS nm FROM documents), "
+        "g AS (SELECT dg, min(doc_id) AS doc_id, min(nm) AS nm, "
+        "      count(*)::BIGINT AS cnt FROM d GROUP BY dg), "
+        # near-dup stage over the keepers' normalized text: the
+        # q_dedup_minhash_banded oracle machinery, FROM g
+        "t AS (SELECT doc_id, string_split_regex(trim(nm), '\\s+') AS toks "
+        "      FROM g), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "  range(1, greatest(len(toks) - 2, 0) + 1), "
+        "  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM t), "
+        "shf AS (SELECT * FROM sh WHERE len(s) > 0), "
+        "sig AS (SELECT doc_id, band, "
+        "  list_min(list_transform(s, x -> substr(md5('0|' || x) || md5('1|' || x), "
+        "  (band * 8 + 1)::INT, 8))) AS sig_v "
+        "  FROM shf, (SELECT unnest(range(8)) AS band) bands), "
+        "keep AS (SELECT band, sig_v FROM sig GROUP BY band, sig_v "
+        "         HAVING count(*) BETWEEN 2 AND 1024), "
+        "sigk AS (SELECT sig.* FROM sig JOIN keep USING (band, sig_v)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "  FROM sigk a JOIN sigk b "
+        "  ON a.band = b.band AND a.sig_v = b.sig_v AND a.doc_id < b.doc_id), "
+        "vj AS (SELECT doc_a, doc_b, len(list_intersect(sa.s, sb.s)) AS n_i, "
+        "  len(sa.s) AS n_a, len(sb.s) AS n_b FROM cand "
+        "  JOIN shf sa ON sa.doc_id = cand.doc_a "
+        "  JOIN shf sb ON sb.doc_id = cand.doc_b), "
+        "pairs AS (SELECT doc_a, doc_b FROM vj "
+        "  WHERE round(n_i * 1.0 / (n_a + n_b - n_i), 6) >= 0.3), "
+        # connected components: recursive label-spread, the _CC_SQL
+        # pattern over the verified pair set
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "reach(node, lab) AS ("
+        "  SELECT node, node FROM nodes "
+        "  UNION "
+        "  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node), "
+        "cc AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node), "
+        "s AS (SELECT g.*, "
+        "  CASE WHEN cc.cluster_id IS NULL OR cc.cluster_id = g.doc_id "
+        "       THEN 1 ELSE 0 END AS nd_kept, "
+        "  (CASE WHEN cc.cluster_id IS NULL OR cc.cluster_id = g.doc_id "
+        "       THEN 1 ELSE 0 END) * coalesce(sem.kept, 1)::BIGINT AS sem_kept, "
+        f"  CASE WHEN {bucket} < 80 THEN 'train' WHEN {bucket} < 90 THEN 'val' "
+        "  ELSE 'test' END AS split "
+        "  FROM g LEFT JOIN cc ON cc.node = g.doc_id "
+        "  LEFT JOIN sem ON sem.vec_id = g.doc_id), "
+        "s2 AS (SELECT s.*, sem_kept * (CASE WHEN "
+        "  len(string_split_regex(trim(s.nm), '\\s+')) >= 3 THEN 1 ELSE 0 END) "
+        "  AS q_ok FROM s), "
+        "a AS (SELECT sum(cnt)::BIGINT AS n_input, count(*)::BIGINT AS n_exact, "
+        "  sum(nd_kept)::BIGINT AS n_nd, sum(sem_kept)::BIGINT AS n_sem, "
+        "  sum(q_ok)::BIGINT AS n_q, "
+        "  sum(CASE WHEN split = 'train' AND q_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS n_train, "
+        "  sum(CASE WHEN split = 'val' AND q_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS n_val, "
+        "  sum(CASE WHEN split = 'test' AND q_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS n_test "
+        "  FROM s2) "
+        "SELECT 'input' AS stage, n_input AS n_docs FROM a "
+        "UNION ALL SELECT 'exact_dedup', n_exact FROM a "
+        "UNION ALL SELECT 'neardup_dedup', n_nd FROM a "
+        "UNION ALL SELECT 'semantic_dedup', n_sem FROM a "
+        "UNION ALL SELECT 'quality', n_q FROM a "
+        "UNION ALL SELECT 'split_train', n_train FROM a "
+        "UNION ALL SELECT 'split_val', n_val FROM a "
+        "UNION ALL SELECT 'split_test', n_test FROM a"
+    )
+
+
+ORACLE["q_llm_curation_neardup"] = _llm_curation_neardup_sql()
+
+
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-ANN recall audit (r15 verdict #3 — closes the audit
+    family: IVF r15, near-dup r15, PQ here): per query vector,
+    recall@10 of the IVF+int8-ADC shortlist-then-refine pipeline
+    (``q_sim_ann_ivfpq`` — shortlist in integer code space, exact
+    cosine refine) against the exact cosine top-10
+    (``q_sim_cosine_topk``), in integer basis points. This turns the
+    shortlist-depth trade documented in SCALE.md prose into a
+    certified number — the readout a deployment watches when tuning
+    ``_IVFPQ_SHORTLIST``/``_IVF_NPROBE``.
+
+    Plan: both inputs are certified sub-plans; the audit adds one
+    equi-join on (query_id, cand_id) — O(queries × k) rows — and a
+    per-query hash agg; recall_bp = half-away integer DIV (the
+    nb_score convention), all-BIGINT output."""
+    from .similarity import q_sim_cosine_topk
+
+    exact = q_sim_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    ann = (
+        q_sim_ann_ivfpq(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    j = exact.join(ann, ["query_id", "cand_id"], "left")
+    per = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+    )
+    return per.select(
+        "query_id",
+        "n_exact",
+        "n_hits",
+        F.expr("(2 * 10000 * n_hits + n_exact) DIV (2 * n_exact)").alias(
+            "recall_bp"
+        ),
+    )
+
+
+QUERIES["q_sim_pq_recall"] = q_sim_pq_recall
+
+
+def _pq_recall_sql() -> str:
+    from .similarity import ORACLE as _SIM_ORACLE
+
+    return (
+        "WITH ex AS (" + _SIM_ORACLE["q_sim_cosine_topk"] + "), "
+        "ann AS (" + ORACLE["q_sim_ann_ivfpq"] + "), "
+        "j AS (SELECT ex.query_id, ex.cand_id, "
+        "  CASE WHEN ann.cand_id IS NULL THEN 0 ELSE 1 END AS hit "
+        "  FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id "
+        "  AND ex.cand_id = ann.cand_id) "
+        "SELECT query_id, count(*)::BIGINT AS n_exact, "
+        "sum(hit)::BIGINT AS n_hits, "
+        "((2 * 10000 * sum(hit) + count(*)) // (2 * count(*)))::BIGINT "
+        "AS recall_bp FROM j GROUP BY query_id"
+    )
+
+
+ORACLE["q_sim_pq_recall"] = _pq_recall_sql()
