@@ -328,13 +328,14 @@ def test_multimodal_dedup_cluster_consistent_with_pairs(spark):
 
 
 def test_stream_feeds_curation_rollup_matches_one_shot(spark):
-    """The stream ≡ batch contract extended to the r15 curation
+    """The stream ≡ batch contract extended to the curation
     rollup: an availableNow foreachBatch loop lands document
-    micro-batches (contiguous doc_id ranges — the append-only ingest
-    shape the rollup's keeper contract names) with their paired
-    embeddings, absorbing each into rollup.update_curation_rollup;
-    the curated set regenerated from the persisted state equals the
-    one-shot curate(union, semantic_keep=adaptive flags)."""
+    micro-batches with their paired embeddings, absorbing each into
+    rollup.update_curation_rollup with neardup=True (r16: the FULL
+    funnel — exact + lexical near-dup + semantic); the curated set
+    regenerated from the persisted state equals the one-shot
+    curate(union, semantic_keep=adaptive flags, neardup_keep=
+    neardup_keep_flags)."""
     import json
     import os
     import tempfile
@@ -385,7 +386,9 @@ def test_stream_feeds_curation_rollup_matches_one_shot(spark):
             (F.col("vec_id") >= lo) & (F.col("vec_id") <= hi)
         )
         versions.append(
-            rollup.update_curation_rollup(spark, rollup_dir, batch_df, batch_embs)
+            rollup.update_curation_rollup(
+                spark, rollup_dir, batch_df, batch_embs, neardup=True
+            )
         )
 
     q = (
@@ -404,10 +407,17 @@ def test_stream_feeds_curation_rollup_matches_one_shot(spark):
         (r["doc_id"], r["norm_digest"], r["split"])
         for r in rollup.curation_keeplist(spark, rollup_dir).collect()
     )
+    from twitter_etl_spark.queries.corpus import neardup_keep_flags
+
     keep = q_dedup_semantic_adaptive(spark, sf).select("vec_id", "kept")
+    nd = neardup_keep_flags(spark, sf)
     want = sorted(
         (r["doc_id"], r["norm_digest"], r["split"])
-        for r in curate(table(spark, sf, "documents"), semantic_keep=keep)
+        for r in curate(
+            table(spark, sf, "documents"),
+            semantic_keep=keep,
+            neardup_keep=nd,
+        )
         .select("doc_id", "norm_digest", "split")
         .collect()
     )

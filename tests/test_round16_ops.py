@@ -254,3 +254,54 @@ def test_absorb_ivf_batch_probe_equals_rebuild(spark, tmp_path):
     )
     report2 = absorb_ivf_batch(spark, idx, spark.createDataFrame(hot_pdf))
     assert report2["imbalance"] > RETRAIN_IMBALANCE and report2["retrain"]
+
+
+def test_curation_rollup_neardup_equals_oneshot(spark, tmp_path):
+    """Ingest-time FULL curation (r16): absorbing the sf0.001 corpus
+    in two out-of-order batches with neardup=True and regenerating
+    the curated set from state must be row-identical to the one-shot
+    curate(union, semantic_keep=..., neardup_keep=
+    neardup_keep_flags(...)) — the chunks ≡ one-shot contract now
+    covering all three dedup stages, in any batch order."""
+    from twitter_etl_spark.curation import curate
+    from twitter_etl_spark.queries.corpus import neardup_keep_flags
+    from twitter_etl_spark.queries.similarity import q_dedup_semantic_adaptive
+    from twitter_etl_spark.rollup import (
+        curation_keeplist,
+        update_curation_rollup,
+    )
+    from twitter_etl_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    embs = table(spark, sf, "embeddings")
+    mid = 250
+    d = str(tmp_path / "cur_nd")
+    # out-of-order absorption: high half first
+    update_curation_rollup(
+        spark, d, docs.filter(F.col("doc_id") >= mid),
+        embs.filter(F.col("vec_id") >= mid), neardup=True,
+    )
+    update_curation_rollup(
+        spark, d, docs.filter(F.col("doc_id") < mid),
+        embs.filter(F.col("vec_id") < mid), neardup=True,
+    )
+    got = sorted(
+        (r["doc_id"], r["norm_digest"], r["split"])
+        for r in curation_keeplist(spark, d).collect()
+    )
+    sem = q_dedup_semantic_adaptive(spark, sf).select("vec_id", "kept")
+    nd = neardup_keep_flags(spark, sf)
+    want = sorted(
+        (r["doc_id"], r["norm_digest"], r["split"])
+        for r in curate(docs, semantic_keep=sem, neardup_keep=nd)
+        .select("doc_id", "norm_digest", "split")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+    # the near-dup stage must have dropped something vs the
+    # semantic-only keeplist (non-vacuous stage)
+    d2 = str(tmp_path / "cur_no_nd")
+    update_curation_rollup(spark, d2, docs, embs)
+    assert len(curation_keeplist(spark, d2).collect()) > len(got)

@@ -1326,12 +1326,42 @@ def read_sample_rollup(
 
 _CURATION_STATE_COLS = ("norm_digest", "doc_id", "q_ok")
 
+#: digest-keyed banded-MinHash state for the ingest-time lexical
+#: near-dup stage (r16): sigs/sh are PURE functions of the
+#: normalized text = of the digest, so a digest's state row is
+#: identical however often and in whatever order it is re-absorbed.
+_CURATION_ND_STATE_COLS = ("norm_digest", "sigs", "sh")
+
+
+def _curation_nd_rows(kb: DataFrame) -> DataFrame:
+    """(norm_digest, sigs, sh) MinHash state over a keeper batch's
+    normalized text — ``minhash_doc_state`` keyed by the DIGEST
+    rather than the doc_id, so the near-dup index survives keeper
+    re-election (a later batch bringing a smaller doc_id for the
+    same digest changes the keeper, not the text, and therefore not
+    this row)."""
+    from .queries.corpus import minhash_doc_state
+    from .queries.dedup import _shingles
+
+    sh = (
+        kb.select(
+            F.col("norm_digest").alias("doc_id"),
+            F.split(F.trim("__nm"), r"\s+").alias("toks"),
+        )
+        .select("doc_id", _shingles().alias("s"))
+        .filter(F.size("s") > 0)
+    )
+    return minhash_doc_state(sh).select(
+        F.col("doc_id").alias("norm_digest"), "sigs", "sh"
+    )
+
 
 def update_curation_rollup(
     spark: SparkSession,
     rollup_dir: str,
     new_docs: DataFrame,
     new_embeddings: DataFrame | None = None,
+    neardup: bool = False,
 ) -> int:
     """Absorb one document batch into the persisted curation state;
     returns the published version of the doc state.
@@ -1344,7 +1374,16 @@ def update_curation_rollup(
     a pure function of the normalized text, so it travels with the
     state row. ``new_embeddings`` (if given) rides into the adaptive
     semantic rollup under ``<rollup_dir>/sem`` so the semantic
-    judgment regenerates from state at read time.
+    judgment regenerates from state at read time. ``neardup=True``
+    (r16) additionally absorbs the batch keepers' digest-keyed
+    banded-MinHash state under ``<rollup_dir>/nd`` so
+    :func:`curation_keeplist` can regenerate the LEXICAL near-dup
+    judgment from state alone — the ingest-time twin of
+    ``q_llm_curation_neardup``'s near-dup stage. The nd merge is
+    ``dropDuplicates(norm_digest)`` over rows that are pure
+    functions of the digest, so it is batch-order independent and
+    idempotent by construction (the deterministic-key rollup class —
+    no HWM, no survivor election needed).
 
     Contract (test-pinned): the absorbed keeper per digest is the
     global min-doc_id keeper over ALL absorbed batches in ANY
@@ -1364,18 +1403,24 @@ def update_curation_rollup(
     d = new_docs.select(
         "doc_id", F.md5(norm).alias("norm_digest"), norm.alias("__nm")
     )
-    keeper = (
-        d.groupBy("norm_digest")
-        .agg(F.min_by(F.struct("doc_id", "__nm"), F.col("doc_id")).alias("w"))
-        .select(
-            "norm_digest",
-            F.col("w.doc_id").alias("doc_id"),
-            (
-                F.size(F.split(F.trim(F.col("w.__nm")), r"\s+")) >= MIN_TOKENS
-            )
-            .cast("bigint")
-            .alias("q_ok"),
-        )
+    kb = d.groupBy("norm_digest").agg(
+        F.min_by(F.struct("doc_id", "__nm"), F.col("doc_id")).alias("w")
+    ).select(
+        "norm_digest",
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.__nm").alias("__nm"),
+    )
+    if neardup:
+        # two consumers of the normalized batch (doc state + nd
+        # state) — checkpoint once so clean_chain runs once (the r14
+        # double-consumer lesson)
+        kb = kb.localCheckpoint()
+    keeper = kb.select(
+        "norm_digest",
+        "doc_id",
+        (F.size(F.split(F.trim("__nm"), r"\s+")) >= MIN_TOKENS)
+        .cast("bigint")
+        .alias("q_ok"),
     )
     if os.path.exists(os.path.join(docs_dir, "_LATEST")):
         prev = read_version(spark, docs_dir).select(*_CURATION_STATE_COLS)
@@ -1396,6 +1441,19 @@ def update_curation_rollup(
     else:
         state = keeper
     v = publish_version(state.select(*_CURATION_STATE_COLS), docs_dir)
+    if neardup:
+        nd_dir = os.path.join(rollup_dir, "nd")
+        fresh_nd = _curation_nd_rows(kb)
+        if os.path.exists(os.path.join(nd_dir, "_LATEST")):
+            prev_nd = read_version(spark, nd_dir).select(
+                *_CURATION_ND_STATE_COLS
+            )
+            nd_state = prev_nd.unionByName(fresh_nd).dropDuplicates(
+                ["norm_digest"]
+            )
+        else:
+            nd_state = fresh_nd
+        publish_version(nd_state.select(*_CURATION_ND_STATE_COLS), nd_dir)
     if new_embeddings is not None:
         update_semdedup_adaptive_rollup(
             spark, os.path.join(rollup_dir, "sem"), new_embeddings
@@ -1403,22 +1461,97 @@ def update_curation_rollup(
     return v
 
 
+def _apply_neardup_keeplist(
+    spark: SparkSession, st: DataFrame, nd_dir: str
+) -> DataFrame:
+    """Filter the curation doc state by the LEXICAL near-dup
+    judgment regenerated from the persisted digest-keyed MinHash
+    state: band buckets -> df-capped in-bucket pairs -> exact
+    digest-set Jaccard >= 0.3 (the ``minhash_rollup_pairs``
+    machinery over digests) -> ``graph.star_components`` over the
+    digest pair graph -> per cluster keep ONLY the digest whose
+    CURRENT keeper doc_id is the cluster minimum. Because keeper
+    doc_ids are global minima per digest (the order-independent
+    merge), the cluster minimum equals the min doc_id over all docs
+    in the cluster — exactly ``q_llm_curation_neardup``'s canonical
+    rule, whatever order batches arrived in. One anti-join on the
+    digest key; document text is never touched."""
+    from .queries.corpus import _MINHASH_MAX_BUCKET
+    from .queries.graph import star_components
+
+    ndst = read_version(spark, nd_dir).select(*_CURATION_ND_STATE_COLS)
+    sig = ndst.select(
+        "norm_digest", F.posexplode("sigs").alias("band", "sig")
+    )
+    buckets = (
+        sig.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("norm_digest")).alias("docs"))
+        .filter(F.size("docs").between(2, _MINHASH_MAX_BUCKET))
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("docs"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("docs"), i + 2, F.size(F.col("docs"))
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("dg_a"), F.col("p.b").alias("dg_b"))
+        .distinct()
+    )
+    sa = ndst.select(F.col("norm_digest").alias("dg_a"), F.col("sh").alias("sh_a"))
+    sb = ndst.select(F.col("norm_digest").alias("dg_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sa, "dg_a").join(sb, "dg_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    pairs = (
+        verified.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.3)
+        .select(F.col("dg_a").alias("u"), F.col("dg_b").alias("v"))
+    )
+    lab = star_components(pairs, caller="curation_nd_keeplist")
+    clustered = st.join(lab, st.norm_digest == lab.node)
+    mins = clustered.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("__min_doc")
+    )
+    drop = (
+        clustered.join(mins, "cluster_id")
+        .filter(F.col("doc_id") != F.col("__min_doc"))
+        .select("norm_digest")
+    )
+    return st.join(drop, "norm_digest", "left_anti")
+
+
 def curation_keeplist(
     spark: SparkSession, rollup_dir: str, version: int | None = None
 ) -> DataFrame:
     """Curated rows (doc_id, norm_digest, split) regenerated from
     the persisted state ALONE: exact-dedup keepers, minus keepers
-    judged semantic duplicates (the adaptive keeplist over the
-    absorbed embedding state, joined doc_id ↔ vec_id), minus quality
-    failures, split by digest hash so duplicates co-travel. For any
-    batch arrival order this is row-identical to
-    ``curation.curate(union_of_batches, semantic_keep=
-    q_dedup_semantic_adaptive_flags)`` (test-pinned). One digest-set
-    scan + one 8-byte-key join; document text is never touched."""
+    judged LEXICAL near-duplicates (the digest-keyed MinHash state
+    under ``<rollup_dir>/nd``, when the ingest absorbed it), minus
+    keepers judged semantic duplicates (the adaptive keeplist over
+    the absorbed embedding state, joined doc_id ↔ vec_id), minus
+    quality failures, split by digest hash so duplicates co-travel.
+    For any batch arrival order this is row-identical to
+    ``curation.curate(union_of_batches, semantic_keep=...,
+    neardup_keep=...)`` (test-pinned). One digest-set
+    scan + one 8-byte-key join (+ one digest anti-join for the
+    near-dup stage); document text is never touched."""
     from .queries.sampling import hash_bucket
 
     docs_dir = os.path.join(rollup_dir, "docs")
     st = read_version(spark, docs_dir, version).select(*_CURATION_STATE_COLS)
+    nd_dir = os.path.join(rollup_dir, "nd")
+    if os.path.exists(os.path.join(nd_dir, "_LATEST")):
+        st = _apply_neardup_keeplist(spark, st, nd_dir)
     sem_dir = os.path.join(rollup_dir, "sem")
     if os.path.exists(os.path.join(sem_dir, "_LATEST")):
         sk = semdedup_adaptive_keeplist(spark, sem_dir).select(
