@@ -235,12 +235,17 @@ def _large_star(E: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("min_v"))
         .select("u", F.least("min_v", "u").alias("m"))
     )
+    # NO distinct here (r16 optimization pass): _large_star only ever
+    # runs composed as _small_star(_large_star(E)) — _small_star's
+    # min-aggregation is multiset-insensitive and its own final
+    # distinct dedups the round's output, so the extra exchange per
+    # round bought nothing. Within-round inflation stays bounded:
+    # |large-star output| <= |sym| = 2|E|.
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -281,12 +286,18 @@ def star_components(
     set unchanged, checked with two anti-joins) is reached in
     O(log n) rounds regardless of diameter. The convergence probes
     are documented eager loop barriers (the k-core/cc class)."""
-    nodes = (
-        pairs.select(F.col("u").alias("node"))
-        .union(pairs.select(F.col("v").alias("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # ONE materialization of the caller's pair stage (r16 optimization
+    # pass, guide §2.4 "don't compute things twice"): the node frame
+    # used to re-derive from `pairs` under a lazy persist, so the
+    # (often expensive — levenshtein join, banded-MinHash verify)
+    # pair-generating sub-plan executed a SECOND time when the final
+    # label join first touched it. Checkpointing the deduped pair set
+    # up front makes every later consumer — the node set, the round-1
+    # edge set — a cheap re-read of the materialized 8-byte-pair rows.
+    P = pairs.select("u", "v").distinct().localCheckpoint()
+    nodes = P.select(F.col("u").alias("node")).union(
+        P.select(F.col("v").alias("node"))
+    ).distinct()
     # Eager localCheckpoint EVERY round, not persist: each star phase
     # references its input twice, so the LOGICAL plan (which persist
     # caches data under but never truncates) quadruples per round —
@@ -294,25 +305,46 @@ def star_components(
     # round-12 plan string. localCheckpoint cuts lineage to a flat
     # LogicalRDD per round; the data materialization it forces is
     # work the convergence counts do anyway (the k-core/PPR lesson,
-    # now applied inside the loop).
-    E = (
-        pairs.where(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
-    )
+    # now applied inside the loop). Round 1's input is a flat filter
+    # over the checkpointed pair set — no second checkpoint needed.
+    E = P.where(F.col("u") != F.col("v"))
     converged = False
+    # Convergence probing, two tiers (r16 optimization pass, guide
+    # §1.2 "per-task work"): the exact symmetric-difference probe (two
+    # anti-joins) is only worth paying on the round that actually
+    # converged. A (count, Σ xxhash64(u,v)) fingerprint — one tiny
+    # scan-agg job over the just-checkpointed edges, no shuffle, no
+    # join — is a pure function of the edge multiset, so DIFFERING
+    # fingerprints prove the sets differ and the probe can be skipped;
+    # EQUAL fingerprints fall through to the exact anti-join probe, so
+    # a (astronomically unlikely) hash-sum collision costs one extra
+    # probe, never a wrong convergence call. The sum rides a
+    # decimal(38,0) so it can't overflow under ANSI at any edge count.
+    def _fp(edges: DataFrame) -> tuple:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    fp = _fp(E)
     for _ in range(max_rounds):
         new_E = _small_star(_large_star(E)).localCheckpoint()
-        # ONE symmetric-difference probe job per round, not two: the
-        # two anti-joins union into a single limit(1) count
-        changed = (
-            new_E.join(E, ["u", "v"], "left_anti")
-            .unionByName(E.join(new_E, ["u", "v"], "left_anti"))
-            .limit(1)
-            .count()
-        )
-        E = new_E
+        new_fp = _fp(new_E)
+        if new_fp == fp:
+            # ONE symmetric-difference probe job, not two: the two
+            # anti-joins union into a single limit(1) count — and it
+            # only runs on fingerprint-equal rounds (in practice the
+            # converged round), not every round.
+            changed = (
+                new_E.join(E, ["u", "v"], "left_anti")
+                .unionByName(E.join(new_E, ["u", "v"], "left_anti"))
+                .limit(1)
+                .count()
+            )
+        else:
+            changed = 1
+        E, fp = new_E, new_fp
         if changed == 0:
             converged = True
             break
@@ -345,7 +377,6 @@ def star_components(
     # seconds). The labels frame is (node, cluster_id) — tiny
     # relative to anything upstream.
     out = out.localCheckpoint()
-    nodes.unpersist()
     return out
 
 
@@ -839,14 +870,25 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    seeds = deg.orderBy(F.desc("deg"), F.asc("a")).limit(_PPR_SEEDS).select(
-        F.col("a").alias("node")
+    # loop-invariant frames materialized ONCE (r16 optimization pass,
+    # guide §2.4): seeds (4 rows) and the degree-annotated edge list
+    # esrc used to be lazy, so EVERY round's contrib join re-ran the
+    # degree agg + edge join (and every round's teleport broadcast
+    # re-ran the degree top-k) against the checkpointed sym — 3x the
+    # work for identical results.
+    seeds = (
+        deg.orderBy(F.desc("deg"), F.asc("a"))
+        .limit(_PPR_SEEDS)
+        .select(F.col("a").alias("node"))
+        .localCheckpoint()
     )
     seed_base = PR_SCALE // _PPR_SEEDS
     # teleport vector: base mass only on seeds
     ranks = seeds.select("node", F.lit(seed_base).alias("r"))
-    esrc = sym.select(F.col("a").alias("src"), F.col("b").alias("dst")).join(
-        deg.select(F.col("a").alias("src"), "deg"), "src"
+    esrc = (
+        sym.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .join(deg.select(F.col("a").alias("src"), "deg"), "src")
+        .localCheckpoint()
     )
     teleport = (15 * seed_base) // 100
     for _ in range(_PPR_ITERS):
@@ -942,10 +984,16 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h", F.lit(_HITS_SCALE)
     )
     for _ in range(_HITS_ITERS):
+        # each raw score frame feeds BOTH its 1-row max agg and the
+        # next transfer join; checkpointing it (tiny (node, BIGINT)
+        # rows) makes those two consumers re-READS instead of
+        # re-JOINS — lazily, each round used to re-run the edge join
+        # chain up to 3x (r16 optimization pass, guide §2.4)
         a_raw = (
             edges.join(hubs, "cust")
             .groupBy("supp")
             .agg(F.sum("h").alias("ar"))
+            .localCheckpoint()
         )
         a_max = a_raw.agg(F.max("ar").alias("am"))
         auths = a_raw.crossJoin(F.broadcast(a_max)).select(
@@ -955,11 +1003,12 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(auths, "supp")
             .groupBy("cust")
             .agg(F.sum("a").alias("hr"))
+            .localCheckpoint()
         )
         h_max = h_raw.agg(F.max("hr").alias("hm"))
         hubs = h_raw.crossJoin(F.broadcast(h_max)).select(
             "cust", F.expr(f"hr * {_HITS_SCALE} div hm").alias("h")
-        ).localCheckpoint()
+        )
     top_a = auths.orderBy(F.desc("a"), F.asc("supp")).limit(10).select(
         F.lit("authority").alias("kind"),
         F.col("supp").alias("node"),
