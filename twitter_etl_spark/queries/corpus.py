@@ -1285,10 +1285,44 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: both inputs are the certified sub-plans; the audit is one
     equi-join on the (doc_a, doc_b) pair key + a 1-row agg (bounded:
     pair sets are df-capped). Integer basis points via half-away
-    DIV."""
-    exact = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    DIV.
+
+    r16 optimization pass (guide §2.4): the two sub-plans used to
+    EACH re-scan and re-tokenize the corpus (the banded side three
+    times over — signatures + both verify sides); the audit now
+    materializes ONE token frame and derives both sides' shingles
+    from it — identical pair sets by construction (the standalone
+    certified queries are unchanged). The TOKEN frame is the right
+    thing to checkpoint (A/B at sf0.1, best-of-3: tokens 5.24 s vs
+    shingle-arrays 6.92 s vs no sharing 5.88 s): 3-gram shingle
+    arrays are ~3x the token bytes, so materializing them costs more
+    than the shingle recompute they save."""
+    from .dedup import (
+        _shingles,
+        _spread,
+        _tokens,
+        shingle_intersections_frame,
+    )
+
+    d = _spread(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", _tokens().alias("toks")
+        )
+    ).localCheckpoint()
+    shf = d.select("doc_id", _shingles().alias("s")).filter(
+        F.size("s") > 0
+    )
+    inter = shingle_intersections_frame(shf, pre_shingled=True)
+    jac = F.col("n_inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    exact = (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b")
+    )
     banded = (
-        q_dedup_minhash_banded(spark, sf_dir)
+        minhash_banded_pairs(shf)
         .select("doc_a", "doc_b")
         .withColumn("hit", F.lit(1))
     )
@@ -1349,6 +1383,14 @@ def _neardup_clusters(g: DataFrame) -> DataFrame:
     from .dedup import _shingles
     from .graph import star_components
 
+    # NOTE (r16 optimization pass): the shingle frame is spread
+    # inside minhash_banded_pairs, and deliberately NOT here — that
+    # repartition exchange sits directly under the three consumers
+    # (band sigs + both verify sides), so Spark's ReusedExchange
+    # runs the tokenize+shingle map side ONCE and re-reads the
+    # shuffle files; spreading the keeper frame above the shingle
+    # projection instead was A/B'd WORSE (7.4 s vs 5.8 s) because it
+    # forfeits that reuse and recomputes the shingles per consumer.
     sh = g.select(
         "doc_id", F.split(F.trim("nm"), r"\s+").alias("toks")
     ).select("doc_id", _shingles().alias("s")).filter(F.size("s") > 0)

@@ -150,13 +150,23 @@ def shingle_intersections_frame(
     d: DataFrame,
     max_df: int = MAX_SHINGLE_DF,
     digest_keys: bool = False,
+    pre_shingled: bool = False,
 ) -> DataFrame:
     """Frame-level core of :func:`_shingle_intersections` (any frame
-    with doc_id + a ``toks`` token array)."""
+    with doc_id + a ``toks`` token array). ``pre_shingled=True``
+    takes a (doc_id, s: array<string>) frame whose shingles are
+    already computed — the r16 recall-audit composition shares ONE
+    materialized shingle frame between this exact pipeline and the
+    banded-MinHash generator instead of re-tokenizing the corpus per
+    sub-plan; the emitted rows (and therefore results) are identical
+    because an empty shingle array explodes to zero rows either way."""
     key = (
         F.xxhash64(F.col("shingle")) if digest_keys else F.col("shingle")
     ).alias("sh_key")
-    sh = d.select("doc_id", _shingles().alias("s")).select(
+    shingled = d if pre_shingled else d.select(
+        "doc_id", _shingles().alias("s")
+    )
+    sh = shingled.select(
         "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("shingle")
     ).select("doc_id", "n_sh", key)
     buckets = (
@@ -713,7 +723,12 @@ def q_dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", _tokens().alias("toks")
     )
-    wins = _windows(d)
+    # the window-digest frame feeds BOTH the first-occurrence agg and
+    # the dup join-back; materializing it once (narrow (doc_id, i,
+    # 32-byte h) rows) saves a full second md5-every-window pass
+    # (r16 optimization pass, guide §2.4 — measured 2.78 s -> 1.82 s
+    # best-of-4 at sf0.1)
+    wins = _windows(d).localCheckpoint()
     firsts = wins.groupBy("h").agg(
         F.min(F.struct("doc_id", "i")).alias("first_at"),
         F.count(F.lit(1)).alias("n_occ"),
@@ -1079,16 +1094,21 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all pairs, never document text. The exact-Jaccard column
     is fixture-scale audit; production keeps the estimate and drops
     the exact pipeline."""
-    inter = _shingle_intersections(spark, sf_dir)
+    # ONE token frame for both the exact pipeline and the signature
+    # build (r16 optimization pass, guide §2.4 — the recall-audit
+    # lesson): lazily, each side re-scanned and re-tokenized the
+    # corpus independently. Narrow (doc_id, toks) rows checkpoint
+    # cheaply; shingles recompute from them in parallel.
+    d = _spread(
+        table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
+    ).localCheckpoint()
+    inter = shingle_intersections_frame(d)
     jac = F.round(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
     )
     pairs = (
         inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.3)
-    )
-    d = _spread(
-        table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("toks"))
     )
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
     slots = F.array(
@@ -1115,6 +1135,11 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "j")
         .agg(F.min("h").alias("mh"))
+        # the signature matrix feeds BOTH pair sides — materialize it
+        # once (docs x K narrow rows, the sketch a deployment persists
+        # anyway) instead of rebuilding the digest/explode/min pass
+        # per side
+        .localCheckpoint()
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), "j", F.col("mh").alias("mh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), "j", F.col("mh").alias("mh_b"))

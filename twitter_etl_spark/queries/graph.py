@@ -809,7 +809,12 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.lit(hop).alias("dist"))
             .localCheckpoint()
         )
-        dist = dist.unionByName(reached).localCheckpoint()
+        # no re-checkpoint of the union (r16 optimization pass): dist
+        # is a flat unionByName of ALREADY-checkpointed per-hop
+        # frames — depth grows by one Union node per hop, not by
+        # self-referencing subtrees, so re-materializing it bought a
+        # job per hop for nothing
+        dist = dist.unionByName(reached)
         frontier = reached.select(F.col("node").alias("src"))
     return dist
 
