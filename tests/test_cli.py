@@ -86,13 +86,12 @@ def test_cert_prefix_all_oracle_backed():
     4 rows-only names whose last driver rows>0 check is r2/r3."""
     from twitter_etl_spark.queries import ALL_ORACLES, ALL_QUERIES
 
-    # r16 prefix rotates the 15-name r9 tail + the r10 cohort head —
-    # all oracle-backed, and every r16-new op so far is
-    # oracle-backed too (the incremental-IVF maintenance surface is
-    # a pin-only rollup function, not a registry query — the
-    # absorb_ivfpq_batch precedent), so the set is empty. Populate
-    # it only when a rows-only name enters the prefix.
-    deliberate_rows_only: set = set()
+    # r17: q_sim_ann_pq_trained enters the prefix deliberately — its
+    # codes/reconstruction path was rewritten to mapInArrow this
+    # round, so the driver's rows>0 check (its strongest available
+    # gate; the float-argmin fixpoint is oracle-exempt per SURVEY
+    # §5.3) must re-run against the new code.
+    deliberate_rows_only: set = {"q_sim_ann_pq_trained"}
     prefix = list(ALL_QUERIES)[:50]
     missing = [
         n for n in prefix if n not in ALL_ORACLES and n not in deliberate_rows_only
@@ -182,9 +181,27 @@ def test_cert_prefix_staleness_policy():
     # does not apply to them. Keep this set tiny and per-round; it
     # must be emptied at the next rotation.
     deliberate_recerts = {
-        # r16: respelled observed-cells + closed-form p=0 correction
-        # (VERDICT r15 "what's wrong" #2); both engines changed.
-        "q_drift_jsd",
+        # r17 (optimization round 2): every query path the r16
+        # optimization commits rewrote outside the r16 oracle sample
+        # (VERDICT r16 "Next round" item 2) plus this round's own
+        # optimization targets — their fresh-looking certs describe
+        # pre-rewrite code, so freshness-ordering does not apply.
+        "q_er_cluster",
+        "q_sim_knn_clusters",
+        "q_multimodal_dedup_cluster",
+        "q_graph_cc_star",
+        "q_graph_ppr",
+        "q_graph_hits",
+        "q_graph_bfs",
+        "q_dedup_minhash_banded",
+        "q_dedup_minhash_est",
+        "q_dedup_minhash_recall",
+        "q_llm_curation_semantic",
+        "q_dedup_ngram_jaccard",
+        "q_graph_labelprop",
+        "q_graph_kcore",
+        "q_geo_dbscan",
+        "q_sim_ann_pq_trained",
     }
     in_prefix = [
         last[n]

@@ -108,74 +108,74 @@ _MODULES = (
 #      test_cert_prefix_all_oracle_backed::deliberate_rows_only.
 #
 # Provenance (regenerate the wording from tools/gen_cert_rotation.py
-# output, don't hand-narrate — ADVICE r14): the r15 prefix was the 12
-# r15-new ops + 38 stale (r8 tail + r9 cohort head). This r16 prefix
-# is the tool's 44-name queue (the 15-name r9 tail it displaced as
-# boundary ties + the r10 cohort head) plus reserved slots for the
-# r16-new ops and the q_drift_jsd respell re-cert. Names NOT in the
-# prefix keep their module-order position after it.
+# output, don't hand-narrate — ADVICE r14): the r16 prefix was the
+# tool's 44-name queue plus the r16-new ops and the q_drift_jsd
+# re-cert. This r17 prefix (optimization round 2) front-loads the
+# DELIBERATE RE-CERTS the r16 verdict demanded (item 2): every query
+# path the r16 optimization commits rewrote that was NOT in the r16
+# oracle sample, plus this round's own optimization targets
+# (labelprop/kcore/dbscan/pq_trained) — their last driver certs
+# predate the rewrites, so freshness-ordering does not apply (the
+# deliberate_recerts set in tests/test_cli.py mirrors this list).
+# Remaining 34 slots: the stalest re-certs, oldest green driver
+# round first (r10 tail + r11 cohort head; boundary ties at r11).
 _CERT_PREFIX = (
-    # -- r16-new ops (certs in their birth round, per policy #1)
-    "q_llm_curation_neardup",
-    "q_sim_pq_recall",
-    # -- r16 re-cert slot: q_drift_jsd was respelled this round
-    #    (observed-cells + closed-form p=0 correction, both engines
-    #    changed together -> re-certify despite r15 freshness)
-    "q_drift_jsd",
-    # -- r16 rotation: the remaining slots are the stalest re-certs
-    #    oldest green driver round first (tools/gen_cert_rotation.py
-    #    with 6 reserved slots): the 15-name r9 tail + the r10 cohort
-    #    head. Each r16-new op displaces the youngest filler (tail of
-    #    this list), never the stale cohort.
-    "q_text_fingerprint",  # r9
-    "q_text_hashtags",  # r9
-    "q_text_langid",  # r9
-    "q_text_lengthhist",  # r9
-    "q_text_lexicon_join",  # r9
-    "q_text_ngrams",  # r9
-    "q_text_quality",  # r9
-    "q_text_repetition",  # r9
-    "q_text_scrub",  # r9
-    "q_text_tokencount",  # r9
-    "q_text_tokenize",  # r9
-    "q_text_wordcount",  # r9
-    "q_ts_seasonal_decompose",  # r9
-    "q_union_all",  # r9
-    "q_union_distinct",  # r9
-    "q_agg_bitmap_distinct",  # r10
-    "q_agg_mergeable",  # r10
-    "q_agg_theta_matrix",  # r10
-    "q_agg_theta_setops",  # r10
-    "q_attribution_batch",  # r10
-    "q_behavior_transitions",  # r10
-    "q_cohort_retention",  # r10
-    "q_dedup_cluster",  # r10
-    "q_dedup_cluster_stats",  # r10
-    "q_dedup_minhash_incremental",  # r10
-    "q_dedup_simhash_md5",  # r10
-    "q_dedup_substring_cut",  # r10
-    "q_dq_benford",  # r10
-    "q_dq_checks",  # r10
-    "q_dq_kanonymity",  # r10
-    "q_er_fuzzy_blocked",  # r10
-    "q_er_sorted_neighborhood",  # r10
-    "q_fn_regression",  # r10
-    "q_fn_unpivot",  # r10
-    "q_funnel_conversion",  # r10
-    "q_geo_cell_density",  # r10
-    "q_graph_degree",  # r10
-    "q_graph_pagerank",  # r10
-    "q_graph_triangles",  # r10
-    "q_join_asof_tolerance",  # r10
-    "q_join_nullsafe",  # r10
-    "q_llm_curation",  # r10
-    "q_merge_upsert",  # r10
-    "q_multimodal_decode",  # r10
-    # -- youngest fillers (next-stalest r10; displaced one-for-one,
-    #    tail first, as r16-new ops land)
-    "q_outliers_robust",  # r10
-    "q_pack_sequences",  # r10
-    "q_quality_gopher",  # r10
+    # -- r16-rewritten paths (builder-certified only; driver must
+    #    re-certify — VERDICT r16 "Next round" item 2)
+    "q_er_cluster",  # r15 cert, rewritten r16 (star core)
+    "q_sim_knn_clusters",  # r14 cert, rewritten r16 (star core)
+    "q_multimodal_dedup_cluster",  # r15 cert, rewritten r16 (star core)
+    "q_graph_cc_star",  # r12 cert, rewritten r16 (star core)
+    "q_graph_ppr",  # r13 cert, rewritten r16 (loop-invariant ckpts)
+    "q_graph_hits",  # r13 cert, rewritten r16 (per-round ckpts)
+    "q_graph_bfs",  # r12 cert, rewritten r16 (ckpt removal)
+    "q_dedup_minhash_banded",  # r11 cert, touched r16 (_spread)
+    "q_dedup_minhash_est",  # r14 cert, rewritten r16 (shared frames)
+    "q_dedup_minhash_recall",  # r15 cert, recomposed r16
+    "q_llm_curation_semantic",  # r15 cert, inherits star core
+    "q_dedup_ngram_jaccard",  # r11 cert, param-only r16
+    # -- r17 optimization targets (touched this round)
+    "q_graph_labelprop",  # r12 cert
+    "q_graph_kcore",  # r12 cert
+    "q_geo_dbscan",  # r11 cert
+    "q_sim_ann_pq_trained",  # r12 rows>0; rows-only (allowlisted)
+    # -- r17 rotation fillers: stalest re-certs oldest-first
+    #    (tools/gen_cert_rotation.py output with the 16 slots above
+    #    reserved; r10 tail then r11 cohort, ties at r11 arbitrary)
+    "q_sample_leakage_safe",  # r10
+    "q_sample_split",  # r10
+    "q_sample_stratified",  # r10
+    "q_scd2_history",  # r10
+    "q_sessionize_batch",  # r10
+    "q_sim_ann_ivf",  # r10
+    "q_sim_centroid",  # r10
+    "q_sim_maxsim",  # r10
+    "q_sim_quantize",  # r10
+    "q_skew_diagnose",  # r10
+    "q_snapshot_diff",  # r10
+    "q_source_csv",  # r10
+    "q_source_orc",  # r10
+    "q_table_fingerprint",  # r10
+    "q_ts_changepoint",  # r10
+    "q_ts_holt_linear",  # r10
+    "q_ts_sliding_distinct_kmv",  # r10
+    "q_ts_xcorr_daily",  # r10
+    "q_agg_argmax",  # r11
+    "q_agg_histogram",  # r11
+    "q_agg_percentile",  # r11
+    "q_agg_pivot",  # r11
+    "q_agg_quantile_bottomk",  # r11
+    "q_agg_salted_sum",  # r11
+    "q_dedup_semantic",  # r11
+    "q_fn_posexplode",  # r11
+    "q_fn_try_arith",  # r11
+    "q_join_rangedate",  # r11
+    "q_join_salted",  # r11
+    "q_join_size_cm",  # r11
+    "q_mix_weights",  # r11
+    "q_pandas_asof_cogroup",  # r11
+    "q_pandas_gmean",  # r11
+    "q_pandas_zscore",  # r11
 )
 
 _BY_MODULE: dict = {}

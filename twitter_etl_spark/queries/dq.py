@@ -131,7 +131,9 @@ def q_er_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter the thresholded value is EXACT on every surviving row
     # (d <= 2 is returned as d), so output is bit-identical while the
     # dominant in-block compare (~4.5M pairs at sf0.1) does ~¼ the
-    # cell work. Measured: pair stage 2.46 s -> 1.22 s warm at sf0.1.
+    # cell work. Measured: pair stage 2.46 -> 1.70 s at sf0.1
+    # (best-of-3 incl. plan build — the protocol OPTIMIZATION_r16.md
+    # reports; the single warm-plan rep measured 1.22 s).
     lev = F.levenshtein(F.col("c_name"), F.col("name_b"), 2)
     return (
         a.join(

@@ -37,7 +37,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark import StorageLevel
 
 from ..tables import table
 from .dedup import q_dedup_ngram_jaccard

@@ -491,16 +491,21 @@ def train_pq_codebook(
     ``book[j][c]`` = centroid c of subspace j (dim/m doubles).
 
     Scale: all m subspaces train JOINTLY — one scan per Lloyd round
-    over a subspace-exploded frame (row = (j, subvector)), with the
-    full m x ksub codebook inlined as a nested array literal and the
-    row's own book selected by ``element_at(B, j+1)``. That is
+    over a subspace-exploded frame (row = (j, subvector)). That is
     1 init + ``iters`` jobs total instead of m·(1+iters) sequential
     driver-synced jobs (measured at sf0.01: 20.2 s -> ~2 s; the cost
-    was pure job-launch latency, not data). The update is one
-    hash-agg keyed on (j, cluster, pos) — m·ksub·d_sub groups,
-    map-side partials absorb skew; the synced state is still just
-    m·ksub·(dim/m) doubles regardless of corpus size (production
-    additionally trains on a bounded sample)."""
+    was pure job-launch latency, not data). Assignment runs in ONE
+    Arrow-batched NumPy pass (``_pq_assign_arrow``) replicating the
+    JVM fold semantics exactly — the r16-era alternative inlined the
+    full m x ksub codebook as nested array literals with a
+    zip_with/aggregate fold per centroid, and janino codegen of that
+    ~m·ksub-expression tree dominated the round (guide §4.2: hand
+    whole batches to vectorized native code instead of growing the
+    expression tree). The update is one hash-agg keyed on
+    (j, cluster, pos) — m·ksub·d_sub groups, map-side partials
+    absorb skew; the synced state is still just m·ksub·(dim/m)
+    doubles regardless of corpus size (production additionally
+    trains on a bounded sample)."""
     d_sub = dim // m
     # init: the ksub lowest-vec_id vectors, sliced per subspace —
     # identical to running train_kmeans' init on each subspace frame
@@ -515,35 +520,8 @@ def train_pq_codebook(
         ).alias("j", "sv")
     )
     for _ in range(iters):
-        bj = F.element_at(
-            F.array(
-                *[
-                    F.array(
-                        *[
-                            F.array(*[F.lit(float(x)) for x in c])
-                            for c in book[j]
-                        ]
-                    )
-                    for j in range(m)
-                ]
-            ),
-            F.col("j") + 1,
-        )
-        structs = []
-        for ci in range(ksub):
-            d2 = F.aggregate(
-                F.zip_with(
-                    F.col("sv"),
-                    F.element_at(bj, ci + 1),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            structs.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cid")))
-        best = F.array_min(F.array(*structs))["cid"]
         upd = (
-            sub.withColumn("cluster", best)
+            _pq_assign_arrow(sub, book)
             .select("j", "cluster", F.posexplode("sv").alias("pos", "val"))
             .groupBy("j", "cluster", "pos")
             .agg(F.avg("val").alias("c"))
@@ -564,10 +542,146 @@ def train_pq_codebook(
     return book
 
 
+def _np_book(book: list):
+    import numpy as np
+
+    return np.asarray(book, dtype=np.float64)  # (m, ksub, d_sub)
+
+
+def _pq_fold_d2(S, C):
+    """Squared distances of subvector rows ``S`` (n x d) to centroids
+    ``C`` (k x d) with the JVM fold's exact float semantics: per
+    element (x - y)·(x - y), then a left-to-right accumulation from
+    0.0 over positions (``aggregate(zip_with(...), 0.0, acc + x)``).
+    Element-wise NumPy add/sub/mul are the same IEEE-754 ops in the
+    same order, so results are bit-identical to the expression form
+    (pinned by tests/test_similarity_multimodal.py's replica and the
+    index/query cross-check in tests/test_retrieval.py)."""
+    import numpy as np
+
+    sq = (S[:, None, :] - C[None, :, :]) ** 2
+    acc = np.zeros(sq.shape[:2])
+    for p in range(sq.shape[2]):
+        acc += sq[:, :, p]
+    return acc  # (n, k)
+
+
+def _pq_assign_arrow(sub: DataFrame, book: list) -> DataFrame:
+    """Add the argmin-codebook ``cluster`` column to the training
+    frame (j, sv) via ``mapInArrow`` (guide §4.2/§4.3): one
+    vectorized NumPy pass per batch instead of a ksub-struct
+    zip_with/aggregate expression tree whose janino compilation
+    dominated training wall-time. Ties go to the lowest cid —
+    ``np.argmin`` returns the first minimum, matching the
+    struct-min rule — and distances reuse the exact JVM fold
+    semantics (``_pq_fold_d2``), so assignments are bit-identical."""
+    B = _np_book(book)
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            j = b.column(0)
+            sv = b.column(1)
+            J = np.asarray(j, dtype=np.int64)
+            SV = np.asarray(sv.flatten(), dtype=np.float64).reshape(
+                b.num_rows, B.shape[2]
+            )
+            # gather each row's own subspace codebook, then the exact
+            # fold: sq elementwise, accumulate positions left-to-right
+            C = B[J]  # (n, ksub, d_sub)
+            sq = (SV[:, None, :] - C) ** 2
+            acc = np.zeros(sq.shape[:2])
+            for p in range(sq.shape[2]):
+                acc += sq[:, :, p]
+            cl = acc.argmin(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [j, pa.array(cl, type=pa.int32()), sv],
+                names=["j", "cluster", "sv"],
+            )
+
+    return sub.mapInArrow(assign, "j int, cluster int, sv array<double>")
+
+
+def _pq_encode_arrow(df: DataFrame, book: list, id_col: str, vec_col: str) -> DataFrame:
+    """Codes + reconstruction + reconstruction-norm for every vector
+    in ``df`` (id_col, vec_col) in ONE Arrow-batched NumPy pass
+    (guide §4.2: let Spark do distribution, hand whole batches to
+    native code). Replaces the r16-era column-expression form whose
+    plan embedded the full m x ksub codebook as literals twice (codes
+    + reconstruct) — profiled: janino codegen of those literal trees,
+    not data, dominated the sidecar. Float semantics are replicated
+    exactly (``_pq_fold_d2`` fold order, argmin-lowest-cid ties,
+    rnorm as the same left-to-right self-dot fold), so codes, rec
+    and rnorm are bit-identical to the expression form."""
+    B = _np_book(book)
+    m, ksub, d_sub = B.shape
+    dim = m * d_sub
+    id_type = dict(df.dtypes)[id_col]
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0)
+            v = b.column(1)
+            V = np.asarray(v.flatten(), dtype=np.float64).reshape(n, dim)
+            codes = np.empty((n, m), dtype=np.int32)
+            rec = np.empty((n, dim), dtype=np.float64)
+            for j in range(m):
+                d2 = _pq_fold_d2(V[:, j * d_sub : (j + 1) * d_sub], B[j])
+                cj = d2.argmin(axis=1)
+                codes[:, j] = cj
+                rec[:, j * d_sub : (j + 1) * d_sub] = B[j][cj]
+            rn = np.zeros(n)
+            for p in range(dim):
+                rn += rec[:, p] * rec[:, p]
+            rn = np.sqrt(rn)
+            off32 = pa.array(
+                np.arange(0, (n + 1) * m, m, dtype=np.int32)
+            )
+            off64 = pa.array(
+                np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    v,
+                    pa.ListArray.from_arrays(
+                        off32, pa.array(codes.ravel(), type=pa.int32())
+                    ),
+                    pa.ListArray.from_arrays(
+                        off64, pa.array(rec.ravel(), type=pa.float64())
+                    ),
+                    pa.array(rn, type=pa.float64()),
+                ],
+                names=[id_col, vec_col, "codes", "rec", "rnorm"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        encode,
+        f"{id_col} {id_type}, {vec_col} array<double>, "
+        "codes array<int>, rec array<double>, rnorm double",
+    )
+
+
 def _pq_codes(book: list) -> Column:
     """array<int> of m subspace code assignments for a ``v`` column
     — per subspace, argmin squared distance over the codebook, ties
-    to the lowest code (the _kmeans_assign struct-min rule)."""
+    to the lowest code (the _kmeans_assign struct-min rule).
+
+    Column-expression form, kept for the materialized index build
+    (index.py), where the frame carries extra columns and runs once
+    per index build; the hot query path uses ``_pq_encode_arrow``,
+    which is bit-identical (tests/test_retrieval.py cross-checks
+    index codes against the query's Arrow codes)."""
     d_sub = len(book[0][0])
     cols = []
     for j, cents in enumerate(book):
@@ -583,19 +697,6 @@ def _pq_codes(book: list) -> Column:
             structs.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cid")))
         cols.append(F.array_min(F.array(*structs))["cid"])
     return F.array(*cols)
-
-
-def _pq_reconstruct(book: list) -> Column:
-    """Decoded vector for a ``codes`` column: concatenation of each
-    subspace's looked-up centroid — the ADC approximation scores
-    queries against THIS, never the raw vector."""
-    parts = []
-    for j, cents in enumerate(book):
-        bj = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-        )
-        parts.append(F.element_at(bj, F.element_at("codes", j + 1) + 1))
-    return F.concat(*parts)
 
 
 def q_sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,22 +733,20 @@ def q_sim_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = 64
     book = train_pq_codebook(e, dim)
-    cands = (
-        e.filter(F.col("vec_id") >= 5)
-        .withColumn("codes", _pq_codes(book))
-        .select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "codes")
-    )
     # ADC: decode once per candidate, score every query against the
-    # reconstruction (approx norm comes from the reconstruction too)
-    # eager localCheckpoint: codes + reconstruction embed the full
-    # m x ksub codebook as literals; evaluating once and truncating
-    # the lineage keeps the scoring join's plan (and its codegen)
-    # small — the q_multimodal_phash_dedup lesson applied here
-    cands = cands.withColumn(
-        "rec", _pq_reconstruct(book)
-    ).withColumn(
-        "rnorm", F.sqrt(_dot(F.col("rec"), F.col("rec")))
-    ).localCheckpoint()
+    # reconstruction (approx norm comes from the reconstruction too).
+    # codes + reconstruction + rnorm come from ONE mapInArrow NumPy
+    # pass (guide §4.2) — the r16-era column-expression form embedded
+    # the full m x ksub codebook as literal trees twice and janino
+    # codegen of those trees dominated the sidecar's wall-time.
+    cands = _pq_encode_arrow(
+        e.filter(F.col("vec_id") >= 5).select(
+            F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+        ),
+        book,
+        "cand_id",
+        "cv",
+    )
     qs = (
         e.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
