@@ -1287,42 +1287,21 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair sets are df-capped). Integer basis points via half-away
     DIV.
 
-    r16 optimization pass (guide §2.4): the two sub-plans used to
-    EACH re-scan and re-tokenize the corpus (the banded side three
-    times over — signatures + both verify sides); the audit now
-    materializes ONE token frame and derives both sides' shingles
-    from it — identical pair sets by construction (the standalone
-    certified queries are unchanged). The TOKEN frame is the right
-    thing to checkpoint (A/B at sf0.1, best-of-3: tokens 5.24 s vs
-    shingle-arrays 6.92 s vs no sharing 5.88 s): 3-gram shingle
-    arrays are ~3x the token bytes, so materializing them costs more
-    than the shingle recompute they save."""
-    from .dedup import (
-        _shingles,
-        _spread,
-        _tokens,
-        shingle_intersections_frame,
-    )
+    r17 optimization pass (settling the r16 verdict's unconfirmed
+    win): the r16 token-checkpoint sharing was REVERTED. Cold-JVM
+    interleaved A/B at sf0.1 (best-of-3, identical output): r16
+    token-sharing 5.98 s vs plain composition of the two certified
+    sub-plans 4.61 s (cold first-rep 17.3 vs 9.4 s) — the driver's
+    r16 numbers (5.85 s vs the 5.54 s pre-rewrite baseline) showed
+    the same thing. The checkpoint materialization costs more than
+    the recompute it saves here because Spark already de-duplicates
+    the identical scan+tokenize subtrees within the one composed
+    plan, and the materialization barrier breaks that sharing."""
+    from .dedup import q_dedup_ngram_jaccard
 
-    d = _spread(
-        table(spark, sf_dir, "documents").select(
-            "doc_id", _tokens().alias("toks")
-        )
-    ).localCheckpoint()
-    shf = d.select("doc_id", _shingles().alias("s")).filter(
-        F.size("s") > 0
-    )
-    inter = shingle_intersections_frame(shf, pre_shingled=True)
-    jac = F.col("n_inter") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    )
-    exact = (
-        inter.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= 0.3)
-        .select("doc_a", "doc_b")
-    )
+    exact = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     banded = (
-        minhash_banded_pairs(shf)
+        q_dedup_minhash_banded(spark, sf_dir)
         .select("doc_a", "doc_b")
         .withColumn("hit", F.lit(1))
     )

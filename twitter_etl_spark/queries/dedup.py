@@ -150,22 +150,17 @@ def shingle_intersections_frame(
     d: DataFrame,
     max_df: int = MAX_SHINGLE_DF,
     digest_keys: bool = False,
-    pre_shingled: bool = False,
 ) -> DataFrame:
     """Frame-level core of :func:`_shingle_intersections` (any frame
-    with doc_id + a ``toks`` token array). ``pre_shingled=True``
-    takes a (doc_id, s: array<string>) frame whose shingles are
-    already computed — the r16 recall-audit composition shares ONE
-    materialized shingle frame between this exact pipeline and the
-    banded-MinHash generator instead of re-tokenizing the corpus per
-    sub-plan; the emitted rows (and therefore results) are identical
-    because an empty shingle array explodes to zero rows either way."""
+    with doc_id + a ``toks`` token array). (The r16 ``pre_shingled``
+    opt-in is gone with its only caller: the recall audit's shared
+    token checkpoint was reverted in r17 after the cold-JVM A/B and
+    the driver's numbers both showed the materialization costing
+    more than the recompute it saved.)"""
     key = (
         F.xxhash64(F.col("shingle")) if digest_keys else F.col("shingle")
     ).alias("sh_key")
-    shingled = d if pre_shingled else d.select(
-        "doc_id", _shingles().alias("s")
-    )
+    shingled = d.select("doc_id", _shingles().alias("s"))
     sh = shingled.select(
         "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("shingle")
     ).select("doc_id", "n_sh", key)

@@ -625,10 +625,20 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         ),
     )
-    labels = d.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
+    # Round 1 computed in closed form (r17 optimization pass, guide
+    # §1.1 first-principles): labels_0 is the identity map and d is a
+    # DISTINCT directed edge list, so every round-1 vote count is
+    # exactly 1 and the (most-frequent, ties-to-smallest) argmax
+    # degenerates to min(neighbor) per node — one hash agg replaces
+    # the init distinct + round-1 join + two aggregations. Every node
+    # appears as src (d is symmetric), so the node set is identical;
+    # output hash-identical, interleaved A/B at sf0.1 best-of-3:
+    # 4.83 -> 4.13 s (and cold first-run 18.6 -> 4.1 s — the round-1
+    # join/agg codegen dominated cold runs).
+    labels = d.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("lbl")
     )
-    for _ in range(LP_ITERS):
+    for _ in range(LP_ITERS - 1):
         # labels stays un-hinted: AQE broadcasts the O(|V|) frame
         # while it fits and falls back to a shuffle join when it
         # doesn't (at 100 TB the right layout is labels and edges
@@ -895,6 +905,16 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     teleport = (15 * seed_base) // 100
+    # Rounds stay LAZY (r17 optimization pass — settling the r16
+    # verdict's unconfirmed per-round-checkpoint win): each round's
+    # ranks frame feeds exactly ONE consumer (the next round's
+    # contrib join), so this is a linear chain — no self-referencing
+    # subtree, no 2^rounds plan blowup (the k-core/dbscan class does
+    # NOT apply), and checkpointing bought 3 extra job launches +
+    # materializations for nothing. Cold-JVM interleaved A/B at
+    # sf0.1 (best-of-3): ckpt-per-round 5.88 s vs lazy 5.33 s,
+    # identical output hash; all _PPR_ITERS rounds + top-k now run
+    # as one job over the checkpointed seeds/esrc invariants.
     for _ in range(_PPR_ITERS):
         contrib = esrc.join(ranks, esrc["src"] == ranks["node"]).select(
             "dst", F.expr("r div deg").alias("c")
@@ -911,7 +931,6 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.coalesce(F.col("t"), F.lit(0))
                 ).alias("r"),
             )
-            .localCheckpoint()
         )
     return ranks.orderBy(F.desc("r"), F.asc("node")).limit(20).select(
         "node", F.col("r").alias("rank_fp")
