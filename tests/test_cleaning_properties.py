@@ -20,6 +20,8 @@ and URL-ish fragments — Spark-side only, so no ASCII constraint.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -69,6 +71,7 @@ def test_squish_normal_form(spark, corpus):
 
 @settings(**_SETTINGS)
 @given(corpus=_CORPUS)
+@pytest.mark.slow
 def test_stopword_removal_fixpoint(spark, corpus):
     assert (
         _counterexamples(spark, corpus, strip_stopwords, strip_stopwords) == []
@@ -77,5 +80,6 @@ def test_stopword_removal_fixpoint(spark, corpus):
 
 @settings(**_SETTINGS)
 @given(corpus=_CORPUS)
+@pytest.mark.slow
 def test_clean_chain_idempotent(spark, corpus):
     assert _counterexamples(spark, corpus, clean_chain, clean_chain) == []

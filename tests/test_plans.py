@@ -52,6 +52,7 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in p  # no global sort
 
 
+@pytest.mark.slow
 def test_no_cartesian_anywhere_unexpected(spark):
     # cross join and the broadcast-query cosine scans are the only
     # sanctioned non-equi products
@@ -205,6 +206,7 @@ _SINGLE_PARTITION_OK = {
 _RANGE_SORT_OK = {"q_sim_maxsim", "q_tpch_q13"}
 
 
+@pytest.mark.slow
 def test_no_new_single_partition_exchanges(spark):
     """Sweep every registered query plan in one pass: an Exchange
     SinglePartition outside the audited allowlist is the zipf-class
@@ -223,6 +225,7 @@ def test_no_new_single_partition_exchanges(spark):
     assert not unexpected, unexpected
 
 
+@pytest.mark.slow
 def test_no_decimal_type_outputs(spark):
     """Sweep every registered query's OUTPUT schema for DecimalType.
 
@@ -467,6 +470,7 @@ def test_interval_join_is_equi_on_bins_not_bnlj(spark):
     )
 
 
+@pytest.mark.slow
 def test_plan_snapshot_matches(spark):
     """Plan-drift tripwire (r8): every query's physical-plan operator
     fingerprint must match the committed PLAN_SNAPSHOT.json. A

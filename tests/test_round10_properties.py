@@ -8,6 +8,8 @@ within-doc duplicate spans for the substring cut."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import hashlib
 import os
@@ -79,6 +81,7 @@ def _theta_reference(a_users, b_users):
     st.lists(st.integers(0, 300), max_size=150),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_theta_setops_matches_python_reference(spark, a_users, b_users):
     """Membership sizes straddle k=64 (including one-sided empties
     and the n == k boundary), so Hypothesis walks the exact branch,

@@ -4,6 +4,8 @@ they land."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -327,6 +329,7 @@ def test_multimodal_dedup_cluster_consistent_with_pairs(spark):
         assert cl[a][0] == cl[b][0]
 
 
+@pytest.mark.slow
 def test_stream_feeds_curation_rollup_matches_one_shot(spark):
     """The stream ≡ batch contract extended to the curation
     rollup: an availableNow foreachBatch loop lands document

@@ -8,6 +8,8 @@ arrived out of doc_id order), plus pins added as r16 ops land.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -256,6 +258,7 @@ def test_absorb_ivf_batch_probe_equals_rebuild(spark, tmp_path):
     assert report2["imbalance"] > RETRAIN_IMBALANCE and report2["retrain"]
 
 
+@pytest.mark.slow
 def test_curation_rollup_neardup_equals_oneshot(spark, tmp_path):
     """Ingest-time FULL curation (r16): absorbing the sf0.001 corpus
     in two out-of-order batches with neardup=True and regenerating

@@ -9,6 +9,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -608,6 +610,7 @@ def _lsh_rhp_reference(vecs):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_lsh_rhp_matches_python_reference(spark, vecs):
     """The certified RHP-LSH must reproduce a from-scratch Python
     replay pair for pair and cosine for cosine — quantization,
@@ -710,6 +713,7 @@ def _ams_reference(docs):
 
 @given(_DOCS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_ams_f2_matches_python_reference(spark, docs):
     import os
     import tempfile

@@ -8,6 +8,8 @@ never exercises."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import math
 import os
@@ -260,6 +262,7 @@ def _aa_reference(edges, topk=50):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_adamic_adar_matches_python_reference(spark, edges):
     """Random bipartite purchase graphs (dup edges on purpose —
     the DISTINCT in the query must collapse them) vs brute force."""

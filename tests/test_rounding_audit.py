@@ -20,6 +20,8 @@ disagreement stressed across merge orders ≤ 1.2e-15, boundary margins
 
 from __future__ import annotations
 
+import pytest
+
 import importlib.util
 import os
 
@@ -57,6 +59,7 @@ def _boundary_risk():
     return mod.boundary_risk
 
 
+@pytest.mark.slow
 def test_no_near_ulp_rounded_values_in_oracles():
     boundary_risk = _boundary_risk()
     con = duckdb_connect(SF_ORACLE)

@@ -275,6 +275,7 @@ def test_microbatch_global_dedup(spark):
     assert {r["digest"] for r in idx.collect()} == sink_digests
 
 
+@pytest.mark.slow
 def test_stream_stream_join_attribution(spark):
     """Stream-stream inner join with a 30-minute attribution window:
     a purchase joins prior clicks of the same user inside the
@@ -682,6 +683,7 @@ def test_socket_source_live_stream(spark):
     assert bad and bad[0]["_raw"].startswith("{ this is not json")
 
 
+@pytest.mark.slow
 def test_tws_inactivity_timer_flushes_quiet_user(spark):
     """Processing-time timers + ListState (transformWithStateInPandas):
     user 1's buffered values flush on the run AFTER their inactivity
@@ -831,6 +833,7 @@ def test_python_streaming_datasource_offsets_exactly_once(spark):
     assert sorted(all_ids) == list(range(len(all_ids)))  # no dup, no gap
 
 
+@pytest.mark.slow
 def test_statestore_reader_inspects_checkpoint_state(spark):
     """Operational state inspection (Spark 4 state data source):
     after a stateful streaming aggregation, the checkpoint's state
@@ -989,6 +992,7 @@ def test_windowed_hll_registers_match_batch_sketch(spark, events_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_feeds_register_rollup_matches_one_shot(spark):
     """r8 verdict #7 — the asserted-but-never-executed handoff, now
     executed end-to-end: an availableNow foreachBatch loop absorbs
@@ -1074,6 +1078,7 @@ def test_stream_feeds_register_rollup_matches_one_shot(spark):
     assert got == want and got  # exact equality, not tolerance
 
 
+@pytest.mark.slow
 def test_session_window_append_mode_emits_closed_sessions(spark):
     """r8 verdict #9 — the streaming session_window executed with
     WATERMARK semantics (the existing complete-mode test never
@@ -1137,6 +1142,7 @@ def test_session_window_append_mode_emits_closed_sessions(spark):
     assert all(r["user_id"] != 4 for r in out)
 
 
+@pytest.mark.slow
 def test_stream_feeds_kmv_rollup_matches_one_shot(spark):
     """The KMV edition of the stream→rollup handoff: an availableNow
     foreachBatch loop absorbs each micro-batch into
@@ -1230,6 +1236,7 @@ def test_stream_feeds_kmv_rollup_matches_one_shot(spark):
     assert est["click"] != 70.0  # estimator branch genuinely estimates
 
 
+@pytest.mark.slow
 def test_tws_kmv_sketch_equals_batch_estimator(spark):
     """Bounded-state streaming KMV: after two checkpointed
     availableNow runs, the latest per-type emission must equal the
@@ -1307,6 +1314,7 @@ def test_tws_kmv_sketch_equals_batch_estimator(spark):
     assert got["click"][0] == _KMV_K  # trimmed at k, estimator branch
 
 
+@pytest.mark.slow
 def test_windowed_revenue_cents_feeds_changepoint(spark):
     """Stream==batch input equality for the retrospective
     change-point: daily cents panes streamed in two checkpointed
@@ -1392,6 +1400,7 @@ def test_windowed_revenue_cents_feeds_changepoint(spark):
     assert [tuple(r) for r in cp] == [tuple(r) for r in cp_batch]
 
 
+@pytest.mark.slow
 def test_windowed_kmv_panes_match_batch_and_sliding_merge(spark):
     """Stream==batch pane equality for the sliding-KMV estimator:
     each day's LATEST streamed k-min pane (max seq per day) must
@@ -1497,6 +1506,7 @@ def test_windowed_kmv_panes_match_batch_and_sliding_merge(spark):
     assert merged(panes) == merged(batch_panes)
 
 
+@pytest.mark.slow
 def test_bottomk_sample_pane_matches_batch_sketch(spark):
     """Stream==batch pane equality for the quantile sample: each
     event type's LATEST streamed bottom-k (h, value) pane must equal
@@ -1581,6 +1591,7 @@ def test_bottomk_sample_pane_matches_batch_sketch(spark):
     assert per_type["view"] == 2  # exact below k
 
 
+@pytest.mark.slow
 def test_stream_probes_persisted_ivfpq_index_matches_batch(spark):
     """Serving-path twin of the stream==batch sketch pins (r11
     verdict #8): a foreachBatch micro-batch loop of QUERY vectors
@@ -1660,6 +1671,7 @@ def test_stream_probes_persisted_ivfpq_index_matches_batch(spark):
     assert len(got) == 4 * 5  # every query delivered its full top-k
 
 
+@pytest.mark.slow
 def test_stream_feeds_semdedup_rollup_matches_one_shot(spark):
     """The embedding edition of the stream→rollup handoff: an
     availableNow foreachBatch loop absorbs each micro-batch of
@@ -1737,6 +1749,7 @@ def test_stream_feeds_semdedup_rollup_matches_one_shot(spark):
     assert any(k == 0 for _, _, k in got)  # non-vacuous
 
 
+@pytest.mark.slow
 def test_stream_feeds_adaptive_semdedup_rollup_matches_one_shot(spark):
     """The occupancy-ADAPTIVE twin of the stream→rollup handoff
     above (r13 verdict #7): an availableNow foreachBatch loop
@@ -1815,6 +1828,7 @@ def test_stream_feeds_adaptive_semdedup_rollup_matches_one_shot(spark):
     assert any(k == 0 for _, _, k in got)  # non-vacuous
 
 
+@pytest.mark.slow
 def test_stream_feeds_drift_rollup_matches_one_shot(spark):
     """Streaming drift monitoring: an availableNow foreachBatch loop
     absorbs each landed document micro-batch into
@@ -1885,6 +1899,7 @@ def test_stream_feeds_drift_rollup_matches_one_shot(spark):
     assert got == want and len(got) > 5  # exact equality, not tolerance
 
 
+@pytest.mark.slow
 def test_stream_feeds_phash_rollup_matches_one_shot(spark):
     """Streaming image-dedup ingest: an availableNow foreachBatch
     loop hashes each landed document micro-batch into
@@ -1952,6 +1967,7 @@ def test_stream_feeds_phash_rollup_matches_one_shot(spark):
     assert got == want and len(got) > 0  # exact equality, not tolerance
 
 
+@pytest.mark.slow
 def test_stream_feeds_softdedup_rollup_matches_one_shot(spark):
     """Streaming soft-dedup weight upkeep: an availableNow
     foreachBatch loop absorbs each landed micro-batch into

@@ -3,6 +3,8 @@ rows-only query carries an independent exactness pin)."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 from collections import Counter
 
@@ -39,6 +41,7 @@ def _replica_bpe(word_counts: Counter, rounds: int):
     return out, vocab
 
 
+@pytest.mark.slow
 def test_bpe_merge_matches_python_replica(spark):
     """q_text_bpe_merge equals the Python trainer exactly — integer
     counts and a total tie order leave no tolerance to grant."""

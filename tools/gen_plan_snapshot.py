@@ -55,7 +55,9 @@ MARKERS = (
     "MapInPandas",
     "ArrowEvalPython",
     "BatchEvalPython",
-    "PythonMapInArrow",
+    # Spark 4.x renders the Arrow map node as "MapInArrow" (3.x said
+    # "PythonMapInArrow"); the short form matches both.
+    "MapInArrow",
 )
 
 #: queries whose plan is not statically snapshottable (MLlib fit()
